@@ -1,0 +1,26 @@
+"""Test configuration.
+
+Tests run on a virtual 8-device CPU mesh so sharding/collective code paths
+are exercised without TPU hardware (the driver separately dry-run-compiles
+the multi-chip path).  Environment must be set before JAX initializes.
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+# The env var alone is not reliable when a TPU plugin (axon) is installed —
+# force the platform through the config API before any backend initializes.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)

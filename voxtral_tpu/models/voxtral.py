@@ -1,0 +1,256 @@
+"""Complete Voxtral Realtime model with an on-device greedy decode loop.
+
+The reference (``/root/reference/src/models/voxtral.rs``) drives decoding
+from the host: one GPU readback per generated token
+(voxtral.rs:365-396, gguf/model.rs:938-960).  Here the ENTIRE greedy loop —
+prefill, per-step 26-layer forward, 131k-vocab LM head, argmax feedback —
+is a single jitted program using ``lax.scan``; only the final token array
+crosses the host boundary.
+
+Behavioral contract kept bit-for-bit from the reference:
+
+* Prefix length **38** (not 39): BOS=1 + 37 x ``[STREAMING_PAD]``=32.
+  Position 38 is anomalous when last (it sits exactly at the trained
+  n_left_pad(32) + delay(6) boundary and predicts ``[STREAMING_PAD]``
+  regardless of audio), so generation starts from position 37's logits
+  (voxtral.rs:275-294).
+* Per-step input = ``audio_embeds[pos-1] + embed(prev_token)``
+  (voxtral.rs:365-396).
+* Greedy argmax; every position up to the audio length is decoded.
+
+Timing accounting (matches the reference's conv/reshape math, NOT its
+docs): mel 100 Hz -> conv 4x -> 25 Hz -> reshape 4x -> 6.25 Hz, so one
+decoder position covers 2560 samples (160 ms) = two 12.5 Hz mistral-common
+"audio tokens".  The 76-token left pad therefore covers exactly the
+38-position decoder prefix.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from voxtral_tpu.config import VoxtralConfig
+from voxtral_tpu.models.adapter import adapter_forward, reshape_encoder_output
+from voxtral_tpu.models.decoder import (
+    create_cache,
+    decoder_forward_hidden,
+    decoder_forward_hidden_with_cache,
+    embed_tokens,
+    lm_head,
+)
+from voxtral_tpu.models.encoder import encoder_forward
+from voxtral_tpu.models.layers import KVCache, rope_tables
+from voxtral_tpu.models.time_embedding import time_embedding
+from voxtral_tpu.tokenizer import BOS_TOKEN, STREAMING_PAD
+
+Params = dict[str, Any]
+
+PREFIX_LEN = 38
+
+
+def make_prefix_ids() -> np.ndarray:
+    """BOS + 37 x [STREAMING_PAD] (38 total)."""
+    return np.array([BOS_TOKEN] + [STREAMING_PAD] * (PREFIX_LEN - 1), dtype=np.int32)
+
+
+# ---------------------------------------------------------------------------
+# Pure functions (jitted by VoxtralModel with params donated/closed over)
+# ---------------------------------------------------------------------------
+
+
+def encode_audio_fn(params: Params, mel: jax.Array, cfg: VoxtralConfig) -> jax.Array:
+    """mel [B, n_mels, T] -> audio embeds [B, T/16, llm_dim]."""
+    enc = encoder_forward(params["encoder"], mel, cfg.audio_encoder)
+    reshaped = reshape_encoder_output(enc, cfg.downsample_factor)
+    return adapter_forward(params["adapter"], reshaped)
+
+
+def forward_fn(
+    params: Params, mel: jax.Array, t_embed: jax.Array, cfg: VoxtralConfig
+) -> jax.Array:
+    """Full forward (legacy mode, audio only) -> logits [B, S, vocab]."""
+    audio_hidden = encode_audio_fn(params, mel, cfg)
+    hidden = decoder_forward_hidden(
+        params["decoder"], audio_hidden, t_embed, cfg.language_model
+    )
+    return lm_head(params["decoder"], hidden)
+
+
+def forward_streaming_fn(
+    params: Params,
+    mel: jax.Array,
+    token_ids: jax.Array,
+    t_embed: jax.Array,
+    cfg: VoxtralConfig,
+) -> jax.Array:
+    """Streaming-mode forward: inputs = audio_embeds + embed(token_ids)."""
+    audio_embeds = encode_audio_fn(params, mel, cfg)
+    text_embeds = embed_tokens(params["decoder"], token_ids)
+    hidden = decoder_forward_hidden(
+        params["decoder"], audio_embeds + text_embeds, t_embed, cfg.language_model
+    )
+    return lm_head(params["decoder"], hidden)
+
+
+def transcribe_streaming_fn(
+    params: Params,
+    mel: jax.Array,
+    t_embed: jax.Array,
+    cfg: VoxtralConfig,
+    cache_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Greedy streaming transcription, fully on device.
+
+    mel: [1, n_mels, T].  Returns int32 tokens [S - PREFIX_LEN] where
+    S = T//16 is the decoder sequence length (requires S >= PREFIX_LEN + 1;
+    the host wrapper checks).
+    """
+    lm_cfg = cfg.language_model
+
+    audio_embeds = encode_audio_fn(params, mel, cfg)  # [1, S, D]
+    seq_len = audio_embeds.shape[1]
+
+    prefix_ids = jnp.asarray(make_prefix_ids())[None, :]  # [1, 38]
+    prefix_text = embed_tokens(params["decoder"], prefix_ids)
+    prefix_inputs = audio_embeds[:, :PREFIX_LEN, :] + prefix_text
+
+    cache = create_cache(lm_cfg, 1, seq_len, dtype=cache_dtype)
+    rope = rope_tables(lm_cfg.head_dim, seq_len, lm_cfg.rope_theta)
+
+    # Prefill: fills cache positions 0..37, predicts the token at 38.
+    hidden, cache = decoder_forward_hidden_with_cache(
+        params["decoder"], prefix_inputs, t_embed, cache, lm_cfg, rope
+    )
+    first_logits = lm_head(params["decoder"], hidden[:, -1:, :])
+    first_token = jnp.argmax(first_logits[0, 0, :], axis=-1).astype(jnp.int32)
+
+    def step(carry, i):
+        prev_token, cache = carry
+        # Input position = PREFIX_LEN + i; predicts token PREFIX_LEN + i + 1.
+        audio_pos = jax.lax.dynamic_slice_in_dim(
+            audio_embeds, PREFIX_LEN + i, 1, axis=1
+        )
+        text = embed_tokens(params["decoder"], prev_token[None, None])
+        hidden, cache = decoder_forward_hidden_with_cache(
+            params["decoder"], audio_pos + text, t_embed, cache, lm_cfg, rope
+        )
+        logits = lm_head(params["decoder"], hidden)
+        token = jnp.argmax(logits[0, 0, :], axis=-1).astype(jnp.int32)
+        return (token, cache), token
+
+    n_steps = seq_len - PREFIX_LEN - 1
+    (_, _), rest = jax.lax.scan(
+        step, (first_token, cache), jnp.arange(n_steps, dtype=jnp.int32)
+    )
+    return jnp.concatenate([first_token[None], rest])
+
+
+# ---------------------------------------------------------------------------
+# Model wrapper
+# ---------------------------------------------------------------------------
+
+
+class VoxtralModel:
+    """Holds a parameter pytree + config, exposes jitted entry points.
+
+    Jitted callables are cached per input shape (mel length buckets keep
+    the number of distinct compilations small — see
+    :meth:`transcribe_streaming`).
+    """
+
+    def __init__(self, params: Params, config: Optional[VoxtralConfig] = None,
+                 cache_dtype=jnp.bfloat16):
+        self.params = params
+        self.config = config or VoxtralConfig.voxtral()
+        self.cache_dtype = cache_dtype
+
+        cfg = self.config
+        self._encode = jax.jit(partial(encode_audio_fn, cfg=cfg))
+        self._forward = jax.jit(partial(forward_fn, cfg=cfg))
+        self._forward_streaming = jax.jit(partial(forward_streaming_fn, cfg=cfg))
+        self._transcribe = jax.jit(
+            partial(transcribe_streaming_fn, cfg=cfg, cache_dtype=cache_dtype)
+        )
+
+    # -- constructors -------------------------------------------------------
+
+    @classmethod
+    def init_random(
+        cls,
+        key: jax.Array,
+        config: Optional[VoxtralConfig] = None,
+        dtype=jnp.bfloat16,
+        vocab_size: Optional[int] = None,
+    ) -> "VoxtralModel":
+        """Random production-shape weights (tests / benchmarks)."""
+        from voxtral_tpu.models.adapter import init_adapter_params
+        from voxtral_tpu.models.decoder import init_decoder_params
+        from voxtral_tpu.models.encoder import init_encoder_params
+
+        config = config or VoxtralConfig.voxtral()
+        k1, k2, k3 = jax.random.split(key, 3)
+        params = {
+            "encoder": init_encoder_params(k1, config.audio_encoder, dtype),
+            "decoder": init_decoder_params(
+                k2,
+                config.language_model,
+                t_cond_dim=config.ada_rms_norm_t_cond_dim or 32,
+                dtype=dtype,
+                vocab_size=vocab_size,
+            ),
+            "adapter": init_adapter_params(
+                k3,
+                config.adapter.input_dim,
+                config.language_model.dim,
+                config.adapter.output_dim,
+                dtype,
+            ),
+        }
+        return cls(params, config)
+
+    # -- API ----------------------------------------------------------------
+
+    def t_embed(self, delay_tokens: float = 6.0) -> jax.Array:
+        emb = time_embedding(delay_tokens, self.config.language_model.dim)
+        dtype = jax.tree_util.tree_leaves(self.params)[0].dtype
+        return jnp.asarray(emb, dtype=dtype)
+
+    def encode_audio(self, mel: jax.Array) -> jax.Array:
+        return self._encode(self.params, jnp.asarray(mel))
+
+    def forward(self, mel: jax.Array, t_embed: jax.Array) -> jax.Array:
+        return self._forward(self.params, jnp.asarray(mel), t_embed)
+
+    def forward_streaming(
+        self, mel: jax.Array, token_ids: jax.Array, t_embed: jax.Array
+    ) -> jax.Array:
+        return self._forward_streaming(
+            self.params, jnp.asarray(mel), jnp.asarray(token_ids), t_embed
+        )
+
+    def decoder_seq_len(self, mel_frames: int) -> int:
+        """Decoder positions for a mel length: floor(floor(T/4)/4) on even T."""
+        t1 = (mel_frames + 1) // 2
+        t2 = (t1 + 1) // 2
+        return t2 // self.config.downsample_factor
+
+    def transcribe_streaming(
+        self, mel: jax.Array, delay_tokens: float = 6.0
+    ) -> np.ndarray:
+        """Greedy transcription of one mel chunk -> int32 token IDs.
+
+        Returns the generated tokens after the 38-token prefix (control
+        tokens included, exactly like the reference's Vec<i32>).
+        """
+        mel = jnp.asarray(mel)
+        if self.decoder_seq_len(mel.shape[-1]) < PREFIX_LEN + 1:
+            return np.zeros((0,), dtype=np.int32)
+        t_embed = self.t_embed(delay_tokens)
+        tokens = self._transcribe(self.params, mel, t_embed)
+        return np.asarray(jax.device_get(tokens))
