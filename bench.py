@@ -1,0 +1,116 @@
+"""Headline benchmark: streaming transcription RTF on 16 s of audio.
+
+Mirrors the reference's e2e-bench protocol (``/root/reference/src/bin/e2e_bench.rs``):
+16 s test audio, full pipeline (chunk -> pad -> mel -> encode -> greedy
+decode), warmup + averaged timed iterations.  Weights are random at the
+exact production shapes — throughput is weight-value independent.
+
+Prints ONE JSON line:
+    {"metric": "rtf_16s", "value": <RTF>, "unit": "ratio",
+     "vs_baseline": <baseline_rtf / ours — how many x faster than the
+                     reference's Q4 RTF 0.416 on DGX Spark GB10>}
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_RTF = 0.416  # reference Q4 GGUF native, 16 s audio (README.md:14)
+AUDIO_SECS = 16.0
+ITERATIONS = 3
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from voxtral_tpu.audio import (
+        AudioBuffer,
+        ChunkConfig,
+        MelSpectrogram,
+        PadConfig,
+        chunk_audio,
+        pad_audio,
+    )
+    from voxtral_tpu.config import VoxtralConfig
+    from voxtral_tpu.models.voxtral import VoxtralModel
+
+    backend = jax.default_backend()
+    print(f"# backend: {backend}, devices: {jax.devices()}", file=sys.stderr)
+
+    cfg = VoxtralConfig.voxtral()
+    t0 = time.time()
+    model = VoxtralModel.init_random(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    jax.block_until_ready(model.params)
+    print(f"# model init: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    # 16 s test signal (speech-band chirp so mel is non-degenerate).
+    sr = 16000
+    t = np.arange(int(AUDIO_SECS * sr)) / sr
+    sig = (0.5 * np.sin(2 * np.pi * (200 + 150 * t) * t)).astype(np.float32)
+    audio = AudioBuffer(sig, sr)
+    audio.peak_normalize(0.95)
+
+    mel = MelSpectrogram.voxtral()
+    pad_cfg = PadConfig.voxtral()
+    chunk_cfg = ChunkConfig.voxtral()  # 1500 mel frames per chunk
+
+    chunks = chunk_audio(audio.samples, chunk_cfg)
+    mels = []
+    for ch in chunks:
+        padded = pad_audio(AudioBuffer(ch.samples, sr), pad_cfg)
+        mels.append(mel.compute_log_batch(padded.samples))
+    print(
+        f"# {len(chunks)} chunks, mel shapes: {[m.shape for m in mels]}",
+        file=sys.stderr,
+    )
+
+    def run_once():
+        n_tokens = 0
+        for m in mels:
+            tokens = model.transcribe_streaming(m, delay_tokens=6.0)
+            n_tokens += len(tokens)
+        return n_tokens
+
+    # Warmup (compile).
+    t0 = time.time()
+    n_tokens = run_once()
+    print(
+        f"# warmup (incl. compile): {time.time()-t0:.1f}s, {n_tokens} tokens",
+        file=sys.stderr,
+    )
+
+    times = []
+    for i in range(ITERATIONS):
+        t0 = time.time()
+        n_tokens = run_once()
+        times.append(time.time() - t0)
+        print(f"# iter {i}: {times[-1]*1000:.0f} ms", file=sys.stderr)
+
+    total = float(np.mean(times))
+    rtf = total / AUDIO_SECS
+    tok_s = n_tokens / total
+
+    print(
+        f"# total {total*1000:.0f} ms | RTF {rtf:.4f} | {tok_s:.1f} tok/s "
+        f"| {n_tokens} tokens | baseline RTF {BASELINE_RTF}",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "rtf_16s",
+                "value": round(rtf, 5),
+                "unit": "ratio",
+                "vs_baseline": round(BASELINE_RTF / rtf, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

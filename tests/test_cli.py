@@ -1,0 +1,101 @@
+"""CLI tests: flag contract, error paths, end-to-end with random tiny weights."""
+
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from voxtral_tpu.audio import AudioBuffer, save_wav
+
+FIXTURES = Path(__file__).parent / "fixtures"
+REPO = Path(__file__).parent.parent
+
+
+def run_cli(*argv, timeout=300):
+    """Run the CLI in-process via main() for speed; returns (code, out, err)."""
+    import contextlib
+    import io
+
+    from voxtral_tpu.cli import main
+
+    out, err = io.StringIO(), io.StringIO()
+    with contextlib.redirect_stdout(out), contextlib.redirect_stderr(err):
+        code = main(list(argv))
+    return code, out.getvalue(), err.getvalue()
+
+
+@pytest.fixture(scope="module")
+def wav(tmp_path_factory):
+    path = tmp_path_factory.mktemp("audio") / "tone.wav"
+    t = np.arange(32000) / 16000.0
+    sig = (0.4 * np.sin(2 * np.pi * 330 * t)).astype(np.float32)
+    save_wav(AudioBuffer(sig, 16000), path)
+    return str(path)
+
+
+def test_no_audio_is_error():
+    code, out, err = run_cli("--random-weights")
+    assert code == 2
+    assert "no audio files" in err
+
+
+def test_audio_conflicts_with_audio_list(wav):
+    code, out, err = run_cli("--audio", wav, "--audio-list", "x.txt")
+    assert code == 2
+    assert "conflicts" in err
+
+
+def test_bad_max_mel_frames(wav):
+    code, out, err = run_cli(
+        "--audio", wav, "--random-weights", "--max-mel-frames", "0"
+    )
+    assert code == 2
+    assert "max-mel-frames" in err
+
+
+def test_missing_model_dir(wav):
+    code, out, err = run_cli("--audio", wav, "--model", "/nonexistent")
+    assert code == 2
+    assert "model not found" in err
+
+
+def test_gguf_requires_tokenizer(wav):
+    code, out, err = run_cli("--audio", wav, "--gguf", "/nonexistent.gguf")
+    assert code == 2
+    assert "requires --tokenizer" in err
+
+
+def test_missing_audio_file_continues():
+    code, out, err = run_cli(
+        "--audio", "/nonexistent.wav", "--random-weights",
+        "--params", str(FIXTURES / "params_tiny.json"),
+    )
+    assert code == 1
+    assert "audio file not found" in err
+    assert out == "\n"  # empty line still printed (one line per file)
+
+
+def test_end_to_end_random_tiny(wav, tmp_path):
+    """Full pipeline through the CLI with tiny random weights: one line per file."""
+    code, out, err = run_cli(
+        "--audio", wav, "--audio", wav,
+        "--random-weights", "--params", str(FIXTURES / "params_tiny.json"),
+        "--dtype", "float32",
+    )
+    assert code == 0
+    lines = out.splitlines()
+    assert len(lines) == 2  # one line per input file
+
+
+def test_audio_list(wav, tmp_path):
+    lst = tmp_path / "list.txt"
+    lst.write_text(f"{wav}\n\n{wav}\n")
+    code, out, err = run_cli(
+        "--audio-list", str(lst),
+        "--random-weights", "--params", str(FIXTURES / "params_tiny.json"),
+        "--dtype", "float32",
+    )
+    assert code == 0
+    assert len(out.splitlines()) == 2

@@ -1,0 +1,85 @@
+"""Sharding seam tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from voxtral_tpu.parallel import make_mesh, param_shardings, shard_params
+
+requires_8_devices = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def tiny_model():
+    from tests.test_model import tiny_config
+    from voxtral_tpu.models.voxtral import VoxtralModel
+
+    return VoxtralModel.init_random(
+        jax.random.PRNGKey(0), tiny_config(), dtype=jnp.float32
+    )
+
+
+@requires_8_devices
+def test_make_mesh():
+    mesh = make_mesh(n_data=4, n_model=2)
+    assert mesh.axis_names == ("data", "model")
+    assert mesh.devices.shape == (4, 2)
+    with pytest.raises(ValueError):
+        make_mesh(n_data=16, n_model=2)
+
+
+@requires_8_devices
+def test_param_sharding_specs():
+    model = tiny_model()
+    mesh = make_mesh(n_data=1, n_model=2)
+    sh = param_shardings(model.params, mesh)
+
+    dec = sh["decoder"]
+    assert dec["tok_embeddings"].spec == P("model", None)
+    # Stacked layer leaves: layer axis unsharded, column/row parallel tails.
+    assert dec["layers"]["attention"]["wq"].spec == P(None, None, "model")
+    assert dec["layers"]["attention"]["wo"].spec == P(None, "model", None)
+    assert dec["layers"]["ffn"]["w1"].spec == P(None, None, "model")
+    assert dec["layers"]["ffn"]["w2"].spec == P(None, "model", None)
+    # Norms / ada / conv replicated.
+    assert dec["layers"]["attention_norm"].spec == P()
+    assert dec["layers"]["ada"]["w0"].spec == P()
+    assert sh["encoder"]["conv"]["conv1"].spec == P()
+    assert sh["adapter"]["w1"].spec == P(None, "model")
+
+
+@requires_8_devices
+def test_sharded_forward_matches_single_device():
+    """TP-sharded forward must be numerically equal to the unsharded one."""
+    from voxtral_tpu.models.voxtral import forward_streaming_fn
+
+    model = tiny_model()
+    cfg = model.config
+    mel = jax.random.normal(jax.random.PRNGKey(1), (1, 128, 16 * 8), jnp.float32)
+    token_ids = jnp.full((1, 8), 32, jnp.int32)
+    t_embed = model.t_embed(6.0)
+
+    ref = forward_streaming_fn(model.params, mel, token_ids, t_embed, cfg)
+
+    mesh = make_mesh(n_data=1, n_model=2)
+    sharded_params = shard_params(model.params, mesh)
+    got = forward_streaming_fn(sharded_params, mel, token_ids, t_embed, cfg)
+
+    np.testing.assert_allclose(
+        np.asarray(ref), np.asarray(got), rtol=1e-4, atol=1e-4
+    )
+
+
+@requires_8_devices
+def test_dryrun_multichip():
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent.parent))
+    from __graft_entry__ import dryrun_multichip
+
+    dryrun_multichip(8)

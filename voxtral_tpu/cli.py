@@ -1,0 +1,178 @@
+"""voxtral-transcribe CLI.
+
+Flag contract mirrors the reference (``/root/reference/src/bin/transcribe.rs:27-58``):
+``--audio`` (repeatable) / ``--audio-list`` batch file, ``--model`` dir or
+``--gguf`` + ``--tokenizer``, ``--delay`` (default 6), ``--max-mel-frames``
+(default 1200).  The model loads once; one line of text per audio file on
+stdout; logs on stderr.
+
+Extensions: ``--dtype`` (bfloat16|float32) for the SafeTensors path, and
+``--random-weights`` to exercise the full pipeline without downloaded
+weights (CI / smoke tests).
+
+Usage:  python -m voxtral_tpu.cli --audio x.wav --model models/voxtral
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+from pathlib import Path
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="voxtral-transcribe",
+        description="Transcribe audio using Voxtral Mini 4B Realtime (TPU)",
+    )
+    p.add_argument(
+        "-a", "--audio", action="append", default=[],
+        help="Path to WAV audio file; repeatable for batch processing",
+    )
+    p.add_argument(
+        "--audio-list",
+        help="File containing audio paths (one per line); model loads once",
+    )
+    p.add_argument(
+        "-m", "--model", default="models/voxtral",
+        help="f32 model directory (consolidated.safetensors + tekken.json)",
+    )
+    p.add_argument(
+        "--gguf", help="Q4 GGUF model file (instead of --model)",
+    )
+    p.add_argument(
+        "--tokenizer", help="Tokenizer JSON path (default: <model>/tekken.json)",
+    )
+    p.add_argument(
+        "-d", "--delay", type=float, default=6.0,
+        help="Delay in tokens (1 token = 80 ms); default 6 = 480 ms",
+    )
+    p.add_argument(
+        "--max-mel-frames", type=int, default=1200,
+        help="Max mel frames per chunk",
+    )
+    p.add_argument(
+        "--dtype", choices=["bfloat16", "float32"], default="bfloat16",
+        help="Compute dtype for the SafeTensors path",
+    )
+    p.add_argument(
+        "--random-weights", action="store_true",
+        help="Run with random production-shape weights (no model download)",
+    )
+    p.add_argument(
+        "--params",
+        help="params.json overriding the architecture (with --random-weights)",
+    )
+    p.add_argument(
+        "--platform", choices=["default", "cpu", "tpu"], default="default",
+        help="Force the JAX platform (the JAX_PLATFORMS env var is "
+        "unreliable when a TPU plugin is installed)",
+    )
+    p.add_argument("-v", "--verbose", action="store_true")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    logging.basicConfig(
+        stream=sys.stderr,
+        level=logging.DEBUG if args.verbose else logging.INFO,
+        format="%(asctime)s %(levelname)s %(message)s",
+    )
+    log = logging.getLogger("voxtral_tpu")
+
+    if args.audio_list:
+        if args.audio:
+            print("error: --audio conflicts with --audio-list", file=sys.stderr)
+            return 2
+        list_path = Path(args.audio_list)
+        if not list_path.exists():
+            print(f"error: audio list not found: {list_path}", file=sys.stderr)
+            return 2
+        audio_paths = [
+            line.strip()
+            for line in list_path.read_text().splitlines()
+            if line.strip()
+        ]
+    else:
+        audio_paths = args.audio
+
+    if not audio_paths:
+        print("error: no audio files specified (--audio or --audio-list)", file=sys.stderr)
+        return 2
+    if args.max_mel_frames <= 0:
+        print("error: --max-mel-frames must be greater than 0", file=sys.stderr)
+        return 2
+    if args.gguf and not (args.tokenizer or args.random_weights):
+        print("error: --gguf requires --tokenizer", file=sys.stderr)
+        return 2
+
+    if args.platform != "default":
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    from voxtral_tpu.pipeline import PipelineConfig, TranscribePipeline
+
+    pcfg = PipelineConfig(
+        delay_tokens=args.delay, max_mel_frames=args.max_mel_frames
+    )
+
+    if args.random_weights:
+        import jax
+        import jax.numpy as jnp
+
+        from voxtral_tpu.config import VoxtralConfig
+        from voxtral_tpu.models.voxtral import VoxtralModel
+        from voxtral_tpu.tokenizer import VoxtralTokenizer
+
+        log.info("initializing random production-shape weights (--random-weights)")
+        cfg = (
+            VoxtralConfig.from_file(args.params)
+            if args.params
+            else VoxtralConfig.voxtral()
+        )
+        model = VoxtralModel.init_random(
+            jax.random.PRNGKey(0),
+            cfg,
+            dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
+        )
+        if args.tokenizer:
+            tokenizer = VoxtralTokenizer.from_file(args.tokenizer)
+        else:
+            tokenizer = VoxtralTokenizer(
+                [None] * 131072, {1: "<s>", 32: "[STREAMING_PAD]"}, 131072
+            )
+        pipeline = TranscribePipeline(model, tokenizer, pcfg)
+    elif args.gguf:
+        if not Path(args.gguf).exists():
+            print(f"error: GGUF file not found: {args.gguf}", file=sys.stderr)
+            return 2
+        pipeline = TranscribePipeline.from_gguf(args.gguf, args.tokenizer, pcfg)
+    else:
+        model_dir = Path(args.model)
+        if not (model_dir / "consolidated.safetensors").exists():
+            print(
+                f"error: model not found at {model_dir} "
+                "(expected consolidated.safetensors)",
+                file=sys.stderr,
+            )
+            return 2
+        pipeline = TranscribePipeline.from_model_dir(model_dir, args.dtype, pcfg)
+
+    status = 0
+    for path in audio_paths:
+        if not Path(path).exists():
+            print(f"error: audio file not found: {path}", file=sys.stderr)
+            status = 1
+            print("")
+            continue
+        text = pipeline.transcribe_file(path)
+        print(text, flush=True)
+    return status
+
+
+if __name__ == "__main__":
+    sys.exit(main())

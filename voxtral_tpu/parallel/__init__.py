@@ -1,0 +1,18 @@
+"""Mesh + sharding seam (TP/DP) for voxtral_tpu.
+
+The reference has NO distributed runtime (SURVEY.md §2.6; its params.json
+carries ``model_parallel: 1``).  This package is the TPU-native
+"none but extensible" equivalent: single-chip by default, with
+``jax.sharding`` annotations that turn on tensor parallelism (sharded
+131k-vocab lm_head / FFN over ICI) and data parallelism (batched WER eval)
+without touching model code.
+"""
+
+from voxtral_tpu.parallel.mesh import (
+    make_mesh,
+    param_shardings,
+    replicate,
+    shard_params,
+)
+
+__all__ = ["make_mesh", "param_shardings", "replicate", "shard_params"]

@@ -1,0 +1,184 @@
+"""High-level transcription pipeline: audio file -> text.
+
+The Python counterpart of the reference CLI's per-file flow
+(``/root/reference/src/bin/transcribe.rs:187-276``):
+load -> resample to 16 kHz -> peak_normalize(0.95) -> chunk (1200 mel
+frames) -> per chunk: pad(76/17) -> log-mel -> transcribe_streaming ->
+decode (filter control tokens) -> join chunk texts with spaces.
+
+TPU-specific addition: decoder sequence lengths are **bucketed** — the
+padded audio is extended with silence so the decoder length rounds up to a
+multiple of ``bucket_positions``.  This caps the number of distinct XLA
+compilations across a corpus (variable shapes would otherwise recompile
+per file; reference GPUs pay no such cost but TPUs trace once per shape).
+Trailing silence decodes to [STREAMING_PAD] and is dropped by the
+tokenizer's control-token filter.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from voxtral_tpu.audio import (
+    AudioBuffer,
+    ChunkConfig,
+    MelSpectrogram,
+    PadConfig,
+    chunk_audio,
+    load_wav,
+    needs_chunking,
+    resample_to_16k,
+)
+from voxtral_tpu.config import VoxtralConfig
+from voxtral_tpu.models.voxtral import VoxtralModel
+from voxtral_tpu.tokenizer import VoxtralTokenizer
+
+log = logging.getLogger("voxtral_tpu")
+
+SAMPLES_PER_POSITION = 2560  # one decoder position = 2560 samples (160 ms)
+
+
+@dataclasses.dataclass
+class PipelineConfig:
+    delay_tokens: float = 6.0
+    max_mel_frames: int = 1200
+    bucket_positions: int = 16  # decoder-length bucketing granularity
+    peak_normalize: Optional[float] = 0.95
+
+
+class TranscribePipeline:
+    """Shared by the CLI, the WER harness and the serving surface."""
+
+    def __init__(
+        self,
+        model: VoxtralModel,
+        tokenizer: VoxtralTokenizer,
+        pipeline_config: Optional[PipelineConfig] = None,
+    ):
+        self.model = model
+        self.tokenizer = tokenizer
+        self.pcfg = pipeline_config or PipelineConfig()
+        self.mel = MelSpectrogram.voxtral()
+        self.pad_config = PadConfig.voxtral()
+        self.chunk_config = ChunkConfig.voxtral().with_max_frames(
+            self.pcfg.max_mel_frames
+        )
+
+    # -- loading ------------------------------------------------------------
+
+    @classmethod
+    def from_model_dir(
+        cls,
+        model_dir: str | Path,
+        dtype: str = "bfloat16",
+        pipeline_config: Optional[PipelineConfig] = None,
+    ) -> "TranscribePipeline":
+        """f32/bf16 SafeTensors path: dir with consolidated.safetensors,
+        params.json, tekken.json."""
+        from voxtral_tpu.loaders.safetensors_loader import load_voxtral_params
+
+        model_dir = Path(model_dir)
+        cfg = VoxtralConfig.from_model_dir(model_dir)
+        t0 = time.time()
+        params = load_voxtral_params(
+            model_dir / "consolidated.safetensors", cfg, dtype=dtype
+        )
+        log.info("loaded safetensors weights in %.1fs", time.time() - t0)
+        tokenizer = VoxtralTokenizer.from_model_dir(model_dir)
+        return cls(VoxtralModel(params, cfg), tokenizer, pipeline_config)
+
+    @classmethod
+    def from_gguf(
+        cls,
+        gguf_path: str | Path,
+        tokenizer_path: str | Path,
+        pipeline_config: Optional[PipelineConfig] = None,
+    ) -> "TranscribePipeline":
+        """Q4_0 GGUF path."""
+        from voxtral_tpu.loaders.gguf_loader import load_q4_model
+
+        t0 = time.time()
+        model = load_q4_model(gguf_path)
+        log.info("loaded GGUF Q4 weights in %.1fs", time.time() - t0)
+        tokenizer = VoxtralTokenizer.from_file(tokenizer_path)
+        return cls(model, tokenizer, pipeline_config)
+
+    # -- transcription ------------------------------------------------------
+
+    def _bucketed_pad(self, audio: AudioBuffer) -> AudioBuffer:
+        padded = pad_audio_bucketed(
+            audio, self.pad_config, self.pcfg.bucket_positions
+        )
+        return padded
+
+    def transcribe_samples(self, samples: np.ndarray, sample_rate: int = 16000) -> str:
+        """Transcribe a mono float32 sample buffer."""
+        audio = AudioBuffer(np.asarray(samples, dtype=np.float32), sample_rate)
+        if audio.sample_rate != 16000:
+            audio = resample_to_16k(audio)
+        if self.pcfg.peak_normalize is not None:
+            audio.peak_normalize(self.pcfg.peak_normalize)
+
+        if needs_chunking(len(audio.samples), self.chunk_config):
+            chunks = chunk_audio(audio.samples, self.chunk_config)
+            log.info(
+                "audio exceeds %d mel frames; %d chunks",
+                self.chunk_config.max_mel_frames,
+                len(chunks),
+            )
+        else:
+            chunks = chunk_audio(audio.samples, self.chunk_config)
+
+        texts = []
+        start = time.time()
+        for i, ch in enumerate(chunks):
+            if len(chunks) > 1:
+                log.info(
+                    "chunk %d/%d [%.2fs-%.2fs] elapsed %.1fs",
+                    i + 1, len(chunks),
+                    ch.start_time(16000), ch.end_time(16000),
+                    time.time() - start,
+                )
+            padded = self._bucketed_pad(AudioBuffer(ch.samples, 16000))
+            logmel = self.mel.compute_log_batch(padded.samples)
+            tokens = self.model.transcribe_streaming(
+                logmel, delay_tokens=self.pcfg.delay_tokens
+            )
+            text = self.decode_tokens(tokens)
+            if text.strip():
+                texts.append(text.strip())
+        return " ".join(texts)
+
+    def transcribe_file(self, path: str | Path) -> str:
+        audio = load_wav(path)
+        return self.transcribe_samples(audio.samples, audio.sample_rate)
+
+    def decode_tokens(self, tokens: np.ndarray) -> str:
+        """Filter control tokens (<1000) and decode (transcribe.rs:309-318)."""
+        return self.tokenizer.decode([int(t) for t in tokens if t >= 1000])
+
+
+def pad_audio_bucketed(
+    audio: AudioBuffer, pad_config: PadConfig, bucket_positions: int
+) -> AudioBuffer:
+    """Reference padding (76 left / align+17 right), then extend with silence
+    to the next decoder-length bucket."""
+    from voxtral_tpu.audio import pad_audio
+
+    padded = pad_audio(audio, pad_config)
+    if bucket_positions <= 1:
+        return padded
+    bucket_samples = bucket_positions * SAMPLES_PER_POSITION
+    n = len(padded.samples)
+    target = -(-n // bucket_samples) * bucket_samples
+    if target > n:
+        padded.samples = np.concatenate(
+            [padded.samples, np.zeros(target - n, dtype=np.float32)]
+        )
+    return padded
