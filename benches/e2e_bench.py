@@ -1,0 +1,189 @@
+#!/usr/bin/env python
+"""Stage-timed end-to-end benchmark (clone of the reference e2e-bench,
+``/root/reference/src/bin/e2e_bench.rs``): preprocess / encode / decode ms,
+RTF, tok/s, peak RSS, warmup + N averaged iterations, table + JSON report.
+
+Stages are separated with explicit ``block_until_ready`` syncs, mirroring
+the reference's forced GPU syncs (e2e_bench.rs:166).
+
+Usage:
+  python benches/e2e_bench.py [--model DIR | --gguf F --tokenizer T |
+                               --random-weights] [--seconds 16]
+                              [--iterations 3] [--json out.json]
+                              [--platform default|cpu|tpu] [--params P]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import numpy as np
+
+
+def peak_rss_mb() -> float:
+    """Peak resident set from /proc/self/status (e2e_bench.rs:62-95)."""
+    try:
+        for line in Path("/proc/self/status").read_text().splitlines():
+            if line.startswith("VmHWM"):
+                return int(line.split()[1]) / 1024.0
+    except OSError:
+        pass
+    return 0.0
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model")
+    ap.add_argument("--gguf")
+    ap.add_argument("--tokenizer")
+    ap.add_argument("--random-weights", action="store_true")
+    ap.add_argument("--params", help="params.json for --random-weights")
+    ap.add_argument("--q4-random", action="store_true",
+                    help="random weights quantized to Q4_0 (kernel path)")
+    ap.add_argument("--seconds", type=float, default=16.0)
+    ap.add_argument("--iterations", type=int, default=3)
+    ap.add_argument("--delay", type=float, default=6.0)
+    ap.add_argument("--json")
+    ap.add_argument("--platform", choices=["default", "cpu", "tpu"],
+                    default="default")
+    args = ap.parse_args()
+
+    if args.platform != "default":
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    import jax
+    import jax.numpy as jnp
+
+    from voxtral_tpu.audio import (
+        AudioBuffer,
+        ChunkConfig,
+        MelSpectrogram,
+        PadConfig,
+        chunk_audio,
+        pad_audio,
+    )
+    from voxtral_tpu.config import VoxtralConfig
+    from voxtral_tpu.models.voxtral import VoxtralModel, encode_audio_fn
+
+    t0 = time.time()
+    if args.model:
+        from voxtral_tpu.pipeline import TranscribePipeline
+
+        pipe = TranscribePipeline.from_model_dir(args.model)
+        model = pipe.model
+        mode = "f32"
+    elif args.gguf:
+        from voxtral_tpu.loaders.gguf_loader import load_q4_model
+
+        model = load_q4_model(args.gguf)
+        mode = "q4"
+    else:
+        cfg = (
+            VoxtralConfig.from_file(args.params)
+            if args.params
+            else VoxtralConfig.voxtral()
+        )
+        model = VoxtralModel.init_random(jax.random.PRNGKey(0), cfg,
+                                         dtype=jnp.bfloat16)
+        mode = "random-bf16"
+        if args.q4_random:
+            from voxtral_tpu.utils.quantize import quantize_params_q4
+
+            model = VoxtralModel(quantize_params_q4(model.params), cfg)
+            mode = "random-q4"
+    load_s = time.time() - t0
+    print(f"# model loaded ({mode}) in {load_s:.1f}s, "
+          f"backend={jax.default_backend()}", file=sys.stderr)
+
+    sr = 16000
+    t = np.arange(int(args.seconds * sr)) / sr
+    sig = (0.5 * np.sin(2 * np.pi * (180 + 120 * t) * t)).astype(np.float32)
+    audio = AudioBuffer(sig, sr)
+    audio.peak_normalize(0.95)
+
+    mel_x = MelSpectrogram.voxtral()
+    pad_cfg = PadConfig.voxtral()
+    chunks = chunk_audio(audio.samples, ChunkConfig.voxtral())
+
+    def iteration():
+        stages = {"preprocess": 0.0, "encode": 0.0, "decode": 0.0}
+        n_tokens = 0
+        for ch in chunks:
+            t0 = time.perf_counter()
+            padded = pad_audio(AudioBuffer(ch.samples, sr), pad_cfg)
+            logmel = mel_x.compute_log_batch(padded.samples)
+            stages["preprocess"] += time.perf_counter() - t0
+
+            # Encode stage timed separately with a forced device sync.
+            t0 = time.perf_counter()
+            mel_dev = model._cast_mel(logmel)
+            embeds = model.encode_audio(mel_dev)
+            embeds.block_until_ready()
+            stages["encode"] += time.perf_counter() - t0
+
+            # Decode = full transcribe minus (already-cached) encode; the
+            # jitted program fuses both, so time the whole and subtract.
+            t0 = time.perf_counter()
+            tokens = model.transcribe_streaming(logmel, delay_tokens=args.delay)
+            full = time.perf_counter() - t0
+            stages["decode"] += max(0.0, full - stages["encode"])
+            n_tokens += len(tokens)
+        return stages, n_tokens
+
+    # Warmup (compiles both entry points).
+    t0 = time.time()
+    iteration()
+    print(f"# warmup {time.time()-t0:.1f}s", file=sys.stderr)
+
+    agg = {"preprocess": [], "encode": [], "decode": [], "total": []}
+    n_tokens = 0
+    for i in range(args.iterations):
+        stages, n_tokens = iteration()
+        total = sum(stages.values())
+        for k, v in stages.items():
+            agg[k].append(v)
+        agg["total"].append(total)
+        print(f"# iter {i}: total {total*1000:.0f} ms", file=sys.stderr)
+
+    mean = {k: float(np.mean(v)) for k, v in agg.items()}
+    rtf = mean["total"] / args.seconds
+    tok_s = n_tokens / max(mean["decode"], 1e-9)
+
+    report = {
+        "mode": mode,
+        "audio_seconds": args.seconds,
+        "chunks": len(chunks),
+        "tokens": n_tokens,
+        "preprocess_ms": round(mean["preprocess"] * 1000, 1),
+        "encode_ms": round(mean["encode"] * 1000, 1),
+        "decode_ms": round(mean["decode"] * 1000, 1),
+        "total_ms": round(mean["total"] * 1000, 1),
+        "rtf": round(rtf, 4),
+        "tok_per_s": round(tok_s, 1),
+        "peak_rss_mb": round(peak_rss_mb(), 1),
+        "backend": jax.default_backend(),
+        "model_load_s": round(load_s, 1),
+    }
+
+    print(f"\n{'stage':<12}{'ms':>10}")
+    for k in ("preprocess", "encode", "decode", "total"):
+        print(f"{k:<12}{mean[k]*1000:>10.1f}")
+    print(f"\nRTF {rtf:.4f} | {tok_s:.1f} tok/s | {n_tokens} tokens "
+          f"| peak RSS {report['peak_rss_mb']:.0f} MB")
+
+    if args.json:
+        Path(args.json).write_text(json.dumps(report, indent=2))
+        print(f"# wrote {args.json}", file=sys.stderr)
+    print(json.dumps(report))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,107 @@
+"""Streaming/incremental path tests: encoder cache equivalence, mel-window
+exactness, and token-for-token agreement between the real-time session and
+the batch transcribe loop."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests.test_model import tiny_config
+from voxtral_tpu.audio import AudioBuffer, pad_audio
+from voxtral_tpu.audio.mel import MelSpectrogram
+from voxtral_tpu.models.encoder import (
+    create_encoder_cache,
+    encoder_forward,
+    encoder_layers_with_cache,
+)
+from voxtral_tpu.models.layers import conv_downsample, rope_tables
+from voxtral_tpu.models.voxtral import PREFIX_LEN, VoxtralModel
+from voxtral_tpu.streaming import StreamingSession
+
+
+@pytest.fixture(scope="module")
+def model():
+    return VoxtralModel.init_random(
+        jax.random.PRNGKey(0), tiny_config(), dtype=jnp.float32
+    )
+
+
+def test_encoder_incremental_matches_full(model):
+    """Cached layer stack over feature chunks == full forward (conv shared)."""
+    cfg = model.config.audio_encoder
+    params = model.params["encoder"]
+    mel = jax.random.normal(jax.random.PRNGKey(1), (1, 128, 64), jnp.float32)
+
+    full = encoder_forward(params, mel, cfg)  # [1, 16, d]
+
+    feats = jnp.swapaxes(conv_downsample(mel, params["conv"]), 1, 2)
+    cache = create_encoder_cache(cfg, 1, 16, jnp.float32)
+    rope = rope_tables(cfg.head_dim, 16, cfg.rope_theta)
+    outs = []
+    for lo, hi in [(0, 6), (6, 7), (7, 16)]:
+        out, cache = encoder_layers_with_cache(
+            params, feats[:, lo:hi], cache, cfg, rope
+        )
+        outs.append(out)
+    incremental = jnp.concatenate(outs, axis=1)
+    np.testing.assert_allclose(
+        np.asarray(full), np.asarray(incremental), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_mel_windows_exact(model):
+    """Session mel windows must equal slices of the global mel computation."""
+    rng = np.random.default_rng(2)
+    samples = rng.normal(size=16000 * 12).astype(np.float32) * 0.3
+
+    session = StreamingSession(model, step_positions=8, max_duration_s=30)
+    session._samples = np.concatenate([session._samples, samples])
+
+    global_mel = MelSpectrogram.voxtral().compute_log(session._samples)
+
+    for lo, hi in [(0, 744), (740, 876), (1000, 1136)]:
+        win = session._mel_window(lo, hi)[0].T  # [frames, mels]
+        np.testing.assert_allclose(
+            win, global_mel[lo:hi], rtol=1e-5, atol=1e-6,
+            err_msg=f"window [{lo},{hi})",
+        )
+
+
+def test_streaming_session_matches_batch(model):
+    """Tokens from the live session == tokens from batch transcribe."""
+    rng = np.random.default_rng(3)
+    samples = (rng.normal(size=16000 * 8).astype(np.float32) * 0.25)
+
+    # Batch: reference padding -> mel -> one-shot transcribe.
+    padded = pad_audio(AudioBuffer(samples.copy(), 16000))
+    mel = MelSpectrogram.voxtral().compute_log_batch(padded.samples)
+    batch_tokens = model.transcribe_streaming(mel)
+
+    # Streaming: feed in ragged pieces, then flush.
+    session = StreamingSession(model, step_positions=8, max_duration_s=30)
+    pieces = np.array_split(samples, [1000, 5000, 30000, 31000, 90000])
+    for p in pieces:
+        session.feed(p)
+    assert session.positions_done > PREFIX_LEN  # produced tokens mid-stream
+    session.finish()
+
+    stream_tokens = np.asarray(session.tokens)
+    n = min(len(stream_tokens), len(batch_tokens))
+    assert n >= len(batch_tokens) - 1
+    agree = (stream_tokens[:n] == np.asarray(batch_tokens)[:n]).mean()
+    assert agree == 1.0, (
+        f"only {agree:.2%} agreement\nstream: {stream_tokens[:n]}\n"
+        f"batch:  {np.asarray(batch_tokens)[:n]}"
+    )
+
+
+def test_feed_after_finish_raises(model):
+    session = StreamingSession(model, step_positions=8, max_duration_s=30)
+    session.feed(np.zeros(1000, np.float32))
+    session.finish()
+    with pytest.raises(RuntimeError):
+        session.feed(np.zeros(10, np.float32))
+    # finish() is idempotent.
+    assert session.finish() == ""

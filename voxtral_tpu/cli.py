@@ -150,7 +150,16 @@ def main(argv: list[str] | None = None) -> int:
         if not Path(args.gguf).exists():
             print(f"error: GGUF file not found: {args.gguf}", file=sys.stderr)
             return 2
-        pipeline = TranscribePipeline.from_gguf(args.gguf, args.tokenizer, pcfg)
+        from voxtral_tpu.config import VoxtralConfig
+
+        cfg = VoxtralConfig.from_file(args.params) if args.params else None
+        try:
+            pipeline = TranscribePipeline.from_gguf(
+                args.gguf, args.tokenizer, pcfg, config=cfg
+            )
+        except (ValueError, EOFError, KeyError) as e:
+            print(f"error: failed to load GGUF model: {e}", file=sys.stderr)
+            return 2
     else:
         model_dir = Path(args.model)
         if not (model_dir / "consolidated.safetensors").exists():

@@ -1,0 +1,207 @@
+"""Q4_0 GGUF model loading into the voxtral_tpu parameter pytree.
+
+Mirrors the reference Q4 loader's structure
+(``/root/reference/src/gguf/loader.rs``): the GGUF export uses the same
+tensor names as the SafeTensors checkpoint; weight-heavy linears and the
+token-embedding table are Q4_0, while norms, biases and the conv
+downsampler stay F32 (gguf/loader.rs:263-275).  Dims are reversed from
+GGUF order (loader.rs:493-499).
+
+Q4 linears become ``{"q4": {codes, scales}}`` pytree leaves (repacked for
+TPU — see :mod:`voxtral_tpu.ops.q4`); the model's ``linear()`` dispatches
+on the leaf type, so encoder/decoder code is shared between f32 and Q4
+paths (the reference maintains a parallel Q4 model tree, model.rs:1-6).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Optional
+
+import numpy as np
+
+from voxtral_tpu.config import VoxtralConfig
+from voxtral_tpu.loaders import names as N
+from voxtral_tpu.loaders.gguf import GGML_Q4_0, GgufReader
+from voxtral_tpu.ops.q4 import repack_q4_0
+
+Params = dict[str, Any]
+
+
+class Q4ModelLoader:
+    def __init__(self, reader: GgufReader, cfg: Optional[VoxtralConfig] = None,
+                 pack_nibbles: bool = True):
+        self.reader = reader
+        self.cfg = cfg or VoxtralConfig.voxtral()
+        self.pack_nibbles = pack_nibbles
+
+    @classmethod
+    def from_file(cls, path: str | Path, **kw) -> "Q4ModelLoader":
+        return cls(GgufReader.from_file(path), **kw)
+
+    @classmethod
+    def from_bytes(cls, data: bytes, **kw) -> "Q4ModelLoader":
+        return cls(GgufReader.from_bytes(data), **kw)
+
+    # -- primitives ---------------------------------------------------------
+
+    def _weight(self, name: str, transpose: bool = True):
+        """Load a weight: Q4_0 -> q4 dict ([out, in]); F32/F16 -> dense
+        [in, out] (transposed to the JAX convention unless ``transpose``
+        is False, e.g. the embedding table which stays [vocab, d])."""
+        info = self.reader.tensor_info(name)
+        if info is None:
+            raise KeyError(f"Tensor '{name}' not found in GGUF")
+        if info.dtype == GGML_Q4_0:
+            shape = info.torch_shape
+            assert len(shape) == 2, (name, shape)
+            n, k = shape
+            q4 = repack_q4_0(self.reader.tensor_data(name), shape)
+            # Shapes the Pallas kernel accepts store ONLY the packed form
+            # (halves HBM); tiny matmuls (ADA) keep int8 codes for XLA.
+            if self.pack_nibbles and k % 256 == 0 and n % 128 == 0:
+                from voxtral_tpu.ops.q4_pallas import pack_codes, transpose_scales
+
+                q4 = {
+                    "codes_packed": pack_codes(q4["codes"]),
+                    "scales_t": transpose_scales(q4["scales"]),
+                }
+            return {"q4": q4}
+        w = self.reader.tensor_f32(name)
+        return np.ascontiguousarray(w.T) if transpose else w
+
+    def _f32(self, name: str) -> np.ndarray:
+        return self.reader.tensor_f32(name)
+
+    def _opt_f32(self, name: str) -> Optional[np.ndarray]:
+        return self._f32(name) if self.reader.tensor_info(name) else None
+
+    def _stack(self, leaves: list):
+        """Stack per-layer leaves (dense arrays or q4 dicts) along axis 0."""
+        if isinstance(leaves[0], dict):
+            out = {"q4": {}}
+            for key in leaves[0]["q4"]:
+                out["q4"][key] = np.stack([l["q4"][key] for l in leaves], axis=0)
+            return out
+        return np.stack(leaves, axis=0)
+
+    # -- components ---------------------------------------------------------
+
+    def load_encoder(self) -> Params:
+        cfg = self.cfg.audio_encoder
+        cv = N.conv_names()
+        per: dict[str, list] = {k: [] for k in (
+            "attention_norm", "ffn_norm", "wq", "wq_b", "wk", "wv", "wv_b",
+            "wo", "wo_b", "w1", "w2", "w2_b", "w3",
+        )}
+        for i in range(cfg.n_layers):
+            nm = N.encoder_layer_names(i)
+            per["attention_norm"].append(self._f32(nm["attention_norm"]))
+            per["wq"].append(self._weight(nm["wq_weight"]))
+            per["wq_b"].append(self._f32(nm["wq_bias"]))
+            per["wk"].append(self._weight(nm["wk_weight"]))
+            per["wv"].append(self._weight(nm["wv_weight"]))
+            per["wv_b"].append(self._f32(nm["wv_bias"]))
+            per["wo"].append(self._weight(nm["wo_weight"]))
+            per["wo_b"].append(self._f32(nm["wo_bias"]))
+            per["ffn_norm"].append(self._f32(nm["ffn_norm"]))
+            per["w1"].append(self._weight(nm["w1_weight"]))
+            per["w2"].append(self._weight(nm["w2_weight"]))
+            per["w2_b"].append(self._f32(nm["w2_bias"]))
+            per["w3"].append(self._weight(nm["w3_weight"]))
+
+        return {
+            "conv": {
+                "conv1": self._f32(cv["conv1_weight"]),
+                "conv1_b": self._f32(cv["conv1_bias"]),
+                "conv2": self._f32(cv["conv2_weight"]),
+                "conv2_b": self._f32(cv["conv2_bias"]),
+            },
+            "layers": {
+                "attention_norm": self._stack(per["attention_norm"]),
+                "attention": {
+                    "wq": self._stack(per["wq"]), "wq_b": self._stack(per["wq_b"]),
+                    "wk": self._stack(per["wk"]),
+                    "wv": self._stack(per["wv"]), "wv_b": self._stack(per["wv_b"]),
+                    "wo": self._stack(per["wo"]), "wo_b": self._stack(per["wo_b"]),
+                },
+                "ffn_norm": self._stack(per["ffn_norm"]),
+                "ffn": {
+                    "w1": self._stack(per["w1"]),
+                    "w2": self._stack(per["w2"]), "w2_b": self._stack(per["w2_b"]),
+                    "w3": self._stack(per["w3"]),
+                },
+            },
+            "norm": self._f32(N.ENCODER_FINAL_NORM),
+        }
+
+    def load_decoder(self) -> Params:
+        cfg = self.cfg.language_model
+        per: dict[str, list] = {k: [] for k in (
+            "ada_w0", "ada_w2", "attention_norm", "ffn_norm",
+            "wq", "wk", "wv", "wo", "w1", "w2", "w3",
+        )}
+        for i in range(cfg.n_layers):
+            nm = N.decoder_layer_names(i)
+            per["ada_w0"].append(self._weight(nm["ada_norm_down"]))
+            per["ada_w2"].append(self._weight(nm["ada_norm_up"]))
+            per["attention_norm"].append(self._f32(nm["attention_norm"]))
+            per["wq"].append(self._weight(nm["wq_weight"]))
+            per["wk"].append(self._weight(nm["wk_weight"]))
+            per["wv"].append(self._weight(nm["wv_weight"]))
+            per["wo"].append(self._weight(nm["wo_weight"]))
+            per["ffn_norm"].append(self._f32(nm["ffn_norm"]))
+            per["w1"].append(self._weight(nm["w1_weight"]))
+            per["w2"].append(self._weight(nm["w2_weight"]))
+            per["w3"].append(self._weight(nm["w3_weight"]))
+
+        return {
+            "tok_embeddings": self._weight(N.TOK_EMBEDDINGS, transpose=False),
+            "layers": {
+                "ada": {
+                    "w0": self._stack(per["ada_w0"]),
+                    "w2": self._stack(per["ada_w2"]),
+                },
+                "attention_norm": self._stack(per["attention_norm"]),
+                "attention": {
+                    "wq": self._stack(per["wq"]), "wk": self._stack(per["wk"]),
+                    "wv": self._stack(per["wv"]), "wo": self._stack(per["wo"]),
+                },
+                "ffn_norm": self._stack(per["ffn_norm"]),
+                "ffn": {
+                    "w1": self._stack(per["w1"]), "w2": self._stack(per["w2"]),
+                    "w3": self._stack(per["w3"]),
+                },
+            },
+            "norm": self._f32(N.FINAL_NORM),
+        }
+
+    def load_adapter(self) -> Params:
+        nm = N.adapter_names()
+        return {
+            "w1": self._weight(nm["linear1_weight"]),
+            "w2": self._weight(nm["linear2_weight"]),
+        }
+
+    def load(self, to_device: bool = True) -> Params:
+        params = {
+            "encoder": self.load_encoder(),
+            "decoder": self.load_decoder(),
+            "adapter": self.load_adapter(),
+        }
+        if to_device:
+            import jax
+            import jax.numpy as jnp
+
+            params = jax.tree_util.tree_map(jnp.asarray, params)
+        return params
+
+
+def load_q4_model(path: str | Path, cfg: Optional[VoxtralConfig] = None,
+                  pack_nibbles: bool = True):
+    """GGUF file -> VoxtralModel with Q4 weights."""
+    from voxtral_tpu.models.voxtral import VoxtralModel
+
+    loader = Q4ModelLoader.from_file(path, cfg=cfg, pack_nibbles=pack_nibbles)
+    params = loader.load()
+    return VoxtralModel(params, loader.cfg)

@@ -46,17 +46,29 @@ def decoder_spec(cfg: LanguageModelConfig) -> AttentionSpec:
 
 
 def embed_tokens(params: Params, token_ids: jax.Array) -> jax.Array:
-    """[B, S] int32 -> [B, S, d_model] embeddings."""
-    return params["tok_embeddings"][token_ids]
+    """[B, S] int32 -> [B, S, d_model] embeddings.
+
+    For the Q4 path the packed table is gathered + dequantized on device
+    (the reference needs a CPU-side row lookup only because of WebGPU
+    buffer limits — gguf/model.rs:584-618).
+    """
+    emb = params["tok_embeddings"]
+    if isinstance(emb, dict):
+        from voxtral_tpu.ops.q4 import q4_dequant_rows
+
+        return q4_dequant_rows(emb["q4"], token_ids)
+    return emb[token_ids]
 
 
 def lm_head(params: Params, hidden: jax.Array) -> jax.Array:
     """Tied embeddings: logits = hidden @ E^T, f32 accumulation."""
+    emb = params["tok_embeddings"]
+    if isinstance(emb, dict):
+        from voxtral_tpu.ops.q4 import q4_matmul
+
+        return q4_matmul(hidden, emb["q4"])
     return jnp.einsum(
-        "bsd,vd->bsv",
-        hidden,
-        params["tok_embeddings"],
-        preferred_element_type=jnp.float32,
+        "bsd,vd->bsv", hidden, emb, preferred_element_type=jnp.float32
     )
 
 

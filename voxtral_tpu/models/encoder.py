@@ -12,7 +12,7 @@ Flow (encoder.rs:146-161):
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -20,10 +20,13 @@ import jax.numpy as jnp
 from voxtral_tpu.config import AudioEncoderConfig
 from voxtral_tpu.models.layers import (
     AttentionSpec,
+    KVCache,
+    attention_with_cache,
     conv_downsample,
     encoder_block,
     rms_norm,
     rope_tables,
+    swiglu,
 )
 
 Params = dict[str, Any]
@@ -58,6 +61,68 @@ def encoder_forward(
 
     x, _ = jax.lax.scan(body, x, params["layers"])
     return rms_norm(x, params["norm"], cfg.norm_eps)
+
+
+def create_encoder_cache(
+    cfg: AudioEncoderConfig, batch: int, max_seq: int, dtype=jnp.bfloat16
+) -> KVCache:
+    return KVCache.create(
+        cfg.n_layers, batch, max_seq, cfg.n_kv_heads, cfg.head_dim, dtype
+    )
+
+
+def encoder_layers_with_cache(
+    params: Params,
+    x: jax.Array,
+    cache: KVCache,
+    cfg: AudioEncoderConfig,
+    rope: Optional[tuple[jax.Array, jax.Array]] = None,
+) -> tuple[jax.Array, KVCache]:
+    """Run the transformer stack incrementally over pre-conv features.
+
+    x: [B, S_new, d_model] (conv output for the NEW frames only);
+    appends K/V at ``cache.length``.  Used by the streaming path, where the
+    conv window is handled outside (it needs 3 mel frames of lookahead).
+    """
+    spec = encoder_spec(cfg)
+    if rope is None:
+        rope = rope_tables(cfg.head_dim, cache.max_seq, cfg.rope_theta)
+    cos, sin = rope
+    offset = cache.length
+
+    def body(h, inp):
+        layer_params, k_cache, v_cache = inp
+        hn = rms_norm(h, layer_params["attention_norm"], cfg.norm_eps)
+        attn, k_cache, v_cache = attention_with_cache(
+            hn, layer_params["attention"], spec, cos, sin, k_cache, v_cache, offset
+        )
+        h = h + attn
+        hn = rms_norm(h, layer_params["ffn_norm"], cfg.norm_eps)
+        h = h + swiglu(hn, layer_params["ffn"])
+        return h, (k_cache, v_cache)
+
+    x, (k_new, v_new) = jax.lax.scan(body, x, (params["layers"], cache.k, cache.v))
+    new_cache = KVCache(k=k_new, v=v_new, length=offset + x.shape[1])
+    return rms_norm(x, params["norm"], cfg.norm_eps), new_cache
+
+
+def encoder_forward_with_cache(
+    params: Params,
+    mel: jax.Array,
+    cache: KVCache,
+    cfg: AudioEncoderConfig,
+    rope: Optional[tuple[jax.Array, jax.Array]] = None,
+) -> tuple[jax.Array, KVCache]:
+    """Chunk-incremental encoder (API parity with encoder.rs:171-190).
+
+    Like the reference, the conv downsampler runs per chunk (boundary
+    effects at chunk edges are accepted); attention K/V continue from the
+    cache.  For the boundary-exact streaming path use
+    :func:`encoder_layers_with_cache` with an overlapping conv window.
+    """
+    x = conv_downsample(mel, params["conv"])
+    x = jnp.swapaxes(x, 1, 2)
+    return encoder_layers_with_cache(params, x, cache, cfg, rope)
 
 
 def init_encoder_params(

@@ -46,9 +46,19 @@ Params = dict[str, Any]
 # ---------------------------------------------------------------------------
 
 
-def linear(x: jax.Array, w: jax.Array, b: Optional[jax.Array] = None) -> jax.Array:
-    """y = x @ w (+ b). w is [in, out]. Accumulates in f32 on the MXU."""
-    y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+def linear(x: jax.Array, w, b: Optional[jax.Array] = None) -> jax.Array:
+    """y = x @ w (+ b). Accumulates in f32 on the MXU.
+
+    ``w`` is either a dense [in, out] array or a Q4_0 dict
+    ``{"q4": {codes, scales, ...}}`` (stored [out, in] — see
+    :mod:`voxtral_tpu.ops.q4`), dispatched to the fused dequant matmul.
+    """
+    if isinstance(w, dict):
+        from voxtral_tpu.ops.q4 import q4_matmul
+
+        y = q4_matmul(x, w["q4"])
+    else:
+        y = jnp.dot(x, w, preferred_element_type=jnp.float32)
     if b is not None:
         y = y + b.astype(jnp.float32)
     return y.astype(x.dtype)

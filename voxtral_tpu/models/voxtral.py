@@ -165,10 +165,16 @@ class VoxtralModel:
     """
 
     def __init__(self, params: Params, config: Optional[VoxtralConfig] = None,
-                 cache_dtype=jnp.bfloat16):
+                 cache_dtype=jnp.bfloat16, compute_dtype=None):
         self.params = params
         self.config = config or VoxtralConfig.voxtral()
         self.cache_dtype = cache_dtype
+        # Activation dtype: follows the dense weights, bf16 on the Q4 path.
+        # (Inputs are cast on entry — activations drive MXU throughput.)
+        if compute_dtype is None:
+            w1 = params["adapter"]["w1"]
+            compute_dtype = jnp.bfloat16 if isinstance(w1, dict) else w1.dtype
+        self.compute_dtype = compute_dtype
 
         cfg = self.config
         self._encode = jax.jit(partial(encode_audio_fn, cfg=cfg))
@@ -218,20 +224,22 @@ class VoxtralModel:
 
     def t_embed(self, delay_tokens: float = 6.0) -> jax.Array:
         emb = time_embedding(delay_tokens, self.config.language_model.dim)
-        dtype = jax.tree_util.tree_leaves(self.params)[0].dtype
-        return jnp.asarray(emb, dtype=dtype)
+        return jnp.asarray(emb, dtype=self.compute_dtype)
+
+    def _cast_mel(self, mel) -> jax.Array:
+        return jnp.asarray(mel).astype(self.compute_dtype)
 
     def encode_audio(self, mel: jax.Array) -> jax.Array:
-        return self._encode(self.params, jnp.asarray(mel))
+        return self._encode(self.params, self._cast_mel(mel))
 
     def forward(self, mel: jax.Array, t_embed: jax.Array) -> jax.Array:
-        return self._forward(self.params, jnp.asarray(mel), t_embed)
+        return self._forward(self.params, self._cast_mel(mel), t_embed)
 
     def forward_streaming(
         self, mel: jax.Array, token_ids: jax.Array, t_embed: jax.Array
     ) -> jax.Array:
         return self._forward_streaming(
-            self.params, jnp.asarray(mel), jnp.asarray(token_ids), t_embed
+            self.params, self._cast_mel(mel), jnp.asarray(token_ids), t_embed
         )
 
     def decoder_seq_len(self, mel_frames: int) -> int:
@@ -248,7 +256,7 @@ class VoxtralModel:
         Returns the generated tokens after the 38-token prefix (control
         tokens included, exactly like the reference's Vec<i32>).
         """
-        mel = jnp.asarray(mel)
+        mel = self._cast_mel(mel)
         if self.decoder_seq_len(mel.shape[-1]) < PREFIX_LEN + 1:
             return np.zeros((0,), dtype=np.int32)
         t_embed = self.t_embed(delay_tokens)

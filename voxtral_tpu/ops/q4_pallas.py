@@ -1,0 +1,198 @@
+"""Pallas TPU kernel: fused Q4_0 dequant + matmul.
+
+This is the TPU-native replacement for the reference's WGSL shaders
+(``/root/reference/src/gguf/shader.wgsl`` tiled / ``shader_naive.wgsl`` —
+op.rs:79-206): dequantize int4 blocks in registers, never materializing the
+full-precision weight in HBM.
+
+Layout (chosen for Mosaic, we own the repack — see ops/q4.py):
+
+* ``codes_packed`` uint8 ``[K/2, N]`` — **transposed** weight; byte
+  ``[k/2, n]`` holds element ``k`` (even, low nibble) and ``k+1`` (odd,
+  high nibble).  The in-kernel unpack is then
+  ``stack([lo, hi], axis=1).reshape(K, TN)`` — a *major*-dims merge, which
+  Mosaic lowers to a cheap sublane reinterpretation (the lane axis N is
+  untouched).  An ``[N, K]`` layout would instead need a lane-axis
+  interleave (slow relayout).
+* ``scales_t`` bfloat16 ``[K/32, N]`` — transposed groupwise scales; the
+  32x broadcast along K is likewise a major-axis broadcast+merge.
+
+The dequantized ``[K, TN]`` tile feeds ``jnp.dot(x, w)`` straight into the
+MXU with f32 accumulation.  HBM traffic per output tile is
+``K/2 + K/16`` bytes per weight column — ~0.56 byte/weight, 4x less than
+bf16 — which is what makes Q4 decode ~4x faster than bf16 at the
+HBM-bandwidth-bound operating point.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+# ---------------------------------------------------------------------------
+# Host-side packing
+# ---------------------------------------------------------------------------
+
+
+def pack_codes(codes: np.ndarray) -> np.ndarray:
+    """int8 codes [N, K] (-8..7) -> transposed packed uint8 [K/2, N]."""
+    n, k = codes.shape
+    assert k % 2 == 0
+    c = (codes.astype(np.int16) + 8).astype(np.uint8).T  # [K, N], 0..15
+    lo = c[0::2]  # even k
+    hi = c[1::2]  # odd k
+    return (lo | (hi << 4)).astype(np.uint8)  # [K/2, N]
+
+
+def unpack_codes(packed: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`pack_codes` -> int8 [N, K]."""
+    lo = (packed & 0x0F).astype(np.int8) - 8  # [K/2, N]
+    hi = ((packed >> 4) & 0x0F).astype(np.int8) - 8
+    k2, n = packed.shape
+    out = np.empty((2 * k2, n), dtype=np.int8)
+    out[0::2] = lo
+    out[1::2] = hi
+    return out.T.copy()  # [N, K]
+
+
+def transpose_scales(scales: np.ndarray) -> np.ndarray:
+    """[N, K/32] f16 -> [K/32, N] bf16.
+
+    Mosaic has no f16 support in VMEM, so the packed format carries bf16
+    scales (one round-to-nearest at repack; <=0.4% relative, far below the
+    int4 quantization noise and on par with bf16 activation rounding).
+    """
+    import ml_dtypes
+
+    return np.ascontiguousarray(scales.T.astype(ml_dtypes.bfloat16))
+
+
+# ---------------------------------------------------------------------------
+# Kernel
+# ---------------------------------------------------------------------------
+
+
+def _q4_matmul_kernel(x_ref, packed_ref, scales_ref, o_ref, *, k: int, tn: int):
+    # Widen to i32 first: Mosaic has no 8-bit vector shifts/subs or
+    # u8->float casts; all nibble arithmetic runs on i32 vectors.
+    p = packed_ref[:].astype(jnp.int32)  # [K/2, TN]
+    lo = p & 0x0F
+    hi = (p >> 4) & 0x0F
+    # Interleave even/odd K rows: [K/2, 2, TN] -> [K, TN] (major merge).
+    w = (
+        jnp.stack([lo, hi], axis=1)
+        .reshape(k, tn)
+        .astype(jnp.bfloat16)
+        - 8.0
+    )
+
+    s = scales_ref[:]  # [K/32, TN] bf16
+    s_full = jnp.broadcast_to(s[:, None, :], (k // 32, 32, tn)).reshape(k, tn)
+
+    o_ref[:] = jnp.dot(
+        x_ref[:], w * s_full, preferred_element_type=jnp.float32
+    ).astype(o_ref.dtype)
+
+
+def _tile_n(k: int, n: int) -> int:
+    # Keep the dequantized [K, TN] bf16 tile (+double buffering) in VMEM,
+    # and divide N exactly (the support gate guarantees n % 128 == 0).
+    tn = 128 if k > 5120 else 256
+    while n % tn != 0:
+        tn //= 2
+    return tn
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _q4_matmul_2d(x, packed, scales_t, interpret=False):
+    """x [M, K] @ deq(packed [K/2, N], scales_t [K/32, N]) -> [M, N] f32."""
+    m, k = x.shape
+    n = packed.shape[1]
+    tn = _tile_n(k, n)
+    tm = min(256, max(8, m))
+
+    grid = (pl.cdiv(m, tm), n // tn)
+    kernel = functools.partial(_q4_matmul_kernel, k=k, tn=tn)
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((tm, k), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((k // 2, tn), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((k // 32, tn), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tm, tn), lambda i, j: (i, j),
+                                   memory_space=pltpu.VMEM),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k,
+            bytes_accessed=(k // 2) * n + (k // 32) * n * 2 + m * k * 2 + m * n * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x.astype(jnp.bfloat16), packed, scales_t)
+
+
+def pallas_supported(x, q4) -> bool:
+    """Shape gate for the kernel (tiny ADA matmuls fall back to XLA)."""
+    if "codes_packed" not in q4:
+        return False
+    k2, n = q4["codes_packed"].shape
+    k = 2 * k2
+    return k % 256 == 0 and n % 128 == 0 and x.shape[-1] == k
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def q4_matmul_pallas(x: jax.Array, q4: dict) -> jax.Array:
+    """y = x @ W^T for packed Q4 weights; x [..., K] -> [..., N] f32."""
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    x2 = x.reshape(-1, k)
+    y = _q4_matmul_2d(
+        x2, q4["codes_packed"], q4["scales_t"], interpret=_use_interpret()
+    )
+    return y.reshape(*lead, y.shape[-1])
+
+
+# ---------------------------------------------------------------------------
+# Packed-format helpers for XLA-side consumers (embedding gather, fallback)
+# ---------------------------------------------------------------------------
+
+
+def q4_packed_dequant_rows(q4: dict, rows: jax.Array, dtype=jnp.bfloat16):
+    """Gather + dequant rows (along N) of a packed table -> [..., K]."""
+    packed = q4["codes_packed"][:, rows]  # [K/2, ...]
+    scales = q4["scales_t"][:, rows]  # [K/32, ...]
+    lo = (packed & 0x0F).astype(jnp.int8) - 8
+    hi = ((packed >> 4) & 0x0F).astype(jnp.int8) - 8
+    k2 = packed.shape[0]
+    codes = jnp.stack([lo, hi], axis=1).reshape(2 * k2, *packed.shape[1:])
+    scales_full = jnp.repeat(scales, 32, axis=0)
+    deq = codes.astype(dtype) * scales_full.astype(dtype)  # [K, ...]
+    return jnp.moveaxis(deq, 0, -1)
+
+
+def q4_packed_dequant_full(q4: dict, dtype=jnp.bfloat16) -> jax.Array:
+    """Materialize the dequantized weight [N, K] (XLA fallback path)."""
+    packed = q4["codes_packed"]
+    lo = (packed & 0x0F).astype(jnp.int8) - 8
+    hi = ((packed >> 4) & 0x0F).astype(jnp.int8) - 8
+    k2, n = packed.shape
+    codes = jnp.stack([lo, hi], axis=1).reshape(2 * k2, n)
+    scales_full = jnp.repeat(q4["scales_t"].astype(dtype), 32, axis=0)
+    return (codes.astype(dtype) * scales_full).T  # [N, K]

@@ -99,12 +99,24 @@ class TranscribePipeline:
         gguf_path: str | Path,
         tokenizer_path: str | Path,
         pipeline_config: Optional[PipelineConfig] = None,
+        config: Optional[VoxtralConfig] = None,
     ) -> "TranscribePipeline":
-        """Q4_0 GGUF path."""
+        """Q4_0 GGUF path.
+
+        Architecture config: explicit ``config`` > a ``params.json`` next to
+        the GGUF file > production defaults (the reference hardcodes the
+        defaults, gguf/loader.rs).
+        """
         from voxtral_tpu.loaders.gguf_loader import load_q4_model
 
+        gguf_path = Path(gguf_path)
+        if config is None:
+            sidecar = gguf_path.parent / "params.json"
+            if sidecar.exists():
+                config = VoxtralConfig.from_file(sidecar)
+                log.info("using architecture config from %s", sidecar)
         t0 = time.time()
-        model = load_q4_model(gguf_path)
+        model = load_q4_model(gguf_path, config)
         log.info("loaded GGUF Q4 weights in %.1fs", time.time() - t0)
         tokenizer = VoxtralTokenizer.from_file(tokenizer_path)
         return cls(model, tokenizer, pipeline_config)

@@ -1,0 +1,311 @@
+"""Real-time incremental transcription.
+
+The reference exposes incremental building blocks
+(``encode_audio_with_cache`` / ``forward_with_cache``,
+voxtral.rs:216-269) but its CLI and browser demo transcribe whole
+recordings.  :class:`StreamingSession` goes further: audio is fed in
+arbitrary-sized pieces and text comes back with the model's native delay
+(~(delay+1) x 160 ms behind real time), with every step a fixed-shape jitted
+program so the steady state never recompiles.
+
+Boundary-exactness: each step recomputes the conv over an overlapping mel
+window (the stride-2 k=3 p=1 conv pair needs 3 mel frames of lookahead and
+3 of lookback — conv frame j depends on mel[4j-3 .. 4j+3]), and each mel
+window carries 4 frames of STFT margin, so the streamed encoder input is
+bit-identical to the batch computation.  Token-for-token equivalence with
+``transcribe_streaming`` is tested in ``tests/test_streaming.py``.
+
+Step layout (P = ``step_positions`` decoder positions per step):
+
+    samples -- mel window --> conv --> [4P enc frames] --encoder cache-->
+    reshape(4) --> adapter --> [P audio embeds] --decoder cache + scan-->
+    P greedy tokens
+
+The 76-token silence left-pad is prepended automatically (pad.rs
+semantics), which exactly covers the 38-position prefill.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from voxtral_tpu.audio.mel import MelSpectrogram
+from voxtral_tpu.audio.pad import PadConfig
+from voxtral_tpu.config import VoxtralConfig
+from voxtral_tpu.models.adapter import adapter_forward, reshape_encoder_output
+from voxtral_tpu.models.decoder import (
+    create_cache,
+    decoder_forward_hidden_with_cache,
+    embed_tokens,
+    lm_head,
+)
+from voxtral_tpu.models.encoder import create_encoder_cache, encoder_layers_with_cache
+from voxtral_tpu.models.layers import KVCache, conv_downsample, rope_tables
+from voxtral_tpu.models.voxtral import PREFIX_LEN, VoxtralModel, make_prefix_ids
+from voxtral_tpu.tokenizer import VoxtralTokenizer
+
+Params = dict[str, Any]
+
+MEL_HOP = 160
+MEL_MARGIN = 4  # STFT frames of margin so window-interior frames are exact
+SAMPLES_PER_POSITION = 2560  # 16 mel frames
+CONV_PAD_FRAMES = 4  # mel frames of conv lookback fed before the target range
+
+
+def _mel_frames_needed(last_frame: int) -> int:
+    """Samples required so mel frames [0, last_frame) are computable."""
+    return MEL_HOP * (last_frame - 1) + 200 + MEL_HOP
+
+
+def _decode_scan(params, audio_inputs, prev_token, dec_cache, t_embed, cfg, rope):
+    """Greedy-decode len(audio_inputs) tokens with the decoder cache.
+
+    audio_inputs: [1, P, D] — audio embeds for input positions
+    p0-1 .. p0+P-2 (the input for token p is audio[p-1] + embed(token[p-1])).
+    """
+
+    def step(carry, i):
+        prev, cache = carry
+        a = jax.lax.dynamic_slice_in_dim(audio_inputs, i, 1, axis=1)
+        text = embed_tokens(params["decoder"], prev[None, None])
+        hidden, cache = decoder_forward_hidden_with_cache(
+            params["decoder"], a + text, t_embed, cache, cfg.language_model, rope
+        )
+        logits = lm_head(params["decoder"], hidden)
+        token = jnp.argmax(logits[0, 0, :], axis=-1).astype(jnp.int32)
+        return (token, cache), token
+
+    n = audio_inputs.shape[1]
+    (last, dec_cache), tokens = jax.lax.scan(
+        step, (prev_token, dec_cache), jnp.arange(n, dtype=jnp.int32)
+    )
+    return tokens, last, dec_cache
+
+
+def _encode_window(params, mel_win, enc_cache, cfg, enc_rope, n_frames: int):
+    """Conv over an overlapping mel window; append exactly ``n_frames``
+    encoder frames (local conv frames [1, 1+n_frames) — interior, so no
+    boundary effect).  Returns (audio_embeds [1, n_frames//4, D], cache)."""
+    x = conv_downsample(mel_win, params["encoder"]["conv"])  # [1, D, W/4]
+    x = jnp.swapaxes(x, 1, 2)[:, 1 : 1 + n_frames, :]
+    hidden, enc_cache = encoder_layers_with_cache(
+        params["encoder"], x, enc_cache, cfg.audio_encoder, enc_rope
+    )
+    reshaped = reshape_encoder_output(hidden, cfg.downsample_factor)
+    return adapter_forward(params["adapter"], reshaped), enc_cache
+
+
+def _init_step_fn(params, mel0, t_embed, cfg, enc_rope, dec_rope,
+                  enc_cache, dec_cache, n_positions: int):
+    """First step: encoder frames [0, 4*n_positions), prefill 38 positions,
+    decode positions 38..n_positions-1.  mel0 covers frames
+    [0, 16*n_positions + 8) so the LAST conv frame has its lookahead."""
+    x = conv_downsample(mel0, params["encoder"]["conv"])
+    x = jnp.swapaxes(x, 1, 2)[:, : 4 * n_positions, :]
+    hidden, enc_cache = encoder_layers_with_cache(
+        params["encoder"], x, enc_cache, cfg.audio_encoder, enc_rope
+    )
+    audio = adapter_forward(
+        params["adapter"], reshape_encoder_output(hidden, cfg.downsample_factor)
+    )  # [1, n_positions, D]
+
+    prefix_ids = jnp.asarray(make_prefix_ids())[None, :]
+    prefix_inputs = audio[:, :PREFIX_LEN, :] + embed_tokens(
+        params["decoder"], prefix_ids
+    )
+    hidden, dec_cache = decoder_forward_hidden_with_cache(
+        params["decoder"], prefix_inputs, t_embed, dec_cache,
+        cfg.language_model, dec_rope,
+    )
+    first_logits = lm_head(params["decoder"], hidden[:, -1:, :])
+    first_token = jnp.argmax(first_logits[0, 0, :], axis=-1).astype(jnp.int32)
+
+    # Decode positions 39..n_positions-1 (inputs 38..n_positions-2).
+    rest, last, dec_cache = _decode_scan(
+        params, audio[:, PREFIX_LEN:-1, :], first_token, dec_cache,
+        t_embed, cfg, dec_rope,
+    )
+    tokens = jnp.concatenate([first_token[None], rest])
+    prev_audio = audio[:, -1:, :]
+    return tokens, last, prev_audio, enc_cache, dec_cache
+
+
+def _stream_step_fn(params, mel_win, prev_token, prev_audio, t_embed, cfg,
+                    enc_rope, dec_rope, enc_cache, dec_cache, n_positions: int):
+    """Steady-state step: P more positions.  mel_win covers mel frames
+    [16*p0 - 4, 16*(p0+P) + 4) (length 16P + 8)."""
+    audio, enc_cache = _encode_window(
+        params, mel_win, enc_cache, cfg, enc_rope, 4 * n_positions
+    )  # [1, P, D] — positions p0..p0+P-1
+    inputs = jnp.concatenate([prev_audio, audio[:, :-1, :]], axis=1)
+    tokens, last, dec_cache = _decode_scan(
+        params, inputs, prev_token, dec_cache, t_embed, cfg, dec_rope
+    )
+    return tokens, last, audio[:, -1:, :], enc_cache, dec_cache
+
+
+class StreamingSession:
+    """Incremental transcription over a live 16 kHz mono stream."""
+
+    def __init__(
+        self,
+        model: VoxtralModel,
+        tokenizer: Optional[VoxtralTokenizer] = None,
+        delay_tokens: float = 6.0,
+        step_positions: int = 8,  # 8 x 160 ms = 1.28 s per step
+        max_duration_s: float = 120.0,
+        pad_config: Optional[PadConfig] = None,
+    ):
+        self.model = model
+        self.tokenizer = tokenizer
+        self.cfg = model.config
+        self.P = step_positions
+        self.pad_config = pad_config or PadConfig.voxtral()
+        self._mel = MelSpectrogram.voxtral()
+
+        cache_dtype = model.cache_dtype
+        max_positions = int(max_duration_s * 6.25) + PREFIX_LEN + 2 * self.P
+        self._max_enc = 4 * max_positions
+        lm = self.cfg.language_model
+        enc = self.cfg.audio_encoder
+        self.enc_cache = create_encoder_cache(enc, 1, self._max_enc, cache_dtype)
+        self.dec_cache = create_cache(lm, 1, max_positions, cache_dtype)
+        self._enc_rope = rope_tables(enc.head_dim, self._max_enc, enc.rope_theta)
+        self._dec_rope = rope_tables(lm.head_dim, max_positions, lm.rope_theta)
+        self._t_embed = model.t_embed(delay_tokens)
+
+        # Audio buffer starts with the 76-token silence left pad
+        # (= exactly the 38-position prefill).
+        self._samples = np.zeros(self.pad_config.left_pad_samples(), np.float32)
+        assert self._samples.size == PREFIX_LEN * SAMPLES_PER_POSITION
+
+        self._positions_done = 0
+        self._prev_token = jnp.zeros((), jnp.int32)
+        # Placeholder only; replaced by the init step's output before use.
+        self._prev_audio = jnp.zeros((1, 1, lm.dim), model.compute_dtype)
+        self.tokens: list[int] = []
+        self._text = ""
+        self._finished = False
+
+        self._init_jit = jax.jit(
+            partial(_init_step_fn, cfg=self.cfg,
+                    enc_rope=self._enc_rope, dec_rope=self._dec_rope,
+                    n_positions=PREFIX_LEN + self.P),
+        )
+        self._step_jit = jax.jit(
+            partial(_stream_step_fn, cfg=self.cfg,
+                    enc_rope=self._enc_rope, dec_rope=self._dec_rope,
+                    n_positions=self.P),
+        )
+
+    # -- internals ----------------------------------------------------------
+
+    def _mel_window(self, frame_lo: int, frame_hi: int) -> np.ndarray:
+        """Mel frames [frame_lo, frame_hi), exact vs the global computation."""
+        if frame_lo == 0:
+            logmel = self._mel.compute_log(
+                self._samples[: _mel_frames_needed(frame_hi)]
+            )
+            return logmel[:frame_hi].T[None]
+        lo = frame_lo - MEL_MARGIN
+        s0 = MEL_HOP * lo
+        samples = self._samples[s0 : _mel_frames_needed(frame_hi) ]
+        logmel = self._mel.compute_log(samples)
+        return logmel[MEL_MARGIN : MEL_MARGIN + (frame_hi - frame_lo)].T[None]
+
+    def _available_positions(self) -> int:
+        """Positions whose encoder frames (incl. conv+STFT lookahead) are
+        computable from the buffered samples."""
+        # Need mel frames up to 16*pos + 8 => samples up to that frame's end.
+        n = len(self._samples)
+        # Invert _mel_frames_needed: frames f computable if 160*(f-1)+360 <= n
+        max_frame = (n - 360) // MEL_HOP + 1
+        return max(0, (max_frame - 8) // 16)
+
+    def _run_ready_steps(self) -> None:
+        while True:
+            avail = self._available_positions()
+            if self._positions_done == 0:
+                need = PREFIX_LEN + self.P
+                if avail < need:
+                    return
+                mel0 = self._mel_window(0, 16 * need + 8)
+                out = self._init_jit(
+                    self.model.params,
+                    jnp.asarray(mel0, self.model.compute_dtype),
+                    self._t_embed,
+                    enc_cache=self.enc_cache, dec_cache=self.dec_cache,
+                )
+                tokens, self._prev_token, self._prev_audio, self.enc_cache, self.dec_cache = out
+                self.tokens.extend(np.asarray(tokens).tolist())
+                self._positions_done = need
+            elif avail >= self._positions_done + self.P:
+                p0 = self._positions_done
+                mel_win = self._mel_window(16 * p0 - 4, 16 * (p0 + self.P) + 4)
+                out = self._step_jit(
+                    self.model.params,
+                    jnp.asarray(mel_win, self.model.compute_dtype),
+                    self._prev_token, self._prev_audio, self._t_embed,
+                    enc_cache=self.enc_cache, dec_cache=self.dec_cache,
+                )
+                tokens, self._prev_token, self._prev_audio, self.enc_cache, self.dec_cache = out
+                self.tokens.extend(np.asarray(tokens).tolist())
+                self._positions_done = p0 + self.P
+            else:
+                return
+
+    def _emit(self) -> str:
+        if self.tokenizer is None:
+            return ""
+        text = self.tokenizer.decode([t for t in self.tokens if t >= 1000])
+        delta = text[len(self._text):]
+        self._text = text
+        return delta
+
+    # -- public API ---------------------------------------------------------
+
+    def feed(self, samples: np.ndarray) -> str:
+        """Append 16 kHz mono samples; returns newly decoded text."""
+        if self._finished:
+            raise RuntimeError("session already finished")
+        self._samples = np.concatenate(
+            [self._samples, np.asarray(samples, np.float32)]
+        )
+        self._run_ready_steps()
+        return self._emit()
+
+    def finish(self) -> str:
+        """Flush: right-pad with silence (alignment + 17 tokens, pad.rs
+        semantics) and decode every remaining position."""
+        if self._finished:
+            return ""
+        self._finished = True
+        right = self.pad_config.right_pad_samples(len(self._samples))
+        # Extra tail so the final step's conv/STFT lookahead is satisfied,
+        # then round the target up to a whole step.
+        total = len(self._samples) + right
+        target_positions = total // SAMPLES_PER_POSITION
+        # Steps land on PREFIX_LEN + k*P positions — round up on that grid.
+        over = max(target_positions - PREFIX_LEN, self.P)
+        rounded = PREFIX_LEN + (-(-over // self.P)) * self.P
+        needed = _mel_frames_needed(16 * rounded + 8)
+        pad = max(0, needed - len(self._samples))
+        self._samples = np.concatenate(
+            [self._samples, np.zeros(pad, np.float32)]
+        )
+        self._run_ready_steps()
+        return self._emit()
+
+    @property
+    def text(self) -> str:
+        return self._text
+
+    @property
+    def positions_done(self) -> int:
+        return self._positions_done
