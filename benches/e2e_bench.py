@@ -90,14 +90,15 @@ def main() -> int:
             if args.params
             else VoxtralConfig.voxtral()
         )
-        model = VoxtralModel.init_random(jax.random.PRNGKey(0), cfg,
-                                         dtype=jnp.bfloat16)
-        mode = "random-bf16"
         if args.q4_random:
-            from voxtral_tpu.utils.quantize import quantize_params_q4
+            from voxtral_tpu.utils.quantize import random_q4_params
 
-            model = VoxtralModel(quantize_params_q4(model.params), cfg)
+            model = VoxtralModel(random_q4_params(cfg), cfg)
             mode = "random-q4"
+        else:
+            model = VoxtralModel.init_random(jax.random.PRNGKey(0), cfg,
+                                             dtype=jnp.bfloat16)
+            mode = "random-bf16"
     load_s = time.time() - t0
     print(f"# model loaded ({mode}) in {load_s:.1f}s, "
           f"backend={jax.default_backend()}", file=sys.stderr)

@@ -1,0 +1,115 @@
+"""HTTP serving tests: real server on a local port, driven with http.client."""
+
+import io
+import json
+import threading
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def server():
+    from tests.test_model import tiny_config
+    from voxtral_tpu.models.voxtral import VoxtralModel
+    from voxtral_tpu.pipeline import PipelineConfig, TranscribePipeline
+    from voxtral_tpu.serving import make_server
+    from voxtral_tpu.tokenizer import VoxtralTokenizer
+
+    model = VoxtralModel.init_random(
+        jax.random.PRNGKey(0), tiny_config(), dtype=jnp.float32
+    )
+    tokenizer = VoxtralTokenizer([None] * 500, {}, 500)
+    pipeline = TranscribePipeline(model, tokenizer, PipelineConfig())
+    srv = make_server(pipeline, "127.0.0.1", 0)  # ephemeral port
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield srv.server_address
+    srv.shutdown()
+
+
+def request(addr, method, path, body=None):
+    import http.client
+
+    conn = http.client.HTTPConnection(*addr, timeout=300)
+    conn.request(method, path, body=body)
+    resp = conn.getresponse()
+    data = resp.read()
+    conn.close()
+    return resp.status, data
+
+
+def test_healthz(server):
+    status, data = request(server, "GET", "/healthz")
+    assert status == 200
+    payload = json.loads(data)
+    assert payload["status"] == "ok"
+
+
+def test_index_page(server):
+    status, data = request(server, "GET", "/")
+    assert status == 200
+    assert b"Voxtral" in data
+
+
+def test_transcribe_wav(server):
+    from voxtral_tpu.audio import AudioBuffer
+    from scipy.io import wavfile
+
+    t = np.arange(32000) / 16000.0
+    sig = (0.4 * np.sin(2 * np.pi * 300 * t) * 32767).astype(np.int16)
+    buf = io.BytesIO()
+    wavfile.write(buf, 16000, sig)
+
+    status, data = request(server, "POST", "/transcribe", buf.getvalue())
+    assert status == 200
+    payload = json.loads(data)
+    assert "text" in payload
+    assert payload["audio_seconds"] == 2.0
+
+
+def test_transcribe_pcm(server):
+    samples = (np.random.default_rng(0).normal(size=32000) * 0.2).astype(np.float32)
+    status, data = request(
+        server, "POST", "/transcribe_pcm?rate=16000", samples.tobytes()
+    )
+    assert status == 200
+    assert "text" in json.loads(data)
+
+
+def test_streaming_protocol(server):
+    status, data = request(server, "POST", "/stream/start")
+    assert status == 200
+    sid = json.loads(data)["session"]
+
+    rng = np.random.default_rng(1)
+    for _ in range(4):
+        chunk = (rng.normal(size=16000) * 0.2).astype(np.float32)
+        status, data = request(
+            server, "POST", f"/stream/{sid}/feed", chunk.tobytes()
+        )
+        assert status == 200
+        assert "delta" in json.loads(data)
+
+    status, data = request(server, "POST", f"/stream/{sid}/finish")
+    assert status == 200
+    payload = json.loads(data)
+    assert payload["tokens"] > 0
+
+    # Session is gone after finish.
+    status, _ = request(server, "POST", f"/stream/{sid}/feed", b"")
+    assert status == 404
+
+
+def test_error_paths(server):
+    status, _ = request(server, "GET", "/nope")
+    assert status == 404
+    status, data = request(server, "POST", "/transcribe", b"tiny")
+    assert status == 400
+    status, _ = request(server, "POST", "/stream/unknown/feed", b"")
+    assert status == 404
+    status, data = request(server, "POST", "/transcribe_pcm", b"")
+    assert status == 400

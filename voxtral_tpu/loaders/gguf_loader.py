@@ -43,6 +43,16 @@ class Q4ModelLoader:
     def from_bytes(cls, data: bytes, **kw) -> "Q4ModelLoader":
         return cls(GgufReader.from_bytes(data), **kw)
 
+    @staticmethod
+    def _native():
+        """The C++ repacker when available (one streaming pass, no copies)."""
+        try:
+            from voxtral_tpu import native
+
+            return native if native.available() else None
+        except Exception:
+            return None
+
     # -- primitives ---------------------------------------------------------
 
     def _weight(self, name: str, transpose: bool = True):
@@ -56,16 +66,31 @@ class Q4ModelLoader:
             shape = info.torch_shape
             assert len(shape) == 2, (name, shape)
             n, k = shape
-            q4 = repack_q4_0(self.reader.tensor_data(name), shape)
+            raw = self.reader.tensor_data(name)
             # Shapes the Pallas kernel accepts store ONLY the packed form
             # (halves HBM); tiny matmuls (ADA) keep int8 codes for XLA.
-            if self.pack_nibbles and k % 256 == 0 and n % 128 == 0:
-                from voxtral_tpu.ops.q4_pallas import pack_codes, transpose_scales
+            use_packed = self.pack_nibbles and k % 256 == 0 and n % 128 == 0
+            native = self._native()
+            if use_packed:
+                if native is not None:
+                    codes_packed, scales_t = native.q4_repack_packed(raw, n, k)
+                    q4 = {"codes_packed": codes_packed, "scales_t": scales_t}
+                else:
+                    from voxtral_tpu.ops.q4_pallas import (
+                        pack_codes,
+                        transpose_scales,
+                    )
 
-                q4 = {
-                    "codes_packed": pack_codes(q4["codes"]),
-                    "scales_t": transpose_scales(q4["scales"]),
-                }
+                    r = repack_q4_0(raw, shape)
+                    q4 = {
+                        "codes_packed": pack_codes(r["codes"]),
+                        "scales_t": transpose_scales(r["scales"]),
+                    }
+            elif native is not None:
+                codes, scales = native.q4_repack_int8(raw, n, k)
+                q4 = {"codes": codes, "scales": scales}
+            else:
+                q4 = repack_q4_0(raw, shape)
             return {"q4": q4}
         w = self.reader.tensor_f32(name)
         return np.ascontiguousarray(w.T) if transpose else w

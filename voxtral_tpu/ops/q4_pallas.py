@@ -141,6 +141,11 @@ def _q4_matmul_2d(x, packed, scales_t, interpret=False):
             bytes_accessed=(k // 2) * n + (k // 32) * n * 2 + m * k * 2 + m * n * 4,
             transcendentals=0,
         ),
+        # The i32 nibble-widening intermediates push the scoped stack past
+        # the default 16 MB; v5e has 128 MB of VMEM — allow up to 64 MB.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
         interpret=interpret,
     )(x.astype(jnp.bfloat16), packed, scales_t)
 

@@ -1,0 +1,271 @@
+"""HTTP transcription server (stdlib-only).
+
+Endpoints (worker-protocol shape mirroring ``web/worker.js:15-38``):
+
+    GET  /healthz                    -> {"status": "ok", ...}
+    GET  /                           -> browser mic demo (static HTML)
+    POST /transcribe                 -> body: WAV file bytes; resp {text, ...}
+    POST /transcribe_pcm?rate=16000  -> body: raw little-endian f32 mono PCM
+    POST /stream/start               -> {"session": id}
+    POST /stream/<id>/feed           -> raw f32 PCM; resp {"delta": new text}
+    POST /stream/<id>/finish         -> {"delta", "text", "tokens"}
+
+Model access is serialized with a lock (one TPU compute stream).  The
+reference's chunk-size panic hint (transcribe.rs:327-349) maps to clean
+HTTP 4xx/5xx JSON errors.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import logging
+import threading
+import time
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from voxtral_tpu.pipeline import TranscribePipeline
+
+log = logging.getLogger("voxtral_tpu.serving")
+
+_STATIC_DIR = Path(__file__).parent / "static"
+
+
+class _State:
+    def __init__(self, pipeline: TranscribePipeline, step_positions: int = 8):
+        self.pipeline = pipeline
+        self.step_positions = step_positions
+        self.lock = threading.Lock()
+        self.sessions: dict[str, object] = {}
+
+
+def _new_session(state: _State):
+    from voxtral_tpu.streaming import StreamingSession
+
+    return StreamingSession(
+        state.pipeline.model,
+        state.pipeline.tokenizer,
+        delay_tokens=state.pipeline.pcfg.delay_tokens,
+        step_positions=state.step_positions,
+    )
+
+
+class VoxtralHTTPServer(ThreadingHTTPServer):
+    daemon_threads = True
+
+    def __init__(self, addr, state: _State):
+        self.state = state
+        super().__init__(addr, _Handler)
+
+
+class _Handler(BaseHTTPRequestHandler):
+    protocol_version = "HTTP/1.1"
+
+    # -- helpers ------------------------------------------------------------
+
+    def _json(self, code: int, payload: dict) -> None:
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _read_body(self) -> bytes:
+        length = int(self.headers.get("Content-Length", 0))
+        return self.rfile.read(length)
+
+    @property
+    def state(self) -> _State:
+        return self.server.state  # type: ignore[attr-defined]
+
+    def log_message(self, fmt, *args):  # route to logging, not stderr spam
+        log.debug("%s - %s", self.address_string(), fmt % args)
+
+    # -- GET ----------------------------------------------------------------
+
+    def do_GET(self):
+        if self.path == "/healthz":
+            import jax
+
+            self._json(200, {
+                "status": "ok",
+                "backend": jax.default_backend(),
+                "sessions": len(self.state.sessions),
+            })
+        elif self.path in ("/", "/index.html"):
+            page = (_STATIC_DIR / "index.html").read_bytes()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(page)))
+            self.end_headers()
+            self.wfile.write(page)
+        else:
+            self._json(404, {"error": f"not found: {self.path}"})
+
+    # -- POST ---------------------------------------------------------------
+
+    def do_POST(self):
+        try:
+            self._route_post()
+        except Exception as e:  # surface as JSON, never a hung socket
+            log.exception("request failed")
+            self._json(500, {"error": str(e)})
+
+    def _route_post(self):
+        path = self.path.split("?")[0]
+        if path == "/transcribe":
+            self._transcribe_wav()
+        elif path == "/transcribe_pcm":
+            self._transcribe_pcm()
+        elif path == "/stream/start":
+            sid = uuid.uuid4().hex[:12]
+            with self.state.lock:
+                self.state.sessions[sid] = _new_session(self.state)
+            self._json(200, {"session": sid})
+        elif path.startswith("/stream/"):
+            parts = path.strip("/").split("/")
+            if len(parts) != 3 or parts[2] not in ("feed", "finish"):
+                self._json(404, {"error": f"bad stream endpoint: {path}"})
+                return
+            sid, action = parts[1], parts[2]
+            session = self.state.sessions.get(sid)
+            if session is None:
+                self._json(404, {"error": f"unknown session: {sid}"})
+                return
+            if action == "feed":
+                samples = np.frombuffer(self._read_body(), dtype=np.float32)
+                with self.state.lock:
+                    delta = session.feed(samples)
+                self._json(200, {"delta": delta, "positions": session.positions_done})
+            else:
+                with self.state.lock:
+                    delta = session.finish()
+                    self.state.sessions.pop(sid, None)
+                self._json(200, {
+                    "delta": delta,
+                    "text": session.text,
+                    "tokens": len(session.tokens),
+                })
+        else:
+            self._json(404, {"error": f"not found: {path}"})
+
+    def _transcribe_wav(self):
+        from voxtral_tpu.audio.io import load_wav
+
+        body = self._read_body()
+        if len(body) < 44:
+            self._json(400, {"error": "body is not a WAV file"})
+            return
+        import tempfile
+
+        with tempfile.NamedTemporaryFile(suffix=".wav") as f:
+            f.write(body)
+            f.flush()
+            try:
+                audio = load_wav(f.name)
+            except Exception as e:
+                self._json(400, {"error": f"failed to parse WAV: {e}"})
+                return
+        t0 = time.time()
+        with self.state.lock:
+            text = self.state.pipeline.transcribe_samples(
+                audio.samples, audio.sample_rate
+            )
+        self._json(200, {
+            "text": text,
+            "audio_seconds": round(audio.duration_secs, 2),
+            "wall_seconds": round(time.time() - t0, 2),
+        })
+
+    def _transcribe_pcm(self):
+        from urllib.parse import parse_qs, urlparse
+
+        query = parse_qs(urlparse(self.path).query)
+        rate = int(query.get("rate", ["16000"])[0])
+        samples = np.frombuffer(self._read_body(), dtype=np.float32)
+        if samples.size == 0:
+            self._json(400, {"error": "empty PCM body"})
+            return
+        t0 = time.time()
+        with self.state.lock:
+            text = self.state.pipeline.transcribe_samples(samples, rate)
+        self._json(200, {
+            "text": text,
+            "audio_seconds": round(samples.size / rate, 2),
+            "wall_seconds": round(time.time() - t0, 2),
+        })
+
+
+def make_server(
+    pipeline: TranscribePipeline,
+    host: str = "127.0.0.1",
+    port: int = 8080,
+    step_positions: int = 8,
+) -> VoxtralHTTPServer:
+    return VoxtralHTTPServer((host, port), _State(pipeline, step_positions))
+
+
+def main(argv: Optional[list[str]] = None) -> int:
+    import argparse
+    import sys
+
+    ap = argparse.ArgumentParser(prog="voxtral-serve")
+    ap.add_argument("--model")
+    ap.add_argument("--gguf")
+    ap.add_argument("--tokenizer")
+    ap.add_argument("--random-weights", action="store_true")
+    ap.add_argument("--params")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--platform", default="default")
+    args = ap.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO, stream=sys.stderr)
+    if args.platform != "default":
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    if args.random_weights:
+        import jax
+        import jax.numpy as jnp
+
+        from voxtral_tpu.config import VoxtralConfig
+        from voxtral_tpu.models.voxtral import VoxtralModel
+        from voxtral_tpu.tokenizer import VoxtralTokenizer
+
+        cfg = (
+            VoxtralConfig.from_file(args.params)
+            if args.params
+            else VoxtralConfig.voxtral()
+        )
+        model = VoxtralModel.init_random(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+        tokenizer = VoxtralTokenizer([None] * 131072, {}, 131072)
+        pipeline = TranscribePipeline(model, tokenizer)
+    elif args.gguf:
+        pipeline = TranscribePipeline.from_gguf(args.gguf, args.tokenizer)
+    elif args.model:
+        pipeline = TranscribePipeline.from_model_dir(args.model)
+    else:
+        print("error: need --model, --gguf or --random-weights", file=sys.stderr)
+        return 2
+
+    server = make_server(pipeline, args.host, args.port)
+    log.info("serving on http://%s:%d", args.host, args.port)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

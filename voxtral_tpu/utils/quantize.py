@@ -41,6 +41,100 @@ def _quantize_matrix(w_nk: np.ndarray) -> dict:
     return {"q4": q4}
 
 
+def random_q4_params(cfg, seed: int = 0, to_device: bool = True) -> Params:
+    """Random production-shape Q4 params built ENTIRELY on the host.
+
+    For benchmarks: avoids generating 9 GB of dense weights on device and
+    hauling them to the host for quantization — only the packed arrays
+    (~2.2 GB) ever cross to the device.
+    """
+    import ml_dtypes
+
+    rng = np.random.default_rng(seed)
+    e, l, a = cfg.audio_encoder, cfg.language_model, cfg.adapter
+    tc = cfg.ada_rms_norm_t_cond_dim or 32
+    bf16 = np.dtype(ml_dtypes.bfloat16)
+
+    def rand_q4_stack(n_layers, n, k):
+        """Stacked Q4 leaves without materializing f32 for all layers."""
+        qs = [_quantize_matrix(rng.normal(size=(n, k)).astype(np.float32) * 0.02)
+              for _ in range(n_layers)]
+        return {"q4": {kk: np.stack([q["q4"][kk] for q in qs]) for kk in qs[0]["q4"]}}
+
+    def rand_q4(n, k):
+        return _quantize_matrix(rng.normal(size=(n, k)).astype(np.float32) * 0.02)
+
+    def rand_dense(*shape):
+        return (rng.normal(size=shape).astype(np.float32) * 0.02).astype(bf16)
+
+    qd_e = e.n_heads * e.head_dim
+    encoder = {
+        "conv": {
+            "conv1": rand_dense(e.dim, 128, 3), "conv1_b": np.zeros(e.dim, bf16),
+            "conv2": rand_dense(e.dim, e.dim, 3), "conv2_b": np.zeros(e.dim, bf16),
+        },
+        "layers": {
+            "attention_norm": np.ones((e.n_layers, e.dim), bf16),
+            "attention": {
+                "wq": rand_q4_stack(e.n_layers, qd_e, e.dim),
+                "wq_b": np.zeros((e.n_layers, qd_e), bf16),
+                "wk": rand_q4_stack(e.n_layers, qd_e, e.dim),
+                "wv": rand_q4_stack(e.n_layers, qd_e, e.dim),
+                "wv_b": np.zeros((e.n_layers, qd_e), bf16),
+                "wo": rand_q4_stack(e.n_layers, e.dim, qd_e),
+                "wo_b": np.zeros((e.n_layers, e.dim), bf16),
+            },
+            "ffn_norm": np.ones((e.n_layers, e.dim), bf16),
+            "ffn": {
+                "w1": rand_q4_stack(e.n_layers, e.hidden_dim, e.dim),
+                "w2": rand_q4_stack(e.n_layers, e.dim, e.hidden_dim),
+                "w2_b": np.zeros((e.n_layers, e.dim), bf16),
+                "w3": rand_q4_stack(e.n_layers, e.hidden_dim, e.dim),
+            },
+        },
+        "norm": np.ones(e.dim, bf16),
+    }
+
+    qd = l.n_heads * l.head_dim
+    kvd = l.n_kv_heads * l.head_dim
+    decoder = {
+        "tok_embeddings": rand_q4(l.vocab_size, l.dim),
+        "layers": {
+            "ada": {
+                "w0": rand_q4_stack(l.n_layers, tc, l.dim),
+                "w2": rand_q4_stack(l.n_layers, l.dim, tc),
+            },
+            "attention_norm": np.ones((l.n_layers, l.dim), bf16),
+            "attention": {
+                "wq": rand_q4_stack(l.n_layers, qd, l.dim),
+                "wk": rand_q4_stack(l.n_layers, kvd, l.dim),
+                "wv": rand_q4_stack(l.n_layers, kvd, l.dim),
+                "wo": rand_q4_stack(l.n_layers, l.dim, qd),
+            },
+            "ffn_norm": np.ones((l.n_layers, l.dim), bf16),
+            "ffn": {
+                "w1": rand_q4_stack(l.n_layers, l.hidden_dim, l.dim),
+                "w2": rand_q4_stack(l.n_layers, l.dim, l.hidden_dim),
+                "w3": rand_q4_stack(l.n_layers, l.hidden_dim, l.dim),
+            },
+        },
+        "norm": np.ones(l.dim, bf16),
+    }
+
+    adapter = {
+        "w1": rand_q4(a.output_dim, a.input_dim),
+        "w2": rand_q4(a.output_dim, a.output_dim),
+    }
+
+    params = {"encoder": encoder, "decoder": decoder, "adapter": adapter}
+    if to_device:
+        import jax
+        import jax.numpy as jnp
+
+        params = jax.tree_util.tree_map(jnp.asarray, params)
+    return params
+
+
 def quantize_params_q4(params: Params, to_device: bool = True) -> Params:
     """Quantize attention/FFN/ADA/adapter linears + tok_embeddings to Q4_0.
 
