@@ -5,6 +5,10 @@ Mirrors the reference's e2e-bench protocol (``/root/reference/src/bin/e2e_bench.
 decode), warmup + averaged timed iterations.  Weights are random at the
 exact production shapes — throughput is weight-value independent.
 
+Measures the recommended serving configuration: Q4_0 on disk ->
+rowwise-int8 in HBM -> native int8 MXU (the W8A8 path; see
+docs/QUANTIZATION.md).  Weights are random at the exact production shapes.
+
 Prints ONE JSON line:
     {"metric": "rtf_16s", "value": <RTF>, "unit": "ratio",
      "vs_baseline": <baseline_rtf / ours — how many x faster than the
@@ -28,6 +32,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from voxtral_tpu.utils.compilation_cache import enable as enable_cache
+
+    enable_cache()
+
     from voxtral_tpu.audio import (
         AudioBuffer,
         ChunkConfig,
@@ -42,11 +50,13 @@ def main() -> None:
     backend = jax.default_backend()
     print(f"# backend: {backend}, devices: {jax.devices()}", file=sys.stderr)
 
+    from voxtral_tpu.utils.quantize import random_w8_params
+
     cfg = VoxtralConfig.voxtral()
     t0 = time.time()
-    model = VoxtralModel.init_random(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    model = VoxtralModel(random_w8_params(cfg), cfg)
     jax.block_until_ready(model.params)
-    print(f"# model init: {time.time()-t0:.1f}s", file=sys.stderr)
+    print(f"# model init (w8): {time.time()-t0:.1f}s", file=sys.stderr)
 
     # 16 s test signal (speech-band chirp so mel is non-degenerate).
     sr = 16000

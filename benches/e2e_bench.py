@@ -46,6 +46,8 @@ def main() -> int:
     ap.add_argument("--params", help="params.json for --random-weights")
     ap.add_argument("--q4-random", action="store_true",
                     help="random weights quantized to Q4_0 (kernel path)")
+    ap.add_argument("--w8-random", action="store_true",
+                    help="random rowwise-int8 weights (int8 MXU path)")
     ap.add_argument("--seconds", type=float, default=16.0)
     ap.add_argument("--iterations", type=int, default=3)
     ap.add_argument("--delay", type=float, default=6.0)
@@ -60,6 +62,10 @@ def main() -> int:
         jax.config.update("jax_platforms", args.platform)
     import jax
     import jax.numpy as jnp
+
+    from voxtral_tpu.utils.compilation_cache import enable as enable_cache
+
+    enable_cache()
 
     from voxtral_tpu.audio import (
         AudioBuffer,
@@ -90,7 +96,12 @@ def main() -> int:
             if args.params
             else VoxtralConfig.voxtral()
         )
-        if args.q4_random:
+        if args.w8_random:
+            from voxtral_tpu.utils.quantize import random_w8_params
+
+            model = VoxtralModel(random_w8_params(cfg), cfg)
+            mode = "random-w8"
+        elif args.q4_random:
             from voxtral_tpu.utils.quantize import random_q4_params
 
             model = VoxtralModel(random_q4_params(cfg), cfg)

@@ -89,8 +89,8 @@ def test_pack_unpack_roundtrip():
     rng = np.random.default_rng(2)
     codes = rng.integers(-8, 8, size=(32, 128), dtype=np.int8)
     packed = pack_codes(codes)
-    assert packed.shape == (64, 32)
-    assert packed.dtype == np.uint8
+    assert packed.shape == (16, 32)  # [K/8, N] int32 words
+    assert packed.dtype == np.int32
     np.testing.assert_array_equal(unpack_codes(packed), codes)
 
 

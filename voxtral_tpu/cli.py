@@ -65,6 +65,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="params.json overriding the architecture (with --random-weights)",
     )
     p.add_argument(
+        "--weight-format", choices=["q4", "w8"], default="w8",
+        help="GGUF path: keep int4 (min HBM) or requantize to rowwise "
+        "int8 at load (fastest decode on v5e; default)",
+    )
+    p.add_argument(
         "--platform", choices=["default", "cpu", "tpu"], default="default",
         help="Force the JAX platform (the JAX_PLATFORMS env var is "
         "unreliable when a TPU plugin is installed)",
@@ -114,6 +119,10 @@ def main(argv: list[str] | None = None) -> int:
 
         jax.config.update("jax_platforms", args.platform)
 
+    from voxtral_tpu.utils.compilation_cache import enable as enable_cache
+
+    enable_cache()
+
     from voxtral_tpu.pipeline import PipelineConfig, TranscribePipeline
 
     pcfg = PipelineConfig(
@@ -155,7 +164,8 @@ def main(argv: list[str] | None = None) -> int:
         cfg = VoxtralConfig.from_file(args.params) if args.params else None
         try:
             pipeline = TranscribePipeline.from_gguf(
-                args.gguf, args.tokenizer, pcfg, config=cfg
+                args.gguf, args.tokenizer, pcfg, config=cfg,
+                weight_format=args.weight_format,
             )
         except (ValueError, EOFError, KeyError) as e:
             print(f"error: failed to load GGUF model: {e}", file=sys.stderr)

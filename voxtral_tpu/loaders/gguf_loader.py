@@ -29,11 +29,21 @@ Params = dict[str, Any]
 
 
 class Q4ModelLoader:
+    """Loads GGUF Q4_0 checkpoints.
+
+    weight_format:
+      * "q4" — keep int4 (packed for the Pallas kernel); minimum HBM.
+      * "w8" — requantize to rowwise int8 at load for the native int8 MXU
+        path (fastest decode on v5e; see ops/w8.py).
+    """
+
     def __init__(self, reader: GgufReader, cfg: Optional[VoxtralConfig] = None,
-                 pack_nibbles: bool = True):
+                 pack_nibbles: bool = True, weight_format: str = "q4"):
+        assert weight_format in ("q4", "w8"), weight_format
         self.reader = reader
         self.cfg = cfg or VoxtralConfig.voxtral()
         self.pack_nibbles = pack_nibbles
+        self.weight_format = weight_format
 
     @classmethod
     def from_file(cls, path: str | Path, **kw) -> "Q4ModelLoader":
@@ -67,6 +77,16 @@ class Q4ModelLoader:
             assert len(shape) == 2, (name, shape)
             n, k = shape
             raw = self.reader.tensor_data(name)
+            if self.weight_format == "w8":
+                from voxtral_tpu.ops.q4 import dequantize_q4_0
+                from voxtral_tpu.ops.w8 import quantize_w8_rowwise
+
+                native = self._native()
+                if native is not None:
+                    deq = native.q4_dequant_f32(raw, n * k).reshape(n, k)
+                else:
+                    deq = dequantize_q4_0(np.asarray(raw), n * k).reshape(n, k)
+                return quantize_w8_rowwise(deq)
             # Shapes the Pallas kernel accepts store ONLY the packed form
             # (halves HBM); tiny matmuls (ADA) keep int8 codes for XLA.
             use_packed = self.pack_nibbles and k % 256 == 0 and n % 128 == 0
@@ -102,12 +122,15 @@ class Q4ModelLoader:
         return self._f32(name) if self.reader.tensor_info(name) else None
 
     def _stack(self, leaves: list):
-        """Stack per-layer leaves (dense arrays or q4 dicts) along axis 0."""
+        """Stack per-layer leaves (dense arrays or q4/w8 dicts) along axis 0."""
         if isinstance(leaves[0], dict):
-            out = {"q4": {}}
-            for key in leaves[0]["q4"]:
-                out["q4"][key] = np.stack([l["q4"][key] for l in leaves], axis=0)
-            return out
+            fmt = next(iter(leaves[0]))  # "q4" or "w8"
+            return {
+                fmt: {
+                    key: np.stack([l[fmt][key] for l in leaves], axis=0)
+                    for key in leaves[0][fmt]
+                }
+            }
         return np.stack(leaves, axis=0)
 
     # -- components ---------------------------------------------------------
@@ -223,10 +246,12 @@ class Q4ModelLoader:
 
 
 def load_q4_model(path: str | Path, cfg: Optional[VoxtralConfig] = None,
-                  pack_nibbles: bool = True):
-    """GGUF file -> VoxtralModel with Q4 weights."""
+                  pack_nibbles: bool = True, weight_format: str = "q4"):
+    """GGUF file -> VoxtralModel with Q4 (or load-time-W8) weights."""
     from voxtral_tpu.models.voxtral import VoxtralModel
 
-    loader = Q4ModelLoader.from_file(path, cfg=cfg, pack_nibbles=pack_nibbles)
+    loader = Q4ModelLoader.from_file(
+        path, cfg=cfg, pack_nibbles=pack_nibbles, weight_format=weight_format
+    )
     params = loader.load()
     return VoxtralModel(params, loader.cfg)

@@ -54,9 +54,13 @@ def embed_tokens(params: Params, token_ids: jax.Array) -> jax.Array:
     """
     emb = params["tok_embeddings"]
     if isinstance(emb, dict):
-        from voxtral_tpu.ops.q4 import q4_dequant_rows
+        if "q4" in emb:
+            from voxtral_tpu.ops.q4 import q4_dequant_rows
 
-        return q4_dequant_rows(emb["q4"], token_ids)
+            return q4_dequant_rows(emb["q4"], token_ids)
+        from voxtral_tpu.ops.w8 import w8_dequant_rows
+
+        return w8_dequant_rows(emb["w8"], token_ids)
     return emb[token_ids]
 
 
@@ -64,9 +68,13 @@ def lm_head(params: Params, hidden: jax.Array) -> jax.Array:
     """Tied embeddings: logits = hidden @ E^T, f32 accumulation."""
     emb = params["tok_embeddings"]
     if isinstance(emb, dict):
-        from voxtral_tpu.ops.q4 import q4_matmul
+        if "q4" in emb:
+            from voxtral_tpu.ops.q4 import q4_matmul
 
-        return q4_matmul(hidden, emb["q4"])
+            return q4_matmul(hidden, emb["q4"])
+        from voxtral_tpu.ops.w8 import w8_matmul
+
+        return w8_matmul(hidden, emb["w8"])
     return jnp.einsum(
         "bsd,vd->bsv", hidden, emb, preferred_element_type=jnp.float32
     )

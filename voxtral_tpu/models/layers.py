@@ -54,9 +54,14 @@ def linear(x: jax.Array, w, b: Optional[jax.Array] = None) -> jax.Array:
     :mod:`voxtral_tpu.ops.q4`), dispatched to the fused dequant matmul.
     """
     if isinstance(w, dict):
-        from voxtral_tpu.ops.q4 import q4_matmul
+        if "q4" in w:
+            from voxtral_tpu.ops.q4 import q4_matmul
 
-        y = q4_matmul(x, w["q4"])
+            y = q4_matmul(x, w["q4"])
+        else:
+            from voxtral_tpu.ops.w8 import w8_matmul
+
+            y = w8_matmul(x, w["w8"])
     else:
         y = jnp.dot(x, w, preferred_element_type=jnp.float32)
     if b is not None:

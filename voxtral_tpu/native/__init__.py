@@ -64,13 +64,14 @@ def _load() -> Optional[ctypes.CDLL]:
     u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
     i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
     u16p = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
+    u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
 
     lib.voxtral_mel_compute_log.restype = i64
     lib.voxtral_mel_compute_log.argtypes = [
         fp, i64, fp, fp, fp, fp, i32, i32, i32, i32, f32, fp, i64,
     ]
     lib.voxtral_q4_repack_packed.restype = ctypes.c_int
-    lib.voxtral_q4_repack_packed.argtypes = [u8p, i64, i64, u8p, u16p]
+    lib.voxtral_q4_repack_packed.argtypes = [u8p, i64, i64, u32p, u16p]
     lib.voxtral_q4_repack_int8.restype = ctypes.c_int
     lib.voxtral_q4_repack_int8.argtypes = [u8p, i64, i64, i8p, u16p]
     lib.voxtral_q4_dequant_f32.restype = ctypes.c_int
@@ -124,17 +125,17 @@ def mel_compute_log(
 
 
 def q4_repack_packed(raw: np.ndarray, n: int, k: int):
-    """Raw Q4_0 -> (codes_packed u8 [K/2, N], scales_t bf16 [K/32, N])."""
+    """Raw Q4_0 -> (codes_packed i32 [K/8, N], scales_t bf16 [K/32, N])."""
     import ml_dtypes
 
     lib = _load()
     assert lib is not None
     raw = np.ascontiguousarray(raw, dtype=np.uint8)
-    codes = np.empty((k // 2, n), dtype=np.uint8)
+    codes = np.empty((k // 8, n), dtype=np.uint32)
     scales = np.empty((k // 32, n), dtype=np.uint16)
     if lib.voxtral_q4_repack_packed(raw, n, k, codes, scales) != 0:
         raise ValueError(f"K={k} not a multiple of 32")
-    return codes, scales.view(ml_dtypes.bfloat16)
+    return codes.view(np.int32), scales.view(ml_dtypes.bfloat16)
 
 
 def q4_repack_int8(raw: np.ndarray, n: int, k: int):

@@ -154,12 +154,13 @@ int64_t voxtral_mel_compute_log(
 // raw: N*K/32 blocks of 18 bytes (f16 scale + 16 nibble bytes; element i
 // in byte i's low nibble, element i+16 in its high nibble).
 //
-// Packed/transposed output (Pallas layout):
-//   codes_packed [K/2, N]: byte (k/2, n) = elem k (lo nibble) | elem k+1 << 4
+// Packed/transposed output (Pallas layout — see ops/q4_pallas.py):
+//   codes_packed [K/8, N] int32: word (i, n) packs elements 8i..8i+7 as
+//     (code + 8) << 4j (j = position within the word)
 //   scales_bf16  [K/32, N]
 int voxtral_q4_repack_packed(
     const uint8_t* raw, int64_t n, int64_t k,
-    uint8_t* codes_packed, uint16_t* scales_bf16) {
+    uint32_t* codes_packed, uint16_t* scales_bf16) {
   if (k % 32 != 0) return -1;
   const int64_t blocks_per_row = k / 32;
   for (int64_t row = 0; row < n; ++row) {
@@ -170,16 +171,17 @@ int voxtral_q4_repack_packed(
       std::memcpy(&f16, b, 2);
       scales_bf16[blk * n + row] = f32_to_bf16(f16_to_f32(f16));
       const uint8_t* nib = b + 2;
-      const int64_t k0 = blk * 32;
-      // Element e (0..31) of this block = nibble of byte e%16 (lo for
-      // e<16, hi otherwise).  Output pairs (k, k+1) -> one byte at
-      // row (k0+e)/2, column `row`.
-      for (int32_t pair = 0; pair < 16; ++pair) {
-        const int32_t e0 = 2 * pair;      // even element in block
-        const int32_t e1 = 2 * pair + 1;  // odd element
-        uint8_t v0 = (e0 < 16) ? (nib[e0] & 0x0F) : (nib[e0 - 16] >> 4);
-        uint8_t v1 = (e1 < 16) ? (nib[e1] & 0x0F) : (nib[e1 - 16] >> 4);
-        codes_packed[((k0 + e0) / 2) * n + row] = (uint8_t)(v0 | (v1 << 4));
+      const int64_t w0 = blk * 4;  // 4 output words per 32-element block
+      // Element e (0..31) = nibble of byte e%16 (lo for e<16, hi after).
+      for (int32_t w = 0; w < 4; ++w) {
+        uint32_t word = 0;
+        for (int32_t j = 0; j < 8; ++j) {
+          const int32_t e = 8 * w + j;
+          const uint32_t v =
+              (e < 16) ? (nib[e] & 0x0F) : (nib[e - 16] >> 4);
+          word |= v << (4 * j);
+        }
+        codes_packed[(w0 + w) * n + row] = word;
       }
     }
   }

@@ -190,9 +190,12 @@ def q4_matmul(x: jax.Array, q4: dict[str, jax.Array], prefer_pallas: bool = True
             q4_packed_dequant_full,
         )
 
-        if prefer_pallas and pallas_supported(x, q4):
+        # The Pallas kernel re-dequantizes per call; for prefill (many
+        # rows) a single XLA dequant feeding one big MXU contraction wins
+        # — the same decode/prefill dispatch as the reference's dual WGSL
+        # kernels (op.rs:139-206).
+        if prefer_pallas and rows <= DECODE_MAX_ROWS and pallas_supported(x, q4):
             return q4_matmul_pallas(x, q4)
-        # XLA fallback on packed storage: dequantize into the contraction.
         w = q4_packed_dequant_full(q4)
         return jnp.einsum(
             "...k,nk->...n", x.astype(jnp.bfloat16), w,

@@ -1,0 +1,62 @@
+"""W8A8 fast path: rowwise-int8 weights x dynamically-quantized activations
+on the native int8 MXU.
+
+Measured on v5e: the int8 MXU contraction beats both bf16 (1.4x) and every
+int4 VPU-dequant variant (the nibble unpack is VPU-bound at ~6 lane-ops
+per weight, which caps int4 decode below the bf16 path).  So the serving
+sweet spot on this hardware is: **Q4_0 on disk** (2.5 GB artifact, fast
+load) -> **int8 in HBM** (half of bf16 traffic) -> **int8 MXU**.
+
+Format (pytree leaf): {"w8": {"codes": int8[N, K], "scale": f32[N]}}
+    W[n, k] ~= codes[n, k] * scale[n]
+
+Activations are quantized per call with a single dynamic absmax scale
+(A8, symmetric); the dot accumulates in int32 and the two scales fold
+into the f32 epilogue.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = dict[str, Any]
+
+
+def quantize_w8_rowwise(w_nk: np.ndarray) -> dict:
+    """f32 [N, K] -> {"w8": {codes, scale}} with symmetric rowwise scales."""
+    absmax = np.abs(w_nk).max(axis=1)
+    scale = (absmax / 127.0).astype(np.float32)
+    inv = np.where(scale > 0, 1.0 / np.maximum(scale, 1e-30), 0.0)
+    codes = np.clip(np.rint(w_nk * inv[:, None]), -127, 127).astype(np.int8)
+    return {"w8": {"codes": codes, "scale": scale}}
+
+
+def _quantize_activations(x: jax.Array):
+    """Symmetric per-tensor int8 quantization of the (tiny) activation."""
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+    sx = jnp.maximum(absmax, 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx), -127, 127).astype(jnp.int8)
+    return xq, sx
+
+
+def w8_matmul(x: jax.Array, w8: dict) -> jax.Array:
+    """y = x @ W^T; x [..., K] -> [..., N] f32, int8 MXU contraction."""
+    codes, scale = w8["codes"], w8["scale"]
+    xq, sx = _quantize_activations(x)
+    z = jax.lax.dot_general(
+        xq, codes,
+        dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return z.astype(jnp.float32) * (scale.astype(jnp.float32) * sx)
+
+
+def w8_dequant_rows(w8: dict, rows: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
+    """Gather + dequantize rows (embedding lookups)."""
+    codes = w8["codes"][rows]
+    scale = w8["scale"][rows]
+    return codes.astype(dtype) * scale[..., None].astype(dtype)

@@ -100,6 +100,7 @@ class TranscribePipeline:
         tokenizer_path: str | Path,
         pipeline_config: Optional[PipelineConfig] = None,
         config: Optional[VoxtralConfig] = None,
+        weight_format: str = "q4",
     ) -> "TranscribePipeline":
         """Q4_0 GGUF path.
 
@@ -116,7 +117,7 @@ class TranscribePipeline:
                 config = VoxtralConfig.from_file(sidecar)
                 log.info("using architecture config from %s", sidecar)
         t0 = time.time()
-        model = load_q4_model(gguf_path, config)
+        model = load_q4_model(gguf_path, config, weight_format=weight_format)
         log.info("loaded GGUF Q4 weights in %.1fs", time.time() - t0)
         tokenizer = VoxtralTokenizer.from_file(tokenizer_path)
         return cls(model, tokenizer, pipeline_config)

@@ -232,6 +232,10 @@ def main(argv: Optional[list[str]] = None) -> int:
 
         jax.config.update("jax_platforms", args.platform)
 
+    from voxtral_tpu.utils.compilation_cache import enable as enable_cache
+
+    enable_cache()
+
     if args.random_weights:
         import jax
         import jax.numpy as jnp
