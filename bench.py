@@ -65,26 +65,32 @@ def main() -> None:
     audio = AudioBuffer(sig, sr)
     audio.peak_normalize(0.95)
 
-    mel = MelSpectrogram.voxtral()
-    pad_cfg = PadConfig.voxtral()
-    chunk_cfg = ChunkConfig.voxtral()  # 1500 mel frames per chunk
+    # Time the REAL user surface: the full pipeline (chunk -> mel -> 
+    # transcribe, with CPU mel prefetch overlapping TPU work).
+    from voxtral_tpu.pipeline import PipelineConfig, TranscribePipeline
+    from voxtral_tpu.tokenizer import VoxtralTokenizer
 
-    chunks = chunk_audio(audio.samples, chunk_cfg)
-    mels = []
-    for ch in chunks:
-        padded = pad_audio(AudioBuffer(ch.samples, sr), pad_cfg)
-        mels.append(mel.compute_log_batch(padded.samples))
-    print(
-        f"# {len(chunks)} chunks, mel shapes: {[m.shape for m in mels]}",
-        file=sys.stderr,
+    tokenizer = VoxtralTokenizer([None] * 131072, {}, 131072)
+    pipeline = TranscribePipeline(
+        model, tokenizer,
+        PipelineConfig(delay_tokens=6.0, max_mel_frames=1500, bucket_positions=4),
     )
 
+    from voxtral_tpu.audio import chunk_audio as _chunks
+    from voxtral_tpu.models.voxtral import PREFIX_LEN
+    from voxtral_tpu.pipeline import pad_audio_bucketed
+
+    n_tokens_total = 0
+    for ch in _chunks(audio.samples, pipeline.chunk_config):
+        padded = pad_audio_bucketed(
+            AudioBuffer(ch.samples, sr), pipeline.pad_config,
+            pipeline.pcfg.bucket_positions,
+        )
+        n_tokens_total += model.decoder_seq_len(len(padded.samples) // 160) - PREFIX_LEN
+
     def run_once():
-        n_tokens = 0
-        for m in mels:
-            tokens = model.transcribe_streaming(m, delay_tokens=6.0)
-            n_tokens += len(tokens)
-        return n_tokens
+        pipeline.transcribe_samples(audio.samples, sr)
+        return n_tokens_total
 
     # Warmup (compile).
     t0 = time.time()

@@ -188,7 +188,25 @@ def main(argv: list[str] | None = None) -> int:
             status = 1
             print("")
             continue
-        text = pipeline.transcribe_file(path)
+        try:
+            text = pipeline.transcribe_file(path)
+        except Exception as e:
+            # The reference converts GPU shared-memory panics into an
+            # actionable hint (transcribe.rs:327-359); same idea for
+            # device OOM on long chunks.
+            msg = str(e)
+            if "RESOURCE_EXHAUSTED" in msg or "out of memory" in msg.lower():
+                print(
+                    f"error: device out of memory on {path}; try a smaller "
+                    f"--max-mel-frames (current {args.max_mel_frames})",
+                    file=sys.stderr,
+                )
+            else:
+                print(f"error: transcription failed for {path}: {e}",
+                      file=sys.stderr)
+            status = 1
+            print("")
+            continue
         print(text, flush=True)
     return status
 

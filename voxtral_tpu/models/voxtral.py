@@ -165,16 +165,18 @@ class VoxtralModel:
     """
 
     def __init__(self, params: Params, config: Optional[VoxtralConfig] = None,
-                 cache_dtype=jnp.bfloat16, compute_dtype=None):
+                 cache_dtype=None, compute_dtype=None):
         self.params = params
         self.config = config or VoxtralConfig.voxtral()
-        self.cache_dtype = cache_dtype
         # Activation dtype: follows the dense weights, bf16 on the Q4 path.
         # (Inputs are cast on entry — activations drive MXU throughput.)
         if compute_dtype is None:
             w1 = params["adapter"]["w1"]
             compute_dtype = jnp.bfloat16 if isinstance(w1, dict) else w1.dtype
         self.compute_dtype = compute_dtype
+        # KV cache dtype defaults to the compute dtype (f32 models keep
+        # exact cache-vs-full equivalence; bf16/quantized models use bf16).
+        self.cache_dtype = cache_dtype if cache_dtype is not None else compute_dtype
 
         cfg = self.config
         self._encode = jax.jit(partial(encode_audio_fn, cfg=cfg))
@@ -241,6 +243,60 @@ class VoxtralModel:
         return self._forward_streaming(
             self.params, self._cast_mel(mel), jnp.asarray(token_ids), t_embed
         )
+
+    # -- incremental / cache-level API (parity with voxtral.rs:216-269) ----
+
+    def create_encoder_cache(self, max_seq: int) -> KVCache:
+        from voxtral_tpu.models.encoder import create_encoder_cache
+
+        return create_encoder_cache(
+            self.config.audio_encoder, 1, max_seq, self.cache_dtype
+        )
+
+    def create_decoder_cache(self, max_seq: int) -> KVCache:
+        from voxtral_tpu.models.decoder import create_cache
+
+        return create_cache(self.config.language_model, 1, max_seq,
+                            self.cache_dtype)
+
+    def encode_audio_with_cache(
+        self, mel: jax.Array, encoder_cache: KVCache
+    ) -> tuple[jax.Array, KVCache]:
+        """Chunk-incremental encode (reference voxtral.rs:216-224)."""
+        from voxtral_tpu.models.encoder import encoder_forward_with_cache
+
+        hidden, cache = encoder_forward_with_cache(
+            self.params["encoder"], self._cast_mel(mel), encoder_cache,
+            self.config.audio_encoder,
+        )
+        reshaped = reshape_encoder_output(hidden, self.config.downsample_factor)
+        return adapter_forward(self.params["adapter"], reshaped), cache
+
+    def forward_with_cache(
+        self,
+        mel: jax.Array,
+        t_embed: jax.Array,
+        encoder_cache: KVCache,
+        decoder_cache: KVCache,
+    ) -> tuple[jax.Array, KVCache, KVCache]:
+        """Incremental full forward -> logits (voxtral.rs:236-248)."""
+        audio, encoder_cache = self.encode_audio_with_cache(mel, encoder_cache)
+        hidden, decoder_cache = decoder_forward_hidden_with_cache(
+            self.params["decoder"], audio, t_embed, decoder_cache,
+            self.config.language_model,
+        )
+        return lm_head(self.params["decoder"], hidden), encoder_cache, decoder_cache
+
+    def generate_step_with_cache(
+        self, token_ids: jax.Array, t_embed: jax.Array, decoder_cache: KVCache
+    ) -> tuple[jax.Array, KVCache]:
+        """Autoregressive step over token ids (voxtral.rs:259-269)."""
+        text = embed_tokens(self.params["decoder"], jnp.asarray(token_ids))
+        hidden, decoder_cache = decoder_forward_hidden_with_cache(
+            self.params["decoder"], text, t_embed, decoder_cache,
+            self.config.language_model,
+        )
+        return lm_head(self.params["decoder"], hidden), decoder_cache
 
     def decoder_seq_len(self, mel_frames: int) -> int:
         """Decoder positions for a mel length: floor(floor(T/4)/4) on even T."""
