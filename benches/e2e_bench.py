@@ -134,10 +134,12 @@ def main() -> int:
             stages["preprocess"] += time.perf_counter() - t0
 
             # Encode stage timed separately with a forced device sync.
+            # NOTE: a VALUE FETCH, not block_until_ready — the latter does
+            # not actually block over tunneled TPU transports.
             t0 = time.perf_counter()
             mel_dev = model._cast_mel(logmel)
             embeds = model.encode_audio(mel_dev)
-            embeds.block_until_ready()
+            np.asarray(embeds[0, 0, :1])
             stages["encode"] += time.perf_counter() - t0
 
             # Decode = full transcribe minus (already-cached) encode; the

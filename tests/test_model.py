@@ -98,6 +98,22 @@ def test_transcribe_streaming_runs(tiny_model):
     assert np.all(out >= 0) and np.all(out < 500)
 
 
+def test_transcribe_batch_matches_single(tiny_model):
+    """Batched chunk decode must equal per-chunk single decode."""
+    mel_a = jax.random.normal(jax.random.PRNGKey(5), (1, 128, 41 * 16), jnp.float32) * 0.3
+    mel_b = jax.random.normal(jax.random.PRNGKey(6), (1, 128, 41 * 16), jnp.float32) * 0.3
+
+    single_a = tiny_model.transcribe_streaming(mel_a)
+    single_b = tiny_model.transcribe_streaming(mel_b)
+
+    batch = tiny_model.transcribe_streaming_batch(
+        jnp.concatenate([mel_a, mel_b], axis=0)
+    )
+    assert batch.shape == (2, 41 - PREFIX_LEN)
+    np.testing.assert_array_equal(batch[0], single_a)
+    np.testing.assert_array_equal(batch[1], single_b)
+
+
 def test_transcribe_matches_naive_loop(tiny_model):
     """The scanned on-device loop must match a step-by-step host loop built
     from the cache-free full forward (greedy feedback equivalence)."""

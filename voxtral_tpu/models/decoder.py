@@ -76,7 +76,7 @@ def lm_head(params: Params, hidden: jax.Array) -> jax.Array:
 
         return w8_matmul(hidden, emb["w8"])
     return jnp.einsum(
-        "bsd,vd->bsv", hidden, emb, preferred_element_type=jnp.float32
+        "...d,vd->...v", hidden, emb, preferred_element_type=jnp.float32
     )
 
 

@@ -105,50 +105,54 @@ def transcribe_streaming_fn(
     cfg: VoxtralConfig,
     cache_dtype=jnp.bfloat16,
 ) -> jax.Array:
-    """Greedy streaming transcription, fully on device.
+    """Greedy streaming transcription, fully on device, batched.
 
-    mel: [1, n_mels, T].  Returns int32 tokens [S - PREFIX_LEN] where
+    mel: [B, n_mels, T].  Returns int32 tokens [B, S - PREFIX_LEN] where
     S = T//16 is the decoder sequence length (requires S >= PREFIX_LEN + 1;
     the host wrapper checks).
+
+    Decode is HBM-bound on the weights, so batching B independent chunks
+    into one scan makes the extra chunks nearly free — the pipeline packs
+    ALL chunks of a file into a single call.
     """
     lm_cfg = cfg.language_model
 
-    audio_embeds = encode_audio_fn(params, mel, cfg)  # [1, S, D]
-    seq_len = audio_embeds.shape[1]
+    audio_embeds = encode_audio_fn(params, mel, cfg)  # [B, S, D]
+    batch, seq_len = audio_embeds.shape[0], audio_embeds.shape[1]
 
-    prefix_ids = jnp.asarray(make_prefix_ids())[None, :]  # [1, 38]
+    prefix_ids = jnp.tile(jnp.asarray(make_prefix_ids())[None, :], (batch, 1))
     prefix_text = embed_tokens(params["decoder"], prefix_ids)
     prefix_inputs = audio_embeds[:, :PREFIX_LEN, :] + prefix_text
 
-    cache = create_cache(lm_cfg, 1, seq_len, dtype=cache_dtype)
+    cache = create_cache(lm_cfg, batch, seq_len, dtype=cache_dtype)
     rope = rope_tables(lm_cfg.head_dim, seq_len, lm_cfg.rope_theta)
 
     # Prefill: fills cache positions 0..37, predicts the token at 38.
     hidden, cache = decoder_forward_hidden_with_cache(
         params["decoder"], prefix_inputs, t_embed, cache, lm_cfg, rope
     )
-    first_logits = lm_head(params["decoder"], hidden[:, -1:, :])
-    first_token = jnp.argmax(first_logits[0, 0, :], axis=-1).astype(jnp.int32)
+    first_logits = lm_head(params["decoder"], hidden[:, -1, :])  # [B, V]
+    first_token = jnp.argmax(first_logits, axis=-1).astype(jnp.int32)  # [B]
 
     def step(carry, i):
         prev_token, cache = carry
         # Input position = PREFIX_LEN + i; predicts token PREFIX_LEN + i + 1.
         audio_pos = jax.lax.dynamic_slice_in_dim(
             audio_embeds, PREFIX_LEN + i, 1, axis=1
-        )
-        text = embed_tokens(params["decoder"], prev_token[None, None])
+        )  # [B, 1, D]
+        text = embed_tokens(params["decoder"], prev_token[:, None])
         hidden, cache = decoder_forward_hidden_with_cache(
             params["decoder"], audio_pos + text, t_embed, cache, lm_cfg, rope
         )
-        logits = lm_head(params["decoder"], hidden)
-        token = jnp.argmax(logits[0, 0, :], axis=-1).astype(jnp.int32)
+        logits = lm_head(params["decoder"], hidden[:, 0, :])  # [B, V]
+        token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         return (token, cache), token
 
     n_steps = seq_len - PREFIX_LEN - 1
     (_, _), rest = jax.lax.scan(
         step, (first_token, cache), jnp.arange(n_steps, dtype=jnp.int32)
-    )
-    return jnp.concatenate([first_token[None], rest])
+    )  # rest: [n_steps, B]
+    return jnp.concatenate([first_token[None, :], rest]).T  # [B, S-PREFIX]
 
 
 # ---------------------------------------------------------------------------
@@ -317,4 +321,20 @@ class VoxtralModel:
             return np.zeros((0,), dtype=np.int32)
         t_embed = self.t_embed(delay_tokens)
         tokens = self._transcribe(self.params, mel, t_embed)
+        return np.asarray(jax.device_get(tokens))[0]
+
+    def transcribe_streaming_batch(
+        self, mel_batch: jax.Array, delay_tokens: float = 6.0
+    ) -> np.ndarray:
+        """Batched greedy transcription of B equal-length mel chunks.
+
+        mel_batch: [B, n_mels, T] -> int32 tokens [B, S - PREFIX_LEN].
+        Decode is weight-bound, so B chunks cost barely more than one —
+        the pipeline uses this to decode ALL chunks of a file in one scan.
+        """
+        mel_batch = self._cast_mel(mel_batch)
+        if self.decoder_seq_len(mel_batch.shape[-1]) < PREFIX_LEN + 1:
+            return np.zeros((mel_batch.shape[0], 0), dtype=np.int32)
+        t_embed = self.t_embed(delay_tokens)
+        tokens = self._transcribe(self.params, mel_batch, t_embed)
         return np.asarray(jax.device_get(tokens))

@@ -151,32 +151,41 @@ class TranscribePipeline:
         else:
             chunks = chunk_audio(audio.samples, self.chunk_config)
 
-        # CPU mel extraction is prefetched on a worker thread so it
-        # overlaps the TPU transcription of earlier chunks.
-        from concurrent.futures import ThreadPoolExecutor
+        # Chunks of the SAME padded length decode in one batched on-device
+        # scan (all non-final chunks are exactly max_mel_frames long, so a
+        # long file becomes one big batch + one short final chunk).  The
+        # marginal per-chunk step cost is well below a separate pass, but
+        # padding unequal chunks to a common length is not — so batching
+        # is grouped by length rather than global.
+        padded = [
+            self._bucketed_pad(AudioBuffer(ch.samples, 16000)) for ch in chunks
+        ]
+        groups: dict[int, list[int]] = {}
+        for idx, p in enumerate(padded):
+            groups.setdefault(len(p.samples), []).append(idx)
 
-        def make_mel(ch):
-            padded = self._bucketed_pad(AudioBuffer(ch.samples, 16000))
-            return self.mel.compute_log_batch(padded.samples)
+        chunk_tokens: list[np.ndarray] = [None] * len(padded)  # type: ignore
+        for length, idxs in groups.items():
+            mels = np.concatenate(
+                [self.mel.compute_log_batch(padded[i].samples) for i in idxs],
+                axis=0,
+            )
+            if len(idxs) > 1:
+                log.info(
+                    "decoding %d equal-length chunks in one batched scan",
+                    len(idxs),
+                )
+            token_batch = self.model.transcribe_streaming_batch(
+                mels, delay_tokens=self.pcfg.delay_tokens
+            )
+            for i, toks in zip(idxs, token_batch):
+                chunk_tokens[i] = toks
 
         texts = []
-        start = time.time()
-        with ThreadPoolExecutor(max_workers=1) as pool:
-            mel_futures = [pool.submit(make_mel, ch) for ch in chunks]
-            for i, (ch, fut) in enumerate(zip(chunks, mel_futures)):
-                if len(chunks) > 1:
-                    log.info(
-                        "chunk %d/%d [%.2fs-%.2fs] elapsed %.1fs",
-                        i + 1, len(chunks),
-                        ch.start_time(16000), ch.end_time(16000),
-                        time.time() - start,
-                    )
-                tokens = self.model.transcribe_streaming(
-                    fut.result(), delay_tokens=self.pcfg.delay_tokens
-                )
-                text = self.decode_tokens(tokens)
-                if text.strip():
-                    texts.append(text.strip())
+        for toks in chunk_tokens:
+            text = self.decode_tokens(toks)
+            if text.strip():
+                texts.append(text.strip())
         return " ".join(texts)
 
     def transcribe_file(self, path: str | Path) -> str:
