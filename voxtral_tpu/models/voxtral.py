@@ -323,18 +323,32 @@ class VoxtralModel:
         tokens = self._transcribe(self.params, mel, t_embed)
         return np.asarray(jax.device_get(tokens))[0]
 
+    def transcribe_streaming_batch_async(
+        self, mel_batch: jax.Array, delay_tokens: float = 6.0
+    ):
+        """Dispatch a batched transcription WITHOUT fetching the result.
+
+        Returns a device array (or a host zeros array for too-short mels);
+        fetch with ``np.asarray``.  Lets callers enqueue several chunk
+        groups back-to-back and overlap the dispatch roundtrips.
+        """
+        mel_batch = self._cast_mel(mel_batch)
+        if self.decoder_seq_len(mel_batch.shape[-1]) < PREFIX_LEN + 1:
+            return np.zeros((mel_batch.shape[0], 0), dtype=np.int32)
+        t_embed = self.t_embed(delay_tokens)
+        return self._transcribe(self.params, mel_batch, t_embed)
+
     def transcribe_streaming_batch(
         self, mel_batch: jax.Array, delay_tokens: float = 6.0
     ) -> np.ndarray:
         """Batched greedy transcription of B equal-length mel chunks.
 
         mel_batch: [B, n_mels, T] -> int32 tokens [B, S - PREFIX_LEN].
-        Decode is weight-bound, so B chunks cost barely more than one —
-        the pipeline uses this to decode ALL chunks of a file in one scan.
+        The pipeline uses this to decode all equal-length chunks of a
+        file in one on-device scan.
         """
-        mel_batch = self._cast_mel(mel_batch)
-        if self.decoder_seq_len(mel_batch.shape[-1]) < PREFIX_LEN + 1:
-            return np.zeros((mel_batch.shape[0], 0), dtype=np.int32)
-        t_embed = self.t_embed(delay_tokens)
-        tokens = self._transcribe(self.params, mel_batch, t_embed)
-        return np.asarray(jax.device_get(tokens))
+        return np.asarray(
+            jax.device_get(
+                self.transcribe_streaming_batch_async(mel_batch, delay_tokens)
+            )
+        )

@@ -164,7 +164,10 @@ class TranscribePipeline:
         for idx, p in enumerate(padded):
             groups.setdefault(len(p.samples), []).append(idx)
 
+        # Dispatch every group first (async), fetch afterwards — overlaps
+        # the dispatch roundtrips and lets the device queue run ahead.
         chunk_tokens: list[np.ndarray] = [None] * len(padded)  # type: ignore
+        pending = []
         for length, idxs in groups.items():
             mels = np.concatenate(
                 [self.mel.compute_log_batch(padded[i].samples) for i in idxs],
@@ -175,10 +178,11 @@ class TranscribePipeline:
                     "decoding %d equal-length chunks in one batched scan",
                     len(idxs),
                 )
-            token_batch = self.model.transcribe_streaming_batch(
+            pending.append((idxs, self.model.transcribe_streaming_batch_async(
                 mels, delay_tokens=self.pcfg.delay_tokens
-            )
-            for i, toks in zip(idxs, token_batch):
+            )))
+        for idxs, dev_tokens in pending:
+            for i, toks in zip(idxs, np.asarray(dev_tokens)):
                 chunk_tokens[i] = toks
 
         texts = []
