@@ -75,6 +75,26 @@ def test_sharded_forward_matches_single_device():
 
 
 @requires_8_devices
+def test_sharded_transcribe_matches_single_device():
+    """The whole greedy decode scan must produce identical tokens under TP."""
+    import numpy as np
+
+    model = tiny_model()
+    mel = jax.random.normal(jax.random.PRNGKey(3), (1, 128, 41 * 16), jnp.float32) * 0.3
+    ref = model.transcribe_streaming(mel)
+
+    mesh = make_mesh(n_data=1, n_model=2)
+    from voxtral_tpu.models.voxtral import VoxtralModel
+
+    sharded = VoxtralModel(
+        shard_params(model.params, mesh), model.config,
+        compute_dtype=jnp.float32,
+    )
+    got = sharded.transcribe_streaming(mel)
+    np.testing.assert_array_equal(ref, got)
+
+
+@requires_8_devices
 def test_dryrun_multichip():
     import sys
     from pathlib import Path

@@ -105,3 +105,35 @@ def test_feed_after_finish_raises(model):
         session.feed(np.zeros(10, np.float32))
     # finish() is idempotent.
     assert session.finish() == ""
+
+
+def test_unbounded_session_matches_batch(model):
+    """Unbounded mode (cache shifting + buffer trimming) must still match
+    batch transcription exactly — shifts only drop history outside every
+    query's sliding window (tiny config: window 32)."""
+    rng = np.random.default_rng(7)
+    samples = (rng.normal(size=16000 * 30).astype(np.float32) * 0.25)
+
+    padded = pad_audio(AudioBuffer(samples.copy(), 16000))
+    mel = MelSpectrogram.voxtral().compute_log_batch(padded.samples)
+    batch_tokens = model.transcribe_streaming(mel)
+
+    session = StreamingSession(
+        model, step_positions=8, unbounded=True
+    )
+    # Tiny caches force shifting: window 32 + margins.
+    assert session._max_dec < 200  # sanity: shifting will actually happen
+    for piece in np.array_split(samples, 23):
+        session.feed(piece)
+    session.finish()
+    assert session._dec_base > 0, "decoder cache never shifted"
+    assert session._enc_base > 0, "encoder cache never shifted"
+
+    stream_tokens = np.asarray(session.tokens)
+    n = min(len(stream_tokens), len(batch_tokens))
+    assert n >= len(batch_tokens) - 1
+    agree = (stream_tokens[:n] == np.asarray(batch_tokens)[:n]).mean()
+    assert agree == 1.0, (
+        f"only {agree:.2%} agreement\nstream: {stream_tokens[:n]}\n"
+        f"batch:  {np.asarray(batch_tokens)[:n]}"
+    )

@@ -110,10 +110,13 @@ def decoder_forward_hidden_with_cache(
     cache: KVCache,
     cfg: LanguageModelConfig,
     rope: Optional[tuple[jax.Array, jax.Array]] = None,
+    pos_base=0,
 ) -> tuple[jax.Array, KVCache]:
     """Forward with KV cache; appends at ``cache.length``.
 
-    hidden: [B, S, d_model].  Returns (normed hidden, updated cache).
+    hidden: [B, S, d_model].  ``pos_base`` = absolute position of cache
+    slot 0 (nonzero after cache shifts in unbounded streaming).
+    Returns (normed hidden, updated cache).
     """
     spec = decoder_spec(cfg)
     if rope is None:
@@ -125,7 +128,7 @@ def decoder_forward_hidden_with_cache(
         layer_params, k_cache, v_cache = inp
         h, k_cache, v_cache = decoder_block_with_cache(
             h, t_embed, layer_params, spec, cos, sin,
-            k_cache, v_cache, offset, cfg.norm_eps,
+            k_cache, v_cache, offset, cfg.norm_eps, pos_base,
         )
         return h, (k_cache, v_cache)
 

@@ -77,6 +77,7 @@ def encoder_layers_with_cache(
     cache: KVCache,
     cfg: AudioEncoderConfig,
     rope: Optional[tuple[jax.Array, jax.Array]] = None,
+    pos_base=0,
 ) -> tuple[jax.Array, KVCache]:
     """Run the transformer stack incrementally over pre-conv features.
 
@@ -94,7 +95,8 @@ def encoder_layers_with_cache(
         layer_params, k_cache, v_cache = inp
         hn = rms_norm(h, layer_params["attention_norm"], cfg.norm_eps)
         attn, k_cache, v_cache = attention_with_cache(
-            hn, layer_params["attention"], spec, cos, sin, k_cache, v_cache, offset
+            hn, layer_params["attention"], spec, cos, sin,
+            k_cache, v_cache, offset, pos_base,
         )
         h = h + attn
         hn = rms_norm(h, layer_params["ffn_norm"], cfg.norm_eps)

@@ -321,16 +321,20 @@ def attention_with_cache(
     k_cache: jax.Array,
     v_cache: jax.Array,
     offset: jax.Array,
+    pos_base=0,
 ):
     """Incremental attention: append this block's K/V to the cache, attend
     over everything written so far.
 
     x: [B, S, d_model]; k_cache/v_cache: [B, max_seq, Hkv, D];
     offset: scalar int32 (= current cache length).
+    ``pos_base``: absolute position of cache slot 0 — nonzero after the
+    cache has been shifted (unbounded streaming); RoPE and the banded
+    masks always see ABSOLUTE positions.
     Returns (out [B, S, d_model], k_cache, v_cache).
     """
     b, s, _ = x.shape
-    positions = offset + jnp.arange(s, dtype=jnp.int32)
+    positions = pos_base + offset + jnp.arange(s, dtype=jnp.int32)
 
     q = linear(x, p["wq"], p.get("wq_b")).reshape(b, s, spec.n_heads, spec.head_dim)
     k = linear(x, p["wk"], p.get("wk_b")).reshape(b, s, spec.n_kv_heads, spec.head_dim)
@@ -341,13 +345,27 @@ def attention_with_cache(
     k_cache, v_cache = cache_update_layer(k_cache, v_cache, k, v, offset)
 
     max_seq = k_cache.shape[1]
-    k_pos = jnp.arange(max_seq, dtype=jnp.int32)
-    k_valid = k_pos < (offset + s)
+    k_pos = pos_base + jnp.arange(max_seq, dtype=jnp.int32)
+    k_valid = jnp.arange(max_seq, dtype=jnp.int32) < (offset + s)
 
     out = _sdpa(q, k_cache, v_cache, spec, positions, k_pos, k_valid)
     out = out.reshape(b, s, spec.n_heads * spec.head_dim)
     out = linear(out, p["wo"], p.get("wo_b"))
     return out, k_cache, v_cache
+
+
+def cache_shift(cache: "KVCache", shift: int) -> "KVCache":
+    """Drop the oldest ``shift`` positions of a stacked-layer cache
+    ([L, B, S, H, D]), sliding the rest to slot 0.  The caller advances
+    its ``pos_base`` by the same amount; valid when every attended query
+    stays within its sliding window of the retained positions."""
+    k = jnp.concatenate(
+        [cache.k[:, :, shift:], jnp.zeros_like(cache.k[:, :, :shift])], axis=2
+    )
+    v = jnp.concatenate(
+        [cache.v[:, :, shift:], jnp.zeros_like(cache.v[:, :, :shift])], axis=2
+    )
+    return KVCache(k=k, v=v, length=cache.length - shift)
 
 
 # ---------------------------------------------------------------------------
@@ -413,6 +431,7 @@ def decoder_block_with_cache(
     v_cache: jax.Array,
     offset: jax.Array,
     eps: float,
+    pos_base=0,
 ):
     """Decoder layer with KV cache.
 
@@ -421,7 +440,7 @@ def decoder_block_with_cache(
     """
     h = rms_norm(x, p["attention_norm"], eps)
     attn_out, k_cache, v_cache = attention_with_cache(
-        h, p["attention"], spec, cos, sin, k_cache, v_cache, offset
+        h, p["attention"], spec, cos, sin, k_cache, v_cache, offset, pos_base
     )
     x = x + attn_out
     h = rms_norm(x, p["ffn_norm"], eps)

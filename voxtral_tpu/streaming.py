@@ -40,6 +40,7 @@ from voxtral_tpu.audio.pad import PadConfig
 from voxtral_tpu.config import VoxtralConfig
 from voxtral_tpu.models.adapter import adapter_forward, reshape_encoder_output
 from voxtral_tpu.models.decoder import (
+    DECODER_ROPE_MAX_SEQ,
     create_cache,
     decoder_forward_hidden_with_cache,
     embed_tokens,
@@ -63,7 +64,8 @@ def _mel_frames_needed(last_frame: int) -> int:
     return MEL_HOP * (last_frame - 1) + 200 + MEL_HOP
 
 
-def _decode_scan(params, audio_inputs, prev_token, dec_cache, t_embed, cfg, rope):
+def _decode_scan(params, audio_inputs, prev_token, dec_cache, t_embed, cfg,
+                 rope, dec_base=0):
     """Greedy-decode len(audio_inputs) tokens with the decoder cache.
 
     audio_inputs: [1, P, D] — audio embeds for input positions
@@ -75,7 +77,8 @@ def _decode_scan(params, audio_inputs, prev_token, dec_cache, t_embed, cfg, rope
         a = jax.lax.dynamic_slice_in_dim(audio_inputs, i, 1, axis=1)
         text = embed_tokens(params["decoder"], prev[None, None])
         hidden, cache = decoder_forward_hidden_with_cache(
-            params["decoder"], a + text, t_embed, cache, cfg.language_model, rope
+            params["decoder"], a + text, t_embed, cache, cfg.language_model,
+            rope, dec_base,
         )
         logits = lm_head(params["decoder"], hidden)
         token = jnp.argmax(logits[0, 0, :], axis=-1).astype(jnp.int32)
@@ -88,14 +91,15 @@ def _decode_scan(params, audio_inputs, prev_token, dec_cache, t_embed, cfg, rope
     return tokens, last, dec_cache
 
 
-def _encode_window(params, mel_win, enc_cache, cfg, enc_rope, n_frames: int):
+def _encode_window(params, mel_win, enc_cache, cfg, enc_rope, n_frames: int,
+                   enc_base=0):
     """Conv over an overlapping mel window; append exactly ``n_frames``
     encoder frames (local conv frames [1, 1+n_frames) — interior, so no
     boundary effect).  Returns (audio_embeds [1, n_frames//4, D], cache)."""
     x = conv_downsample(mel_win, params["encoder"]["conv"])  # [1, D, W/4]
     x = jnp.swapaxes(x, 1, 2)[:, 1 : 1 + n_frames, :]
     hidden, enc_cache = encoder_layers_with_cache(
-        params["encoder"], x, enc_cache, cfg.audio_encoder, enc_rope
+        params["encoder"], x, enc_cache, cfg.audio_encoder, enc_rope, enc_base
     )
     reshaped = reshape_encoder_output(hidden, cfg.downsample_factor)
     return adapter_forward(params["adapter"], reshaped), enc_cache
@@ -136,16 +140,18 @@ def _init_step_fn(params, mel0, t_embed, cfg, enc_rope, dec_rope,
     return tokens, last, prev_audio, enc_cache, dec_cache
 
 
-def _stream_step_fn(params, mel_win, prev_token, prev_audio, t_embed, cfg,
+def _stream_step_fn(params, mel_win, prev_token, prev_audio, t_embed,
+                    enc_base, dec_base, cfg,
                     enc_rope, dec_rope, enc_cache, dec_cache, n_positions: int):
     """Steady-state step: P more positions.  mel_win covers mel frames
-    [16*p0 - 4, 16*(p0+P) + 4) (length 16P + 8)."""
+    [16*p0 - 4, 16*(p0+P) + 4) (length 16P + 8).  ``enc_base``/``dec_base``
+    are the absolute positions of cache slot 0 (nonzero after shifts)."""
     audio, enc_cache = _encode_window(
-        params, mel_win, enc_cache, cfg, enc_rope, 4 * n_positions
+        params, mel_win, enc_cache, cfg, enc_rope, 4 * n_positions, enc_base
     )  # [1, P, D] — positions p0..p0+P-1
     inputs = jnp.concatenate([prev_audio, audio[:, :-1, :]], axis=1)
     tokens, last, dec_cache = _decode_scan(
-        params, inputs, prev_token, dec_cache, t_embed, cfg, dec_rope
+        params, inputs, prev_token, dec_cache, t_embed, cfg, dec_rope, dec_base
     )
     return tokens, last, audio[:, -1:, :], enc_cache, dec_cache
 
@@ -161,24 +167,58 @@ class StreamingSession:
         step_positions: int = 8,  # 8 x 160 ms = 1.28 s per step
         max_duration_s: float = 120.0,
         pad_config: Optional[PadConfig] = None,
+        unbounded: bool = False,
     ):
+        """``unbounded=True`` sizes the KV caches to the model's sliding
+        windows and SHIFTS them as the stream advances (fixed-granule
+        drops of positions no query can attend anymore), so session
+        length is limited only by the RoPE tables (~43 min of decoder
+        positions) instead of preallocated cache memory.  The decoder
+        window (8192 positions) makes the unbounded decoder cache ~1.8 GB.
+        """
         self.model = model
         self.tokenizer = tokenizer
         self.cfg = model.config
         self.P = step_positions
         self.pad_config = pad_config or PadConfig.voxtral()
         self._mel = MelSpectrogram.voxtral()
+        self.unbounded = unbounded
 
         cache_dtype = model.cache_dtype
-        max_positions = int(max_duration_s * 6.25) + PREFIX_LEN + 2 * self.P
-        self._max_enc = 4 * max_positions
         lm = self.cfg.language_model
         enc = self.cfg.audio_encoder
+        if unbounded:
+            # Cache = window + working margin; shift granule keeps the
+            # remaining history >= window at all times.
+            self._max_dec = lm.sliding_window + 16 * self.P
+            self._max_enc = 4 * (enc.sliding_window // 4 + 1) + 64 * self.P
+            self._dec_shift = 8 * self.P
+            self._enc_shift = 32 * self.P
+            rope_positions = DECODER_ROPE_MAX_SEQ
+        else:
+            self._max_dec = int(max_duration_s * 6.25) + PREFIX_LEN + 2 * self.P
+            self._max_enc = 4 * self._max_dec
+            self._dec_shift = self._enc_shift = 0
+            rope_positions = self._max_dec
+        max_positions = self._max_dec
         self.enc_cache = create_encoder_cache(enc, 1, self._max_enc, cache_dtype)
-        self.dec_cache = create_cache(lm, 1, max_positions, cache_dtype)
-        self._enc_rope = rope_tables(enc.head_dim, self._max_enc, enc.rope_theta)
-        self._dec_rope = rope_tables(lm.head_dim, max_positions, lm.rope_theta)
+        self.dec_cache = create_cache(lm, 1, self._max_dec, cache_dtype)
+        self._enc_rope = rope_tables(enc.head_dim, 4 * rope_positions, enc.rope_theta)
+        self._dec_rope = rope_tables(lm.head_dim, rope_positions, lm.rope_theta)
         self._t_embed = model.t_embed(delay_tokens)
+        self._enc_base = 0
+        self._dec_base = 0
+        self._samples_base = 0  # samples trimmed from the head of the buffer
+
+        if unbounded:
+            from voxtral_tpu.models.layers import cache_shift
+
+            self._enc_shift_jit = jax.jit(
+                partial(cache_shift, shift=self._enc_shift)
+            )
+            self._dec_shift_jit = jax.jit(
+                partial(cache_shift, shift=self._dec_shift)
+            )
 
         # Audio buffer starts with the 76-token silence left pad
         # (= exactly the 38-position prefill).
@@ -207,15 +247,19 @@ class StreamingSession:
     # -- internals ----------------------------------------------------------
 
     def _mel_window(self, frame_lo: int, frame_hi: int) -> np.ndarray:
-        """Mel frames [frame_lo, frame_hi), exact vs the global computation."""
+        """Mel frames [frame_lo, frame_hi), exact vs the global computation.
+        Frame/sample indices are absolute; the buffer head may be trimmed
+        (``_samples_base``)."""
+        base = self._samples_base
         if frame_lo == 0:
             logmel = self._mel.compute_log(
-                self._samples[: _mel_frames_needed(frame_hi)]
+                self._samples[: _mel_frames_needed(frame_hi) - base]
             )
             return logmel[:frame_hi].T[None]
         lo = frame_lo - MEL_MARGIN
-        s0 = MEL_HOP * lo
-        samples = self._samples[s0 : _mel_frames_needed(frame_hi) ]
+        s0 = MEL_HOP * lo - base
+        assert s0 >= 0, "audio buffer trimmed past the needed window"
+        samples = self._samples[s0 : _mel_frames_needed(frame_hi) - base]
         logmel = self._mel.compute_log(samples)
         return logmel[MEL_MARGIN : MEL_MARGIN + (frame_hi - frame_lo)].T[None]
 
@@ -223,7 +267,7 @@ class StreamingSession:
         """Positions whose encoder frames (incl. conv+STFT lookahead) are
         computable from the buffered samples."""
         # Need mel frames up to 16*pos + 8 => samples up to that frame's end.
-        n = len(self._samples)
+        n = len(self._samples) + self._samples_base
         # Invert _mel_frames_needed: frames f computable if 160*(f-1)+360 <= n
         max_frame = (n - 360) // MEL_HOP + 1
         return max(0, (max_frame - 8) // 16)
@@ -246,12 +290,14 @@ class StreamingSession:
                 self.tokens.extend(np.asarray(tokens).tolist())
                 self._positions_done = need
             elif avail >= self._positions_done + self.P:
+                self._maybe_shift()
                 p0 = self._positions_done
                 mel_win = self._mel_window(16 * p0 - 4, 16 * (p0 + self.P) + 4)
                 out = self._step_jit(
                     self.model.params,
                     jnp.asarray(mel_win, self.model.compute_dtype),
                     self._prev_token, self._prev_audio, self._t_embed,
+                    jnp.int32(self._enc_base), jnp.int32(self._dec_base),
                     enc_cache=self.enc_cache, dec_cache=self.dec_cache,
                 )
                 tokens, self._prev_token, self._prev_audio, self.enc_cache, self.dec_cache = out
@@ -259,6 +305,34 @@ class StreamingSession:
                 self._positions_done = p0 + self.P
             else:
                 return
+
+    def _maybe_shift(self) -> None:
+        """Unbounded mode: drop history no future query can attend."""
+        if not self.unbounded:
+            if self._positions_done + self.P > self._max_dec:
+                raise RuntimeError(
+                    "stream exceeded max_duration_s; use unbounded=True"
+                )
+            return
+        from voxtral_tpu.models.layers import cache_shift
+
+        enc_len = self._positions_done * 4 - self._enc_base
+        if enc_len + 4 * self.P > self._max_enc:
+            self.enc_cache = self._enc_shift_jit(self.enc_cache)
+            self._enc_base += self._enc_shift
+        dec_len = self._positions_done - self._dec_base
+        if dec_len + self.P > self._max_dec:
+            self.dec_cache = self._dec_shift_jit(self.dec_cache)
+            self._dec_base += self._dec_shift
+        # Trim the host audio buffer: future mel windows start at frame
+        # 16*p0 - MEL_MARGIN at the earliest.
+        keep_from = max(
+            0, MEL_HOP * (16 * self._positions_done - 2 * MEL_MARGIN) - 400
+        )
+        if keep_from - self._samples_base > 10 * 16000:
+            drop = keep_from - self._samples_base
+            self._samples = self._samples[drop:]
+            self._samples_base += drop
 
     def _emit(self) -> str:
         if self.tokenizer is None:
@@ -286,16 +360,17 @@ class StreamingSession:
         if self._finished:
             return ""
         self._finished = True
-        right = self.pad_config.right_pad_samples(len(self._samples))
+        total_abs = self._samples_base + len(self._samples)
+        right = self.pad_config.right_pad_samples(total_abs)
         # Extra tail so the final step's conv/STFT lookahead is satisfied,
         # then round the target up to a whole step.
-        total = len(self._samples) + right
+        total = total_abs + right
         target_positions = total // SAMPLES_PER_POSITION
         # Steps land on PREFIX_LEN + k*P positions — round up on that grid.
         over = max(target_positions - PREFIX_LEN, self.P)
         rounded = PREFIX_LEN + (-(-over // self.P)) * self.P
         needed = _mel_frames_needed(16 * rounded + 8)
-        pad = max(0, needed - len(self._samples))
+        pad = max(0, needed - self._samples_base - len(self._samples))
         self._samples = np.concatenate(
             [self._samples, np.zeros(pad, np.float32)]
         )
