@@ -36,11 +36,14 @@ def quantize_w8_rowwise(w_nk: np.ndarray) -> dict:
 
 
 def _quantize_activations(x: jax.Array):
-    """Symmetric per-tensor int8 quantization of the (tiny) activation."""
-    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+    """Symmetric PER-TOKEN int8 quantization (per-row absmax scales —
+    robust to activation outliers in long prefills; decode rows are
+    single tokens either way)."""
+    xf = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
     sx = jnp.maximum(absmax, 1e-8) / 127.0
-    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx), -127, 127).astype(jnp.int8)
-    return xq, sx
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    return xq, sx  # sx: [..., 1]
 
 
 def w8_matmul(x: jax.Array, w8: dict) -> jax.Array:
@@ -52,7 +55,8 @@ def w8_matmul(x: jax.Array, w8: dict) -> jax.Array:
         dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
-    return z.astype(jnp.float32) * (scale.astype(jnp.float32) * sx)
+    # Epilogue: per-row activation scale x per-column weight scale.
+    return z.astype(jnp.float32) * sx * scale.astype(jnp.float32)
 
 
 def w8_dequant_rows(w8: dict, rows: jax.Array, dtype=jnp.bfloat16) -> jax.Array:

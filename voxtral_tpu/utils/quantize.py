@@ -42,9 +42,18 @@ def _quantize_matrix(w_nk: np.ndarray) -> dict:
 
 
 def _rand_w8(rng, *shape) -> dict:
-    """Random {"w8": ...} leaf; shape = ([L,] N, K)."""
+    """Random {"w8": ...} leaf; shape = ([L,] N, K).
+
+    Stacked layers tile ONE random matrix (benchmarks are value-
+    independent; generating 4B+ random ints dominates init time).
+    """
+    if len(shape) == 3:
+        layer = rng.integers(-127, 128, size=shape[1:], dtype=np.int8)
+        codes = np.broadcast_to(layer, shape).copy()
+    else:
+        codes = rng.integers(-127, 128, size=shape, dtype=np.int8)
     return {"w8": {
-        "codes": rng.integers(-127, 128, size=shape, dtype=np.int8),
+        "codes": codes,
         "scale": np.full(shape[:-1], 2e-4, dtype=np.float32),
     }}
 
