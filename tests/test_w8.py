@@ -118,3 +118,35 @@ def test_gguf_w8_loading():
     mel = jnp.zeros((1, 128, 64), jnp.float32)
     logits = model.forward(mel, model.t_embed())
     assert bool(jnp.all(jnp.isfinite(logits)))
+
+
+def test_w8_pallas_matches_xla():
+    """Pallas int8 kernel must match the XLA epilogue path (int math is
+    exact; f32 epilogue within one ulp-ish).  The kernel is opt-in at
+    model scale (see ops/w8.py) but stays correctness-tested."""
+    from voxtral_tpu.ops.w8 import _quantize_activations
+    from voxtral_tpu.ops.w8_pallas import w8_matmul_pallas, w8_pallas_supported
+
+    rng = np.random.default_rng(4)
+    for m, n, k in [(1, 128, 256), (8, 256, 512), (64, 384, 256)]:
+        w = rng.normal(size=(n, k)).astype(np.float32)
+        x = rng.normal(size=(m, k)).astype(np.float32)
+        q = jax.tree_util.tree_map(jnp.asarray, quantize_w8_rowwise(w))["w8"]
+        xq, sx = _quantize_activations(jnp.asarray(x))
+        assert w8_pallas_supported(xq, q["codes"])
+
+        got = np.asarray(w8_matmul_pallas(xq, sx, q["codes"], q["scale"]))
+        z = np.asarray(xq, np.int32) @ np.asarray(q["codes"], np.int32).T
+        expected = z.astype(np.float32) * np.asarray(sx) * np.asarray(q["scale"])
+        np.testing.assert_allclose(got, expected, rtol=1e-6, atol=1e-6)
+
+
+def test_w8_pallas_gate():
+    from voxtral_tpu.ops.w8_pallas import w8_pallas_supported
+
+    assert not w8_pallas_supported(
+        jnp.zeros((1, 32), jnp.int8), jnp.zeros((32, 32), jnp.int8)
+    )  # K too small
+    assert not w8_pallas_supported(
+        jnp.zeros((1, 256), jnp.int8), jnp.zeros((48, 256), jnp.int8)
+    )  # N % 128 != 0

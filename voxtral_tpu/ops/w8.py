@@ -47,9 +47,28 @@ def _quantize_activations(x: jax.Array):
 
 
 def w8_matmul(x: jax.Array, w8: dict) -> jax.Array:
-    """y = x @ W^T; x [..., K] -> [..., N] f32, int8 MXU contraction."""
+    """y = x @ W^T; x [..., K] -> [..., N] f32, int8 MXU contraction.
+
+    The Pallas kernel variant (ops/w8_pallas.py) wins isolated
+    microbenches (+35% streaming BW) but LOSES at full-model scale —
+    per-call pipeline warm-up x 9 matmuls/layer outweighs it while XLA
+    overlaps DMA across ops (e2e RTF 0.0545 vs 0.0467).  It stays opt-in
+    via VOXTRAL_W8_PALLAS=1 for future re-evaluation.
+    """
     codes, scale = w8["codes"], w8["scale"]
     xq, sx = _quantize_activations(x)
+
+    import os
+
+    if os.environ.get("VOXTRAL_W8_PALLAS") == "1":
+        from voxtral_tpu.ops.w8_pallas import (
+            w8_matmul_pallas,
+            w8_pallas_supported,
+        )
+
+        if w8_pallas_supported(xq, codes):
+            return w8_matmul_pallas(xq, sx, codes, scale)
+
     z = jax.lax.dot_general(
         xq, codes,
         dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
