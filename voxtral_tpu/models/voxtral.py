@@ -187,7 +187,7 @@ class VoxtralModel:
         self._forward = jax.jit(partial(forward_fn, cfg=cfg))
         self._forward_streaming = jax.jit(partial(forward_streaming_fn, cfg=cfg))
         self._transcribe = jax.jit(
-            partial(transcribe_streaming_fn, cfg=cfg, cache_dtype=cache_dtype)
+            partial(transcribe_streaming_fn, cfg=cfg, cache_dtype=self.cache_dtype)
         )
 
     # -- constructors -------------------------------------------------------

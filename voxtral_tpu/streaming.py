@@ -56,7 +56,6 @@ Params = dict[str, Any]
 MEL_HOP = 160
 MEL_MARGIN = 4  # STFT frames of margin so window-interior frames are exact
 SAMPLES_PER_POSITION = 2560  # 16 mel frames
-CONV_PAD_FRAMES = 4  # mel frames of conv lookback fed before the target range
 
 
 def _mel_frames_needed(last_frame: int) -> int:
@@ -200,7 +199,6 @@ class StreamingSession:
             self._max_enc = 4 * self._max_dec
             self._dec_shift = self._enc_shift = 0
             rope_positions = self._max_dec
-        max_positions = self._max_dec
         self.enc_cache = create_encoder_cache(enc, 1, self._max_enc, cache_dtype)
         self.dec_cache = create_cache(lm, 1, self._max_dec, cache_dtype)
         self._enc_rope = rope_tables(enc.head_dim, 4 * rope_positions, enc.rope_theta)
@@ -314,8 +312,12 @@ class StreamingSession:
                     "stream exceeded max_duration_s; use unbounded=True"
                 )
             return
-        from voxtral_tpu.models.layers import cache_shift
-
+        if self._positions_done + self.P > DECODER_ROPE_MAX_SEQ:
+            # Gather would clamp silently past the RoPE table.
+            raise RuntimeError(
+                f"stream exceeded {DECODER_ROPE_MAX_SEQ} decoder positions "
+                "(~43 min) — the current RoPE table bound"
+            )
         enc_len = self._positions_done * 4 - self._enc_base
         if enc_len + 4 * self.P > self._max_enc:
             self.enc_cache = self._enc_shift_jit(self.enc_cache)
