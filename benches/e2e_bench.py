@@ -140,14 +140,15 @@ def main() -> int:
             mel_dev = model._cast_mel(logmel)
             embeds = model.encode_audio(mel_dev)
             np.asarray(embeds[0, 0, :1])
-            stages["encode"] += time.perf_counter() - t0
+            chunk_encode = time.perf_counter() - t0
+            stages["encode"] += chunk_encode
 
-            # Decode = full transcribe minus (already-cached) encode; the
+            # Decode = full transcribe minus THIS CHUNK's encode; the
             # jitted program fuses both, so time the whole and subtract.
             t0 = time.perf_counter()
             tokens = model.transcribe_streaming(logmel, delay_tokens=args.delay)
             full = time.perf_counter() - t0
-            stages["decode"] += max(0.0, full - stages["encode"])
+            stages["decode"] += max(0.0, full - chunk_encode)
             n_tokens += len(tokens)
         return stages, n_tokens
 

@@ -128,10 +128,20 @@ def main() -> int:
         print("error: need --model, --gguf or --random-weights", file=sys.stderr)
         return 2
 
-    total_audio_s = sum(
-        len(np.memmap(p, dtype=np.int16, mode="r", offset=44)) / 16000
-        for p, _ in pairs
-    )
+    def wav_duration_s(path: Path) -> float:
+        """Header-only duration for PCM WAVs; full decode as fallback
+        (float/24-bit formats, nonstandard chunks)."""
+        import wave
+
+        try:
+            with wave.open(str(path), "rb") as w:
+                return w.getnframes() / w.getframerate()
+        except Exception:
+            from voxtral_tpu.audio import load_wav
+
+            return load_wav(path).duration_secs
+
+    total_audio_s = sum(wav_duration_s(p) for p, _ in pairs)
     # Timeout scaled to audio duration (reference eval_wer.py:193-204).
     timeout = max(600, int(total_audio_s * 4) + 300)
 

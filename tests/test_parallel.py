@@ -103,3 +103,54 @@ def test_dryrun_multichip():
     from __graft_entry__ import dryrun_multichip
 
     dryrun_multichip(8)
+
+
+@requires_8_devices
+def test_quantized_param_shardings():
+    """q4/w8 dict leaves must get real TP specs, not silent replication."""
+    import numpy as np
+
+    from tests.test_model import tiny_config
+    from voxtral_tpu.models.voxtral import VoxtralModel
+    from voxtral_tpu.utils.quantize import quantize_params_w8
+
+    model = VoxtralModel.init_random(
+        jax.random.PRNGKey(0), tiny_config(), dtype=jnp.float32
+    )
+    w8 = quantize_params_w8(model.params, to_device=False)
+    mesh = make_mesh(n_data=1, n_model=2)
+    sh = param_shardings(w8, mesh)
+
+    dec = sh["decoder"]
+    # Column-parallel: out dim sharded.
+    assert dec["layers"]["attention"]["wq"]["w8"]["codes"].spec == P(None, "model", None)
+    assert dec["layers"]["attention"]["wq"]["w8"]["scale"].spec == P(None, "model")
+    assert dec["tok_embeddings"]["w8"]["codes"].spec == P("model", None)
+    assert dec["tok_embeddings"]["w8"]["scale"].spec == P("model")
+    # Row-parallel: in dim sharded, scale replicated.
+    assert dec["layers"]["ffn"]["w2"]["w8"]["codes"].spec == P(None, None, "model")
+    assert dec["layers"]["ffn"]["w2"]["w8"]["scale"].spec == P()
+    # ADA replicated.
+    assert dec["layers"]["ada"]["w0"]["w8"]["codes"].spec == P()
+
+
+@requires_8_devices
+def test_sharded_w8_transcribe_matches_single_device():
+    """TP-sharded W8 model must produce identical tokens."""
+    import numpy as np
+
+    from tests.test_model import tiny_config
+    from voxtral_tpu.models.voxtral import VoxtralModel
+    from voxtral_tpu.utils.quantize import quantize_params_w8
+
+    model = VoxtralModel.init_random(
+        jax.random.PRNGKey(0), tiny_config(), dtype=jnp.float32
+    )
+    w8_model = VoxtralModel(quantize_params_w8(model.params), model.config)
+    mel = jax.random.normal(jax.random.PRNGKey(4), (1, 128, 41 * 16), jnp.float32) * 0.3
+    ref = w8_model.transcribe_streaming(mel)
+
+    mesh = make_mesh(n_data=1, n_model=2)
+    sharded = VoxtralModel(shard_params(w8_model.params, mesh), model.config)
+    got = sharded.transcribe_streaming(mel)
+    np.testing.assert_array_equal(ref, got)

@@ -137,3 +137,35 @@ def test_unbounded_session_matches_batch(model):
         f"only {agree:.2%} agreement\nstream: {stream_tokens[:n]}\n"
         f"batch:  {np.asarray(batch_tokens)[:n]}"
     )
+
+
+def test_emit_holds_back_split_utf8(model):
+    """A multi-byte char split across decode steps must not freeze a
+    replacement char into the emitted deltas."""
+    import base64
+    import json
+
+    from voxtral_tpu.tokenizer import VoxtralTokenizer
+
+    e = "é".encode("utf-8")
+    vocab = [
+        {"rank": 1000, "token_bytes": base64.b64encode(b"caf").decode(), "is_control": False},
+        {"rank": 1001, "token_bytes": base64.b64encode(e[:1]).decode(), "is_control": False},
+        {"rank": 1002, "token_bytes": base64.b64encode(e[1:]).decode(), "is_control": False},
+    ]
+    tok = VoxtralTokenizer.from_json(json.dumps({
+        "config": {"pattern": ".", "num_vocab_tokens": 3,
+                   "default_vocab_size": 131072,
+                   "default_num_special_tokens": 1000, "version": "v7"},
+        "vocab": vocab,
+    }))
+
+    session = StreamingSession(model, tok, step_positions=8, max_duration_s=30)
+    # Simulate decode output arriving split across emits.
+    session.tokens = [1000, 1001]  # "caf" + first byte of "é"
+    d1 = session._emit()
+    assert d1 == "caf"  # the dangling byte is held back
+    session.tokens = [1000, 1001, 1002]
+    d2 = session._emit()
+    assert d2 == "é"
+    assert session.text == "café"

@@ -90,6 +90,20 @@ def available() -> bool:
 # ---------------------------------------------------------------------------
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=4)
+def _dft_twiddles(n_fft: int, n_bins: int):
+    t = np.arange(n_fft, dtype=np.float64)
+    freqs = np.arange(n_bins, dtype=np.float64)
+    angle = 2.0 * np.pi * np.outer(freqs, t) / n_fft
+    return (
+        np.ascontiguousarray(np.cos(angle), dtype=np.float32),
+        np.ascontiguousarray(-np.sin(angle), dtype=np.float32),
+    )
+
+
 def mel_compute_log(
     samples: np.ndarray,
     window: np.ndarray,
@@ -103,12 +117,7 @@ def mel_compute_log(
     assert lib is not None
     n_bins = n_fft // 2 + 1
     n_mels = mel_basis.shape[0]
-
-    t = np.arange(n_fft, dtype=np.float64)
-    freqs = np.arange(n_bins, dtype=np.float64)
-    angle = 2.0 * np.pi * np.outer(freqs, t) / n_fft
-    cos_t = np.ascontiguousarray(np.cos(angle), dtype=np.float32)
-    sin_t = np.ascontiguousarray(-np.sin(angle), dtype=np.float32)
+    cos_t, sin_t = _dft_twiddles(n_fft, n_bins)
 
     samples = np.ascontiguousarray(samples, dtype=np.float32)
     max_frames = (len(samples) + 2 * (n_fft // 2) - n_fft) // hop + 1

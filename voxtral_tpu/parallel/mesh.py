@@ -51,9 +51,17 @@ def _spec_for_path(path: tuple[str, ...], ndim: int) -> P:
 
     ``path`` is the dict-key path; stacked layer leaves carry a leading
     layer axis (ndim includes it) which is never sharded.
+
+    Quantized weights are dicts: the leaf path ends with
+    (..., <weight-name>, "q4"|"w8", <field>).  Sharding rules key off the
+    weight name; quantized layouts differ from dense ([out, in] for w8
+    codes / [K/8, N] for q4 packed), handled below.
     """
     leaf = path[-1]
     parent = path[-2] if len(path) >= 2 else ""
+
+    if parent in ("w8", "q4"):
+        return _spec_for_quantized(path, ndim, fmt=parent)
 
     def with_layer(spec_tail: tuple) -> P:
         # Prepend Nones so the spec matches ndim (layer axis etc. unsharded).
@@ -86,6 +94,47 @@ def _spec_for_path(path: tuple[str, ...], ndim: int) -> P:
         if leaf == "w2":
             return P(MODEL_AXIS, None)
     # norms, ada, conv, everything else: replicated.
+    return P()
+
+
+def _spec_for_quantized(path: tuple[str, ...], ndim: int, fmt: str) -> P:
+    """Specs for q4/w8 leaves: path (..., <weight>, fmt, field).
+
+    Column-parallel weights (wq/wk/wv/w1/w3, adapter w1, tok_embeddings)
+    shard the OUT dim; row-parallel (wo/w2) shard the IN dim.
+      w8: codes [.., out, in], scale [.., out]
+      q4 packed: codes_packed [.., K/8, out], scales_t [.., K/32, out]
+      q4 int8:   codes [.., out, in],  scales [.., out, in/32]
+    Leading stacked-layer axes are never sharded (padded with None).
+    """
+    weight = path[-3] if len(path) >= 3 else ""
+    grand = path[-4] if len(path) >= 4 else ""
+    field = path[-1]
+
+    col_weights = {"wq", "wk", "wv", "w1", "w3", "tok_embeddings"}
+    row_weights = {"wo", "w2"}
+    # ADA stays replicated (tiny); adapter w1 column / w2 row like dense.
+    if grand == "ada":
+        return P()
+    if weight not in col_weights | row_weights:
+        return P()
+    col = weight in col_weights
+
+    def pad(tail: tuple) -> P:
+        return P(*((None,) * (ndim - len(tail)) + tail))
+
+    if fmt == "w8":
+        if field == "codes":
+            return pad((MODEL_AXIS, None)) if col else pad((None, MODEL_AXIS))
+        if field == "scale":
+            return pad((MODEL_AXIS,)) if col else P()
+    else:  # q4
+        if field in ("codes_packed", "scales_t"):  # [.., K-ish, out]
+            return pad((None, MODEL_AXIS)) if col else pad((MODEL_AXIS, None))
+        if field == "codes":  # [.., out, in]
+            return pad((MODEL_AXIS, None)) if col else pad((None, MODEL_AXIS))
+        if field == "scales":  # [.., out, in/32]
+            return pad((MODEL_AXIS, None)) if col else pad((None, MODEL_AXIS))
     return P()
 
 

@@ -141,15 +141,13 @@ class TranscribePipeline:
         if self.pcfg.peak_normalize is not None:
             audio.peak_normalize(self.pcfg.peak_normalize)
 
-        if needs_chunking(len(audio.samples), self.chunk_config):
-            chunks = chunk_audio(audio.samples, self.chunk_config)
+        chunks = chunk_audio(audio.samples, self.chunk_config)
+        if len(chunks) > 1:
             log.info(
                 "audio exceeds %d mel frames; %d chunks",
                 self.chunk_config.max_mel_frames,
                 len(chunks),
             )
-        else:
-            chunks = chunk_audio(audio.samples, self.chunk_config)
 
         # Chunks of the SAME padded length decode in one batched on-device
         # scan (all non-final chunks are exactly max_mel_frames long, so a

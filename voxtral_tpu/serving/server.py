@@ -37,11 +37,25 @@ _STATIC_DIR = Path(__file__).parent / "static"
 
 
 class _State:
+    # Abandoned streaming sessions hold preallocated device KV caches;
+    # evict on idle TTL and cap concurrency so they can't exhaust HBM.
+    SESSION_TTL_S = 300.0
+    MAX_SESSIONS = 16
+
     def __init__(self, pipeline: TranscribePipeline, step_positions: int = 8):
         self.pipeline = pipeline
         self.step_positions = step_positions
         self.lock = threading.Lock()
         self.sessions: dict[str, object] = {}
+        self.last_access: dict[str, float] = {}
+
+    def evict_idle(self) -> None:
+        now = time.time()
+        for sid, ts in list(self.last_access.items()):
+            if now - ts > self.SESSION_TTL_S:
+                self.sessions.pop(sid, None)
+                self.last_access.pop(sid, None)
+                log.info("evicted idle session %s", sid)
 
 
 def _new_session(state: _State):
@@ -124,9 +138,17 @@ class _Handler(BaseHTTPRequestHandler):
         elif path == "/transcribe_pcm":
             self._transcribe_pcm()
         elif path == "/stream/start":
-            sid = uuid.uuid4().hex[:12]
             with self.state.lock:
+                self.state.evict_idle()
+                if len(self.state.sessions) >= self.state.MAX_SESSIONS:
+                    self._json(429, {
+                        "error": "too many active sessions "
+                        f"(max {self.state.MAX_SESSIONS})"
+                    })
+                    return
+                sid = uuid.uuid4().hex[:12]
                 self.state.sessions[sid] = _new_session(self.state)
+                self.state.last_access[sid] = time.time()
             self._json(200, {"session": sid})
         elif path.startswith("/stream/"):
             parts = path.strip("/").split("/")
@@ -138,6 +160,7 @@ class _Handler(BaseHTTPRequestHandler):
             if session is None:
                 self._json(404, {"error": f"unknown session: {sid}"})
                 return
+            self.state.last_access[sid] = time.time()
             if action == "feed":
                 samples = np.frombuffer(self._read_body(), dtype=np.float32)
                 with self.state.lock:
@@ -147,6 +170,7 @@ class _Handler(BaseHTTPRequestHandler):
                 with self.state.lock:
                     delta = session.finish()
                     self.state.sessions.pop(sid, None)
+                    self.state.last_access.pop(sid, None)
                 self._json(200, {
                     "delta": delta,
                     "text": session.text,
@@ -253,6 +277,9 @@ def main(argv: Optional[list[str]] = None) -> int:
         tokenizer = VoxtralTokenizer([None] * 131072, {}, 131072)
         pipeline = TranscribePipeline(model, tokenizer)
     elif args.gguf:
+        if not args.tokenizer:
+            print("error: --gguf requires --tokenizer", file=sys.stderr)
+            return 2
         pipeline = TranscribePipeline.from_gguf(args.gguf, args.tokenizer)
     elif args.model:
         pipeline = TranscribePipeline.from_model_dir(args.model)

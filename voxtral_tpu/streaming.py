@@ -340,6 +340,14 @@ class StreamingSession:
         if self.tokenizer is None:
             return ""
         text = self.tokenizer.decode([t for t in self.tokens if t >= 1000])
+        if not self._finished:
+            # A multi-byte UTF-8 character split across tokens decodes to a
+            # trailing U+FFFD now and the real character later; emitting it
+            # would freeze the replacement char in already-sent deltas.
+            # Hold trailing replacement chars back until completed (or
+            # until finish(), when genuine invalid bytes are emitted as-is).
+            while text.endswith("�"):
+                text = text[:-1]
         delta = text[len(self._text):]
         self._text = text
         return delta
