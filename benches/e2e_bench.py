@@ -3,8 +3,11 @@
 ``/root/reference/src/bin/e2e_bench.rs``): preprocess / encode / decode ms,
 RTF, tok/s, peak RSS, warmup + N averaged iterations, table + JSON report.
 
-Stages are separated with explicit ``block_until_ready`` syncs, mirroring
-the reference's forced GPU syncs (e2e_bench.rs:166).
+Stages are separated with explicit value-fetch syncs, mirroring the
+reference's forced GPU syncs (e2e_bench.rs:166).  NOTE: per-stage syncs
+break device-queue pipelining (and run the encoder once standalone), so
+the stage SPLIT is diagnostic; the deployable end-to-end wall time is
+what ``bench.py`` measures (the async full pipeline).
 
 Usage:
   python benches/e2e_bench.py [--model DIR | --gguf F --tokenizer T |
