@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Real-time streaming latency benchmark.
+
+Feeds audio into a StreamingSession in real-time-sized pieces and reports
+the steady-state step wall time — the time from a step's audio being
+available to its tokens being decoded.  For true real-time operation the
+step time must stay under the step's audio span (P x 160 ms).
+
+Usage: python benches/streaming_bench.py [--seconds 30] [--step 8]
+       [--platform ...] [--params tiny.json (with --random-weights)]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import numpy as np
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seconds", type=float, default=30.0)
+    ap.add_argument("--step", type=int, default=8)
+    ap.add_argument("--platform", default="default")
+    ap.add_argument("--params")
+    ap.add_argument("--w8", action="store_true", default=True)
+    args = ap.parse_args()
+
+    if args.platform != "default":
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    import jax
+    import jax.numpy as jnp
+
+    from voxtral_tpu.utils.compilation_cache import enable
+
+    enable()
+
+    from voxtral_tpu.config import VoxtralConfig
+    from voxtral_tpu.models.voxtral import VoxtralModel
+    from voxtral_tpu.streaming import StreamingSession
+    from voxtral_tpu.utils.quantize import random_w8_params
+
+    cfg = (
+        VoxtralConfig.from_file(args.params)
+        if args.params
+        else VoxtralConfig.voxtral()
+    )
+    t0 = time.time()
+    if args.params:
+        model = VoxtralModel.init_random(jax.random.PRNGKey(0), cfg, jnp.float32)
+    else:
+        model = VoxtralModel(random_w8_params(cfg), cfg)
+    print(f"# model ready in {time.time()-t0:.0f}s, "
+          f"backend={jax.default_backend()}", file=sys.stderr)
+
+    session = StreamingSession(model, step_positions=args.step)
+    step_audio_ms = args.step * 160.0
+
+    rng = np.random.default_rng(0)
+    total = int(args.seconds * 16000)
+    piece = int(step_audio_ms / 1000 * 16000)  # one step of audio per feed
+
+    step_times = []
+    fed = 0
+    while fed < total:
+        samples = rng.normal(size=piece).astype(np.float32) * 0.2
+        before = session.positions_done
+        t0 = time.perf_counter()
+        session.feed(samples)
+        dt = (time.perf_counter() - t0) * 1000
+        if session.positions_done > before and before > 0:  # steady steps
+            step_times.append(dt)
+        fed += piece
+    session.finish()
+
+    steady = np.asarray(step_times[1:]) if len(step_times) > 1 else np.asarray(step_times)
+    report = {
+        "step_audio_ms": step_audio_ms,
+        "steady_step_ms_p50": round(float(np.percentile(steady, 50)), 1),
+        "steady_step_ms_p95": round(float(np.percentile(steady, 95)), 1),
+        "realtime_factor": round(float(np.percentile(steady, 50)) / step_audio_ms, 3),
+        "steps": int(steady.size),
+        "tokens": len(session.tokens),
+        "backend": jax.default_backend(),
+    }
+    print(f"# step audio {step_audio_ms:.0f} ms | p50 {report['steady_step_ms_p50']} ms "
+          f"| p95 {report['steady_step_ms_p95']} ms | "
+          f"{report['realtime_factor']*100:.1f}% of realtime budget",
+          file=sys.stderr)
+    print(json.dumps(report))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
