@@ -6,8 +6,11 @@ the steady-state step wall time — the time from a step's audio being
 available to its tokens being decoded.  For true real-time operation the
 step time must stay under the step's audio span (P x 160 ms).
 
+Weights: full-size random W8 by default; pass --params <params.json> for
+a small dense random model (CPU smoke runs).
+
 Usage: python benches/streaming_bench.py [--seconds 30] [--step 8]
-       [--platform ...] [--params tiny.json (with --random-weights)]
+       [--platform ...] [--params tiny.json]
 """
 
 from __future__ import annotations
@@ -29,7 +32,6 @@ def main() -> int:
     ap.add_argument("--step", type=int, default=8)
     ap.add_argument("--platform", default="default")
     ap.add_argument("--params")
-    ap.add_argument("--w8", action="store_true", default=True)
     args = ap.parse_args()
 
     if args.platform != "default":
@@ -82,6 +84,10 @@ def main() -> int:
     session.finish()
 
     steady = np.asarray(step_times[1:]) if len(step_times) > 1 else np.asarray(step_times)
+    if steady.size == 0:
+        print("error: run too short for steady-state steps — need "
+              f"> {(38 + 2 * args.step) * 0.16:.1f}s of audio", file=sys.stderr)
+        return 2
     report = {
         "step_audio_ms": step_audio_ms,
         "steady_step_ms_p50": round(float(np.percentile(steady, 50)), 1),

@@ -117,6 +117,9 @@ def main() -> int:
         "--platform", args.platform,
     ]
     if args.gguf:
+        if not args.tokenizer:
+            print("error: --gguf requires --tokenizer", file=sys.stderr)
+            return 2
         cmd += ["--gguf", args.gguf, "--tokenizer", args.tokenizer]
     elif args.model:
         cmd += ["--model", args.model]

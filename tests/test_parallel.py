@@ -107,9 +107,8 @@ def test_dryrun_multichip():
 
 @requires_8_devices
 def test_quantized_param_shardings():
-    """q4/w8 dict leaves must get real TP specs, not silent replication."""
-    import numpy as np
-
+    """w8 dict leaves must get real TP specs (q4 PACKED leaves stay
+    replicated — Pallas kernels can't be auto-partitioned)."""
     from tests.test_model import tiny_config
     from voxtral_tpu.models.voxtral import VoxtralModel
     from voxtral_tpu.utils.quantize import quantize_params_w8

@@ -129,8 +129,12 @@ def _spec_for_quantized(path: tuple[str, ...], ndim: int, fmt: str) -> P:
         if field == "scale":
             return pad((MODEL_AXIS,)) if col else P()
     else:  # q4
-        if field in ("codes_packed", "scales_t"):  # [.., K-ish, out]
-            return pad((None, MODEL_AXIS)) if col else pad((MODEL_AXIS, None))
+        if field in ("codes_packed", "scales_t"):
+            # Packed-int4 leaves feed a Pallas kernel, which XLA cannot
+            # auto-partition — keep them replicated.  For TP over a
+            # quantized model load with weight_format="w8" (sharded int8
+            # runs on plain XLA dots).
+            return P()
         if field == "codes":  # [.., out, in]
             return pad((MODEL_AXIS, None)) if col else pad((None, MODEL_AXIS))
         if field == "scales":  # [.., out, in/32]

@@ -32,7 +32,6 @@ from voxtral_tpu.audio import (
     PadConfig,
     chunk_audio,
     load_wav,
-    needs_chunking,
     resample_to_16k,
 )
 from voxtral_tpu.config import VoxtralConfig

@@ -156,21 +156,25 @@ class _Handler(BaseHTTPRequestHandler):
                 self._json(404, {"error": f"bad stream endpoint: {path}"})
                 return
             sid, action = parts[1], parts[2]
-            session = self.state.sessions.get(sid)
-            if session is None:
-                self._json(404, {"error": f"unknown session: {sid}"})
-                return
-            self.state.last_access[sid] = time.time()
             if action == "feed":
                 samples = np.frombuffer(self._read_body(), dtype=np.float32)
                 with self.state.lock:
+                    session = self.state.sessions.get(sid)
+                    if session is None:
+                        self._json(404, {"error": f"unknown session: {sid}"})
+                        return
+                    self.state.last_access[sid] = time.time()
                     delta = session.feed(samples)
-                self._json(200, {"delta": delta, "positions": session.positions_done})
+                    positions = session.positions_done
+                self._json(200, {"delta": delta, "positions": positions})
             else:
                 with self.state.lock:
-                    delta = session.finish()
-                    self.state.sessions.pop(sid, None)
+                    session = self.state.sessions.pop(sid, None)
                     self.state.last_access.pop(sid, None)
+                    if session is None:
+                        self._json(404, {"error": f"unknown session: {sid}"})
+                        return
+                    delta = session.finish()
                 self._json(200, {
                     "delta": delta,
                     "text": session.text,
