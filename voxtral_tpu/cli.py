@@ -53,8 +53,9 @@ def build_parser() -> argparse.ArgumentParser:
         help="Max mel frames per chunk",
     )
     p.add_argument(
-        "--dtype", choices=["bfloat16", "float32"], default="bfloat16",
-        help="Compute dtype for the SafeTensors path",
+        "--dtype", choices=["bfloat16", "float32", "w8"], default="bfloat16",
+        help="SafeTensors path weights: bfloat16/float32, or w8 "
+        "(rowwise-int8 requantized at load — fastest decode)",
     )
     p.add_argument(
         "--random-weights", action="store_true",

@@ -81,17 +81,28 @@ class TranscribePipeline:
         dtype: str = "bfloat16",
         pipeline_config: Optional[PipelineConfig] = None,
     ) -> "TranscribePipeline":
-        """f32/bf16 SafeTensors path: dir with consolidated.safetensors,
-        params.json, tekken.json."""
+        """SafeTensors path: dir with consolidated.safetensors, params.json,
+        tekken.json.  dtype: "bfloat16" | "float32" | "w8" (rowwise-int8
+        requantized at load — the fast decode path without a GGUF step)."""
         from voxtral_tpu.loaders.safetensors_loader import load_voxtral_params
 
         model_dir = Path(model_dir)
         cfg = VoxtralConfig.from_model_dir(model_dir)
         t0 = time.time()
-        params = load_voxtral_params(
-            model_dir / "consolidated.safetensors", cfg, dtype=dtype
-        )
-        log.info("loaded safetensors weights in %.1fs", time.time() - t0)
+        if dtype == "w8":
+            from voxtral_tpu.utils.quantize import quantize_params_w8
+
+            dense = load_voxtral_params(
+                model_dir / "consolidated.safetensors", cfg,
+                dtype="float32", to_device=False,
+            )
+            params = quantize_params_w8(dense)
+        else:
+            params = load_voxtral_params(
+                model_dir / "consolidated.safetensors", cfg, dtype=dtype
+            )
+        log.info("loaded safetensors weights (%s) in %.1fs", dtype,
+                 time.time() - t0)
         tokenizer = VoxtralTokenizer.from_model_dir(model_dir)
         return cls(VoxtralModel(params, cfg), tokenizer, pipeline_config)
 
