@@ -36,6 +36,39 @@ def test_trace_writes_profile(tmp_path):
     )
 
 
+def test_hot_path_spans_fire(caplog):
+    """The pipeline + model must emit the reference's stage spans
+    (encode/prefill/decode analogue: mel / transcribe_dispatch /
+    transcribe_fetch / decode_tokens, gguf/model.rs:784-936)."""
+    import numpy as np
+
+    from tests.test_model import tiny_config
+    from voxtral_tpu.models.voxtral import VoxtralModel
+    from voxtral_tpu.pipeline import PipelineConfig, TranscribePipeline
+    from voxtral_tpu.tokenizer import VoxtralTokenizer
+
+    model = VoxtralModel.init_random(
+        jax.random.PRNGKey(0), tiny_config(), dtype=jnp.float32
+    )
+    tokenizer = VoxtralTokenizer([b"x "] * 500, {}, 500)
+    pipe = TranscribePipeline(model, tokenizer, PipelineConfig())
+    samples = (0.1 * np.sin(np.arange(16000 * 11) * 0.05)).astype(np.float32)
+    with caplog.at_level(logging.INFO, logger="voxtral_tpu.profiling"):
+        pipe.transcribe_samples(samples, 16000)
+    messages = [r.getMessage() for r in caplog.records]
+    for name in ("span mel", "span transcribe_dispatch",
+                 "span transcribe_fetch", "span decode_tokens"):
+        assert any(name in m for m in messages), (name, messages)
+
+    with caplog.at_level(logging.INFO, logger="voxtral_tpu.profiling"):
+        mel = np.zeros((1, 128, 64 * 16), np.float32)
+        model.encode_audio(mel)
+        model.transcribe_streaming(mel)
+    messages = [r.getMessage() for r in caplog.records]
+    assert any("span encode_audio" in m for m in messages)
+    assert any("span transcribe_streaming" in m for m in messages)
+
+
 def test_compilation_cache_enable(tmp_path, monkeypatch):
     from voxtral_tpu.utils import compilation_cache
 

@@ -48,6 +48,7 @@ from voxtral_tpu.models.encoder import encoder_forward
 from voxtral_tpu.models.layers import KVCache, rope_tables
 from voxtral_tpu.models.time_embedding import time_embedding
 from voxtral_tpu.tokenizer import BOS_TOKEN, STREAMING_PAD
+from voxtral_tpu.utils.profiling import span
 
 Params = dict[str, Any]
 
@@ -236,7 +237,8 @@ class VoxtralModel:
         return jnp.asarray(mel).astype(self.compute_dtype)
 
     def encode_audio(self, mel: jax.Array) -> jax.Array:
-        return self._encode(self.params, self._cast_mel(mel))
+        with span("encode_audio", mel_frames=int(mel.shape[-1])):
+            return self._encode(self.params, self._cast_mel(mel))
 
     def forward(self, mel: jax.Array, t_embed: jax.Array) -> jax.Array:
         return self._forward(self.params, self._cast_mel(mel), t_embed)
@@ -317,11 +319,14 @@ class VoxtralModel:
         tokens included, exactly like the reference's Vec<i32>).
         """
         mel = self._cast_mel(mel)
-        if self.decoder_seq_len(mel.shape[-1]) < PREFIX_LEN + 1:
+        seq = self.decoder_seq_len(mel.shape[-1])
+        if seq < PREFIX_LEN + 1:
             return np.zeros((0,), dtype=np.int32)
         t_embed = self.t_embed(delay_tokens)
-        tokens = self._transcribe(self.params, mel, t_embed)
-        return np.asarray(jax.device_get(tokens))[0]
+        with span("transcribe_streaming", mel_frames=int(mel.shape[-1]),
+                  tokens=seq - PREFIX_LEN):
+            tokens = self._transcribe(self.params, mel, t_embed)
+            return np.asarray(jax.device_get(tokens))[0]
 
     def transcribe_streaming_batch_async(
         self, mel_batch: jax.Array, delay_tokens: float = 6.0

@@ -37,6 +37,7 @@ from voxtral_tpu.audio import (
 from voxtral_tpu.config import VoxtralConfig
 from voxtral_tpu.models.voxtral import VoxtralModel
 from voxtral_tpu.tokenizer import VoxtralTokenizer
+from voxtral_tpu.utils.profiling import span
 
 log = logging.getLogger("voxtral_tpu")
 
@@ -177,27 +178,32 @@ class TranscribePipeline:
         chunk_tokens: list[np.ndarray] = [None] * len(padded)  # type: ignore
         pending = []
         for length, idxs in groups.items():
-            mels = np.concatenate(
-                [self.mel.compute_log_batch(padded[i].samples) for i in idxs],
-                axis=0,
-            )
+            with span("mel", chunks=len(idxs), samples=length):
+                mels = np.concatenate(
+                    [self.mel.compute_log_batch(padded[i].samples) for i in idxs],
+                    axis=0,
+                )
             if len(idxs) > 1:
                 log.info(
                     "decoding %d equal-length chunks in one batched scan",
                     len(idxs),
                 )
-            pending.append((idxs, self.model.transcribe_streaming_batch_async(
-                mels, delay_tokens=self.pcfg.delay_tokens
-            )))
-        for idxs, dev_tokens in pending:
-            for i, toks in zip(idxs, np.asarray(dev_tokens)):
-                chunk_tokens[i] = toks
+            with span("transcribe_dispatch", batch=len(idxs),
+                      mel_frames=mels.shape[-1]):
+                pending.append((idxs, self.model.transcribe_streaming_batch_async(
+                    mels, delay_tokens=self.pcfg.delay_tokens
+                )))
+        with span("transcribe_fetch", groups=len(pending)):
+            for idxs, dev_tokens in pending:
+                for i, toks in zip(idxs, np.asarray(dev_tokens)):
+                    chunk_tokens[i] = toks
 
-        texts = []
-        for toks in chunk_tokens:
-            text = self.decode_tokens(toks)
-            if text.strip():
-                texts.append(text.strip())
+        with span("decode_tokens", chunks=len(chunk_tokens)):
+            texts = []
+            for toks in chunk_tokens:
+                text = self.decode_tokens(toks)
+                if text.strip():
+                    texts.append(text.strip())
         return " ".join(texts)
 
     def transcribe_file(self, path: str | Path) -> str:
