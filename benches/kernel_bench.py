@@ -1,0 +1,322 @@
+"""Op-level microbenchmarks at the real decode shapes.
+
+The TPU analogue of the reference's Criterion kernel benches
+(``/root/reference/benches/q4_ops.rs:1-95``, ``q4_pipeline.rs``): every
+number a kernel docstring cites must be reproducible by one command:
+
+    python benches/kernel_bench.py                 # all suites, TPU
+    python benches/kernel_bench.py --suite matmul --m 1,2,4,8
+    python benches/kernel_bench.py --suite step --batch 1,2,4
+
+Timing discipline (CLAUDE.md "Environment gotchas"): the axon tunnel's
+``block_until_ready`` does not block and identical-input repeat loops get
+algebraically folded by XLA, so every suite
+
+* chains iterations through a data dependency (``lax.scan`` whose carry
+  feeds the next iteration's input),
+* passes weights as jit ARGUMENTS (closure constants show ~10x lower
+  effective bandwidth),
+* fetches one value at the end (the only true synchronization), and
+* reports the slope between two scan lengths (subtracts dispatch +
+  constant overhead).
+
+Effective GB/s counts the weight bytes that must cross HBM per iteration
+(activations are negligible at decode M).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+# Decode-path weight shapes [N(out), K(in)] of the production model.
+DECODE_SHAPES = {
+    "wq": (4096, 3072),
+    "wk": (1024, 3072),
+    "wo": (3072, 4096),
+    "w1/w3": (9216, 3072),
+    "w2": (3072, 9216),
+    "lm_head": (131072, 3072),
+}
+# One decoder layer's matmul weights (wk == wv).
+LAYER_SHAPES = [
+    (4096, 3072), (1024, 3072), (1024, 3072), (3072, 4096),
+    (9216, 3072), (9216, 3072), (3072, 9216),
+]
+
+
+def _fold(y, k):
+    """Map a [M, N] f32 output back onto a [M, K] input (data dependency
+    that XLA cannot fold away across iterations)."""
+    import jax.numpy as jnp
+
+    n = y.shape[-1]
+    if n >= k:
+        return y[..., :k]
+    reps = -(-k // n)
+    return jnp.tile(y, (1, reps))[..., :k]
+
+
+def _timed_slope(run, short: int, long: int) -> float:
+    """Per-iteration seconds via the slope between two chained scan
+    lengths (one value fetch each — the only real sync over axon)."""
+    np.asarray(run(short))  # warmup/compile for the short program
+    np.asarray(run(long))   # warmup/compile for the long program
+    t0 = time.perf_counter()
+    np.asarray(run(short))
+    t_short = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    np.asarray(run(long))
+    t_long = time.perf_counter() - t0
+    return (t_long - t_short) / (long - short)
+
+
+def bench_matmul_variant(name, make_fn, m, n, k, weight_bytes, short=8, long=40):
+    """Generic chained matmul bench.  ``make_fn(key)`` returns
+    (fn, weights) with fn(x, *weights) -> [M, N] f32-ish."""
+    import jax
+    import jax.numpy as jnp
+
+    fn, weights = make_fn()
+    x0 = (np.random.RandomState(0).randn(m, k) * 0.5).astype(np.float32)
+
+    def run_body(x0, length, *w):
+        def body(x, _):
+            y = fn(x, *w)
+            x2 = x0 + 1e-3 * _fold(y.astype(jnp.float32), k)
+            return x2, ()
+        x, _ = jax.lax.scan(body, x0, None, length=length)
+        return x[0, 0]
+
+    import functools
+
+    @functools.lru_cache(maxsize=None)
+    def _jitted(length):
+        # length must be static: one jitted program per scan length.
+        return jax.jit(lambda x0, *w: run_body(x0, length, *w))
+
+    def runner(length):
+        return _jitted(length)(x0, *weights)
+
+    per_iter = _timed_slope(runner, short, long)
+    gbps = weight_bytes / per_iter / 1e9
+    return {
+        "bench": name, "m": m, "n": n, "k": k,
+        "us": round(per_iter * 1e6, 1),
+        "eff_gbps": round(gbps, 1),
+    }
+
+
+def make_w8_xla(n, k):
+    from voxtral_tpu.ops.w8 import quantize_w8_rowwise, w8_matmul
+
+    w = (np.random.RandomState(1).randn(n, k) * 0.05).astype(np.float32)
+    q = quantize_w8_rowwise(w)["w8"]
+
+    def fn(x, codes, scale):
+        return w8_matmul(x, {"codes": codes, "scale": scale})
+
+    return fn, (q["codes"], q["scale"])
+
+
+def make_w8_pallas(n, k):
+    from voxtral_tpu.ops.w8 import _quantize_activations, quantize_w8_rowwise
+    from voxtral_tpu.ops.w8_pallas import w8_matmul_pallas
+
+    w = (np.random.RandomState(1).randn(n, k) * 0.05).astype(np.float32)
+    q = quantize_w8_rowwise(w)["w8"]
+
+    def fn(x, codes, scale):
+        xq, sx = _quantize_activations(x)
+        return w8_matmul_pallas(xq, sx, codes, scale)
+
+    return fn, (q["codes"], q["scale"])
+
+
+def make_bf16(n, k):
+    import jax.numpy as jnp
+
+    w = (np.random.RandomState(1).randn(k, n) * 0.05).astype(np.float32)
+    wb = np.asarray(w, dtype=jnp.bfloat16)
+
+    def fn(x, w):
+        return jnp.dot(x.astype(jnp.bfloat16), w,
+                       preferred_element_type=jnp.float32)
+
+    return fn, (wb,)
+
+
+def make_q4_packed(n, k):
+    from voxtral_tpu.ops.q4 import q4_matmul
+    from voxtral_tpu.utils.quantize import _quantize_matrix
+
+    w = (np.random.RandomState(1).randn(n, k) * 0.05).astype(np.float32)
+    q4 = _quantize_matrix(w)["q4"]
+    keys = sorted(q4.keys())
+
+    def fn(x, *leaves):
+        # Rebuild the dict from flattened leaves (weights must be args).
+        return q4_matmul(x.astype("bfloat16"), dict(zip(keys, leaves)))
+
+    return fn, tuple(q4[kk] for kk in keys)
+
+
+def suite_matmul(ms, include_q4):
+    results = []
+    for m in ms:
+        for shape_name, (n, k) in DECODE_SHAPES.items():
+            wb = n * k + 4 * n
+            r = bench_matmul_variant(
+                f"w8_xla:{shape_name}", lambda n=n, k=k: make_w8_xla(n, k),
+                m, n, k, wb)
+            results.append(r)
+            print(json.dumps(r), flush=True)
+            try:
+                r = bench_matmul_variant(
+                    f"w8_pallas:{shape_name}",
+                    lambda n=n, k=k: make_w8_pallas(n, k), m, n, k, wb)
+                results.append(r)
+                print(json.dumps(r), flush=True)
+            except Exception as e:  # pragma: no cover - kernel support varies
+                print(f"# w8_pallas:{shape_name} m={m} failed: {e}",
+                      file=sys.stderr)
+            if shape_name in ("w1/w3", "lm_head"):
+                r = bench_matmul_variant(
+                    f"bf16:{shape_name}", lambda n=n, k=k: make_bf16(n, k),
+                    m, n, k, 2 * n * k)
+                results.append(r)
+                print(json.dumps(r), flush=True)
+            if include_q4 and shape_name in ("w1/w3", "lm_head"):
+                try:
+                    # packed int32 [K/8, N] + f16 scales [K/32, N]
+                    wb_q4 = n * k // 2 + 2 * n * (k // 32)
+                    r = bench_matmul_variant(
+                        f"q4_packed:{shape_name}",
+                        lambda n=n, k=k: make_q4_packed(n, k), m, n, k, wb_q4)
+                    results.append(r)
+                    print(json.dumps(r), flush=True)
+                except Exception as e:  # pragma: no cover
+                    print(f"# q4_packed:{shape_name} m={m} failed: {e}",
+                          file=sys.stderr)
+    return results
+
+
+def suite_step(batches, seq=160, short=4, long=16):
+    """Full single-token decode step (26 layers + lm_head + argmax +
+    embed feedback) per-step cost at each batch size.
+
+    Isolates decode from encode/prefill: random prefilled cache, random
+    audio embeds; steps chain through (token, cache) exactly like
+    transcribe_streaming_fn.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from voxtral_tpu.config import VoxtralConfig
+    from voxtral_tpu.models.decoder import (
+        create_cache,
+        decoder_forward_hidden_with_cache,
+        embed_tokens,
+        lm_head,
+    )
+    from voxtral_tpu.models.layers import rope_tables
+    from voxtral_tpu.utils.quantize import random_w8_params
+
+    cfg = VoxtralConfig.voxtral()
+    lm_cfg = cfg.language_model
+    params = random_w8_params(cfg)["decoder"]
+    t_embed = jnp.zeros((1, 1, lm_cfg.dim), jnp.bfloat16)
+
+    results = []
+    for b in batches:
+        audio = jnp.asarray(
+            np.random.RandomState(0).randn(b, seq, lm_cfg.dim) * 0.05,
+            jnp.bfloat16,
+        )
+
+        cache0 = create_cache(lm_cfg, b, seq, dtype=jnp.bfloat16)
+        rope = rope_tables(lm_cfg.head_dim, seq, lm_cfg.rope_theta)
+
+        def run(params, audio, cache_k, cache_v, length, b):
+            from voxtral_tpu.models.layers import KVCache
+
+            # Pretend 38 positions already prefilled.
+            cache = KVCache(cache_k, cache_v, jnp.asarray(38, jnp.int32))
+            tok0 = jnp.full((b,), 32, jnp.int32)
+
+            def step(carry, i):
+                prev, cache = carry
+                apos = jax.lax.dynamic_slice_in_dim(audio, 38, 1, axis=1)
+                text = embed_tokens(params, prev[:, None])
+                hidden, cache = decoder_forward_hidden_with_cache(
+                    params, apos + text, t_embed, cache, lm_cfg, rope
+                )
+                logits = lm_head(params, hidden[:, 0, :])
+                token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                return (token, cache), token
+
+            (_, _), toks = jax.lax.scan(
+                step, (tok0, cache), jnp.arange(length, dtype=jnp.int32)
+            )
+            return toks[-1, 0]
+
+        import functools
+
+        @functools.lru_cache(maxsize=None)
+        def _jitted(length, b):
+            return jax.jit(functools.partial(run, length=length, b=b))
+
+        def runner(length, b=b, audio=audio):
+            return _jitted(length, b)(params, audio, cache0.k, cache0.v)
+
+        per_step = _timed_slope(runner, short, long)
+        # int8 weight bytes streamed per step (+ scales, + lm_head).
+        layer_bytes = sum(n * k + 4 * n for n, k in LAYER_SHAPES)
+        step_bytes = 26 * layer_bytes + 131072 * 3072 + 4 * 131072
+        r = {
+            "bench": "decode_step", "batch": b, "seq": seq,
+            "ms_per_step": round(per_step * 1e3, 3),
+            "eff_gbps": round(step_bytes / per_step / 1e9, 1),
+            "tok_s_equiv": round(b / per_step, 1),
+        }
+        results.append(r)
+        print(json.dumps(r), flush=True)
+    return results
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--suite", default="all",
+                    choices=["all", "matmul", "step"])
+    ap.add_argument("--m", default="1,2,8")
+    ap.add_argument("--batch", default="1,2,4")
+    ap.add_argument("--q4", action="store_true",
+                    help="include packed-q4 kernels in the matmul suite")
+    ap.add_argument("--platform", default=None,
+                    help="force a JAX platform (cpu for smoke tests)")
+    args = ap.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    from voxtral_tpu.utils.compilation_cache import enable as enable_cache
+
+    enable_cache()
+    import jax
+
+    print(f"# backend: {jax.default_backend()}", file=sys.stderr)
+
+    if args.suite in ("all", "matmul"):
+        suite_matmul([int(x) for x in args.m.split(",")], args.q4)
+    if args.suite in ("all", "step"):
+        suite_step([int(x) for x in args.batch.split(",")])
+
+
+if __name__ == "__main__":
+    main()
