@@ -236,3 +236,55 @@ def test_resample():
     # Same-rate input is passed through untouched.
     buf16 = AudioBuffer(np.zeros(100, dtype=np.float32), 16000)
     assert resample_to_16k(buf16) is buf16
+
+
+def _mel_db(samples: np.ndarray) -> np.ndarray:
+    """Log-mel features for resampler-parity comparison."""
+    from voxtral_tpu.audio import MelSpectrogram
+
+    return np.asarray(MelSpectrogram.voxtral().compute_log(samples))
+
+
+@pytest.mark.parametrize("src_rate", [44100, 48000, 22050])
+def test_resampler_parity_vs_fft(src_rate):
+    """Polyphase resampler vs a high-quality FFT reference on a chirp.
+
+    The reference uses rubato's FFT resampler (src/audio/resample.rs:11-30);
+    ours is scipy polyphase.  WER silently eats frontend drift (the
+    reference's peak-normalize saga went 44.59%->8.49%, CHANGELOG.md:33-37),
+    so assert mel-domain agreement: a sweep over the full speech band must
+    produce near-identical log-mel features after either resampler.
+    """
+    from scipy.signal import resample as fft_resample
+
+    from voxtral_tpu.audio import resample_to_16k
+
+    dur = 2.0
+    t = np.arange(int(dur * src_rate)) / src_rate
+    # 100 Hz -> 7.6 kHz linear chirp: covers the whole retained band but
+    # stays below the new Nyquist (8 kHz) so both anti-alias filters are
+    # compared in their passband.
+    f0, f1 = 100.0, 7600.0
+    sig = (0.5 * np.sin(2 * np.pi * (f0 + (f1 - f0) / (2 * dur) * t) * t))
+    sig = sig.astype(np.float32)
+
+    ours = resample_to_16k(AudioBuffer(sig, src_rate)).samples
+    n_ref = int(round(len(sig) * 16000 / src_rate))
+    ref = fft_resample(sig.astype(np.float64), n_ref).astype(np.float32)
+
+    n = min(len(ours), len(ref))
+    # Trim filter edge transients (2 frames per side).
+    mel_ours = _mel_db(ours[:n])[2:-3]
+    mel_ref = _mel_db(ref[:n])[2:-3]
+
+    diff = np.abs(mel_ours - mel_ref)
+    # vLLM normalization maps ~8 log10-decades onto [~-1, 1.375]; 5e-3
+    # mean is <0.5% of the usable dynamic range — well under the golden-
+    # fixture tolerance used for whole-stack comparisons (1e-2).
+    assert float(diff.mean()) < 5e-3, diff.mean()
+    # Max deviation is only meaningful where there IS energy: at the log
+    # floor (global_max - 8 decades) both resamplers see ~zero power and
+    # the log amplifies filter-tail noise into large deltas the model
+    # never attends to.  Compare cells within 6 decades of the peak.
+    energized = mel_ref > mel_ref.max() - 6.0 / 4.0  # /4: vLLM (x+4)/4
+    assert float(diff[energized].max()) < 0.1, diff[energized].max()
