@@ -276,3 +276,71 @@ def test_conv_matches_torch():
         )
         t = torch.nn.functional.gelu(t)
     np.testing.assert_allclose(np.asarray(ours), t.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_ring_k_positions():
+    from voxtral_tpu.models.layers import ring_k_positions, ring_slot
+
+    head, size = 4, 6
+    # After 4 writes: head only.
+    p, v = ring_k_positions(head, size, jnp.asarray(4))
+    assert p.tolist()[:4] == [0, 1, 2, 3]
+    assert v.tolist() == [True] * 4 + [False] * 6
+    # After 13 writes: ring holds positions 4..12 in slots (p-4) % 6.
+    p, v = ring_k_positions(head, size, jnp.asarray(13))
+    expect = {4 + (q - 4) % 6: q for q in range(4, 13)}  # slot->latest pos
+    for slot in range(4, 10):
+        assert bool(v[slot])
+        assert int(p[slot]) == expect[slot], (slot, p.tolist())
+    # Slot math agrees with ring_slot.
+    for pos in range(4, 13):
+        s = int(ring_slot(jnp.asarray(pos), head, size))
+        assert int(p[s]) >= pos or int(p[s]) == pos or (pos + size > 13)
+    # Head slots always map to themselves.
+    assert int(ring_slot(jnp.asarray(2), head, size)) == 2
+
+
+def test_ring_attention_matches_windowed_full():
+    """Single-position cached attention through a head+ring cache must
+    equal full windowed attention once the stream exceeds ring capacity."""
+    from voxtral_tpu.models.layers import (
+        AttentionSpec,
+        attention,
+        attention_with_cache,
+        rope_tables,
+    )
+
+    rng = np.random.default_rng(3)
+    d_model, heads, hd = 16, 2, 8
+    spec = AttentionSpec(n_heads=heads, n_kv_heads=heads, head_dim=hd,
+                         sliding_window=5, causal=True)
+    p = {
+        "wq": jnp.asarray(rng.normal(size=(d_model, heads * hd)) * 0.2, jnp.float32),
+        "wk": jnp.asarray(rng.normal(size=(d_model, heads * hd)) * 0.2, jnp.float32),
+        "wv": jnp.asarray(rng.normal(size=(d_model, heads * hd)) * 0.2, jnp.float32),
+        "wo": jnp.asarray(rng.normal(size=(heads * hd, d_model)) * 0.2, jnp.float32),
+    }
+    total = 24
+    x = jnp.asarray(rng.normal(size=(1, total, d_model)) * 0.5, jnp.float32)
+    cos, sin = rope_tables(hd, total)
+
+    full = attention(x, p, spec, cos, sin, jnp.arange(total, dtype=jnp.int32))
+
+    head, size = 3, 7  # ring capacity 10 << 24 positions
+    kc = jnp.zeros((1, head + size, heads, hd), jnp.float32)
+    vc = jnp.zeros_like(kc)
+    # Prefill the 3 head positions in one write, then single steps.
+    out0, kc, vc = attention_with_cache(
+        x[:, :head], p, spec, cos, sin, kc, vc,
+        jnp.asarray(0, jnp.int32), 0, (head, size),
+    )
+    outs = [out0]
+    for pos in range(head, total):
+        o, kc, vc = attention_with_cache(
+            x[:, pos:pos + 1], p, spec, cos, sin, kc, vc,
+            jnp.asarray(pos, jnp.int32), 0, (head, size),
+        )
+        outs.append(o)
+    ring_out = jnp.concatenate(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(ring_out), np.asarray(full),
+                               atol=2e-5)

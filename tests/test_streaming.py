@@ -108,9 +108,9 @@ def test_feed_after_finish_raises(model):
 
 
 def test_unbounded_session_matches_batch(model):
-    """Unbounded mode (cache shifting + buffer trimming) must still match
-    batch transcription exactly — shifts only drop history outside every
-    query's sliding window (tiny config: window 32)."""
+    """Unbounded mode (head+ring KV caches + buffer trimming) must still
+    match batch transcription exactly — the ring only overwrites history
+    outside every query's sliding window (tiny config: window 32)."""
     rng = np.random.default_rng(7)
     samples = (rng.normal(size=16000 * 30).astype(np.float32) * 0.25)
 
@@ -121,13 +121,13 @@ def test_unbounded_session_matches_batch(model):
     session = StreamingSession(
         model, step_positions=8, unbounded=True
     )
-    # Tiny caches force shifting: window 32 + margins.
-    assert session._max_dec < 200  # sanity: shifting will actually happen
+    # Tiny caches force ring wraparound: window 32 + margins.
+    assert session._max_dec < 200  # sanity: eviction will actually happen
     for piece in np.array_split(samples, 23):
         session.feed(piece)
     session.finish()
-    assert session._dec_base > 0, "decoder cache never shifted"
-    assert session._enc_base > 0, "encoder cache never shifted"
+    assert session.positions_done > session._max_dec, "decoder ring never wrapped"
+    assert 4 * session.positions_done > session._max_enc, "encoder ring never wrapped"
 
     stream_tokens = np.asarray(session.tokens)
     n = min(len(stream_tokens), len(batch_tokens))

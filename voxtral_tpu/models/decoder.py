@@ -111,11 +111,14 @@ def decoder_forward_hidden_with_cache(
     cfg: LanguageModelConfig,
     rope: Optional[tuple[jax.Array, jax.Array]] = None,
     pos_base=0,
+    ring: Optional[tuple[int, int]] = None,
 ) -> tuple[jax.Array, KVCache]:
     """Forward with KV cache; appends at ``cache.length``.
 
     hidden: [B, S, d_model].  ``pos_base`` = absolute position of cache
     slot 0 (nonzero after cache shifts in unbounded streaming).
+    ``ring``: static (head, size) head+ring cache layout — unbounded
+    streaming without shifts (see layers.attention_with_cache).
     Returns (normed hidden, updated cache).
     """
     spec = decoder_spec(cfg)
@@ -128,7 +131,7 @@ def decoder_forward_hidden_with_cache(
         layer_params, k_cache, v_cache = inp
         h, k_cache, v_cache = decoder_block_with_cache(
             h, t_embed, layer_params, spec, cos, sin,
-            k_cache, v_cache, offset, cfg.norm_eps, pos_base,
+            k_cache, v_cache, offset, cfg.norm_eps, pos_base, ring,
         )
         return h, (k_cache, v_cache)
 

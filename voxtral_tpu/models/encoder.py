@@ -78,12 +78,15 @@ def encoder_layers_with_cache(
     cfg: AudioEncoderConfig,
     rope: Optional[tuple[jax.Array, jax.Array]] = None,
     pos_base=0,
+    ring: Optional[tuple[int, int]] = None,
 ) -> tuple[jax.Array, KVCache]:
     """Run the transformer stack incrementally over pre-conv features.
 
     x: [B, S_new, d_model] (conv output for the NEW frames only);
     appends K/V at ``cache.length``.  Used by the streaming path, where the
     conv window is handled outside (it needs 3 mel frames of lookahead).
+    ``ring``: static (head, size) head+ring cache layout (see
+    layers.attention_with_cache).
     """
     spec = encoder_spec(cfg)
     if rope is None:
@@ -96,7 +99,7 @@ def encoder_layers_with_cache(
         hn = rms_norm(h, layer_params["attention_norm"], cfg.norm_eps)
         attn, k_cache, v_cache = attention_with_cache(
             hn, layer_params["attention"], spec, cos, sin,
-            k_cache, v_cache, offset, pos_base,
+            k_cache, v_cache, offset, pos_base, ring,
         )
         h = h + attn
         hn = rms_norm(h, layer_params["ffn_norm"], cfg.norm_eps)

@@ -312,6 +312,33 @@ def cache_update_layer(
     return k_cache, v_cache
 
 
+def ring_slot(offset: jax.Array, head: int, size: int) -> jax.Array:
+    """Physical slot for absolute position ``offset`` in a head+ring cache.
+
+    Slots [0, head) hold positions [0, head) permanently; slots
+    [head, head+size) hold position p >= head at head + (p - head) % size.
+    """
+    off = offset.astype(jnp.int32)
+    return jnp.where(off < head, off, head + (off - head) % size)
+
+
+def ring_k_positions(head: int, size: int, written: jax.Array):
+    """(absolute position, validity) per slot of a head+ring cache after
+    ``written`` total positions have been appended.
+
+    Ring slot r was last written by the largest p = head + r + size*c that
+    is < written; unwritten slots get a negative position and valid=False.
+    """
+    j = jnp.arange(head + size, dtype=jnp.int32)
+    in_head = j < head
+    r = j - head
+    wr = written.astype(jnp.int32) - head
+    cycles = (wr - 1 - r) // size
+    p = jnp.where(in_head, j, head + r + size * cycles)
+    valid = jnp.where(in_head, j < written, r < wr)
+    return p, valid
+
+
 def attention_with_cache(
     x: jax.Array,
     p: Params,
@@ -322,16 +349,27 @@ def attention_with_cache(
     v_cache: jax.Array,
     offset: jax.Array,
     pos_base=0,
+    ring: Optional[tuple[int, int]] = None,
 ):
     """Incremental attention: append this block's K/V to the cache, attend
     over everything written so far.
 
     x: [B, S, d_model]; k_cache/v_cache: [B, max_seq, Hkv, D];
-    offset: scalar int32 (= current cache length).
+    offset: scalar int32 (= total positions appended so far).
     ``pos_base``: absolute position of cache slot 0 — nonzero after the
     cache has been shifted (unbounded streaming); RoPE and the banded
     masks always see ABSOLUTE positions.
-    Returns (out [B, S, d_model], k_cache, v_cache).
+
+    ``ring``: static ``(head, size)`` turns the cache into a head+ring
+    buffer (cache shape [B, head+size, Hkv, D]): positions < head are
+    permanent, later ones wrap modulo ``size`` — the on-device
+    replacement for host-level :func:`cache_shift` (the reference's
+    dynamic eviction, kv_cache.rs:176-203, without the copies).  The
+    write must fit one region: ``offset + S <= head`` or
+    ``offset >= head`` with S <= size (callers align writes).  ``size``
+    must cover every live query's window (size >= window + write
+    granularity).  ``pos_base`` must be 0 in ring mode (positions are
+    absolute by construction).
     """
     b, s, _ = x.shape
     positions = pos_base + offset + jnp.arange(s, dtype=jnp.int32)
@@ -342,11 +380,16 @@ def attention_with_cache(
     q = apply_rope(q, cos, sin, positions)
     k = apply_rope(k, cos, sin, positions)
 
-    k_cache, v_cache = cache_update_layer(k_cache, v_cache, k, v, offset)
-
-    max_seq = k_cache.shape[1]
-    k_pos = pos_base + jnp.arange(max_seq, dtype=jnp.int32)
-    k_valid = jnp.arange(max_seq, dtype=jnp.int32) < (offset + s)
+    if ring is None:
+        k_cache, v_cache = cache_update_layer(k_cache, v_cache, k, v, offset)
+        max_seq = k_cache.shape[1]
+        k_pos = pos_base + jnp.arange(max_seq, dtype=jnp.int32)
+        k_valid = jnp.arange(max_seq, dtype=jnp.int32) < (offset + s)
+    else:
+        head, size = ring
+        slot = ring_slot(offset, head, size)
+        k_cache, v_cache = cache_update_layer(k_cache, v_cache, k, v, slot)
+        k_pos, k_valid = ring_k_positions(head, size, offset + s)
 
     out = _sdpa(q, k_cache, v_cache, spec, positions, k_pos, k_valid)
     out = out.reshape(b, s, spec.n_heads * spec.head_dim)
@@ -432,6 +475,7 @@ def decoder_block_with_cache(
     offset: jax.Array,
     eps: float,
     pos_base=0,
+    ring: Optional[tuple[int, int]] = None,
 ):
     """Decoder layer with KV cache.
 
@@ -440,7 +484,8 @@ def decoder_block_with_cache(
     """
     h = rms_norm(x, p["attention_norm"], eps)
     attn_out, k_cache, v_cache = attention_with_cache(
-        h, p["attention"], spec, cos, sin, k_cache, v_cache, offset, pos_base
+        h, p["attention"], spec, cos, sin, k_cache, v_cache, offset, pos_base,
+        ring,
     )
     x = x + attn_out
     h = rms_norm(x, p["ffn_norm"], eps)

@@ -64,7 +64,7 @@ def _mel_frames_needed(last_frame: int) -> int:
 
 
 def _decode_scan(params, audio_inputs, prev_token, dec_cache, t_embed, cfg,
-                 rope, dec_base=0):
+                 rope, dec_base=0, ring=None):
     """Greedy-decode len(audio_inputs) tokens with the decoder cache.
 
     audio_inputs: [1, P, D] — audio embeds for input positions
@@ -77,7 +77,7 @@ def _decode_scan(params, audio_inputs, prev_token, dec_cache, t_embed, cfg,
         text = embed_tokens(params["decoder"], prev[None, None])
         hidden, cache = decoder_forward_hidden_with_cache(
             params["decoder"], a + text, t_embed, cache, cfg.language_model,
-            rope, dec_base,
+            rope, dec_base, ring,
         )
         logits = lm_head(params["decoder"], hidden)
         token = jnp.argmax(logits[0, 0, :], axis=-1).astype(jnp.int32)
@@ -91,29 +91,46 @@ def _decode_scan(params, audio_inputs, prev_token, dec_cache, t_embed, cfg,
 
 
 def _encode_window(params, mel_win, enc_cache, cfg, enc_rope, n_frames: int,
-                   enc_base=0):
+                   enc_base=0, enc_ring=None):
     """Conv over an overlapping mel window; append exactly ``n_frames``
     encoder frames (local conv frames [1, 1+n_frames) — interior, so no
     boundary effect).  Returns (audio_embeds [1, n_frames//4, D], cache)."""
     x = conv_downsample(mel_win, params["encoder"]["conv"])  # [1, D, W/4]
     x = jnp.swapaxes(x, 1, 2)[:, 1 : 1 + n_frames, :]
     hidden, enc_cache = encoder_layers_with_cache(
-        params["encoder"], x, enc_cache, cfg.audio_encoder, enc_rope, enc_base
+        params["encoder"], x, enc_cache, cfg.audio_encoder, enc_rope,
+        enc_base, enc_ring,
     )
     reshaped = reshape_encoder_output(hidden, cfg.downsample_factor)
     return adapter_forward(params["adapter"], reshaped), enc_cache
 
 
 def _init_step_fn(params, mel0, t_embed, cfg, enc_rope, dec_rope,
-                  enc_cache, dec_cache, n_positions: int):
+                  enc_cache, dec_cache, n_positions: int,
+                  enc_ring=None, dec_ring=None):
     """First step: encoder frames [0, 4*n_positions), prefill 38 positions,
     decode positions 38..n_positions-1.  mel0 covers frames
     [0, 16*n_positions + 8) so the LAST conv frame has its lookahead."""
     x = conv_downsample(mel0, params["encoder"]["conv"])
     x = jnp.swapaxes(x, 1, 2)[:, : 4 * n_positions, :]
-    hidden, enc_cache = encoder_layers_with_cache(
-        params["encoder"], x, enc_cache, cfg.audio_encoder, enc_rope
-    )
+    if enc_ring is None:
+        hidden, enc_cache = encoder_layers_with_cache(
+            params["encoder"], x, enc_cache, cfg.audio_encoder, enc_rope
+        )
+    else:
+        # Ring caches need single-region writes: the first 4*PREFIX_LEN
+        # frames land in the permanent head, the remainder starts the ring
+        # (sequential cached calls are exactly equivalent to one call).
+        head = enc_ring[0]
+        h1, enc_cache = encoder_layers_with_cache(
+            params["encoder"], x[:, :head, :], enc_cache, cfg.audio_encoder,
+            enc_rope, 0, enc_ring,
+        )
+        h2, enc_cache = encoder_layers_with_cache(
+            params["encoder"], x[:, head:, :], enc_cache, cfg.audio_encoder,
+            enc_rope, 0, enc_ring,
+        )
+        hidden = jnp.concatenate([h1, h2], axis=1)
     audio = adapter_forward(
         params["adapter"], reshape_encoder_output(hidden, cfg.downsample_factor)
     )  # [1, n_positions, D]
@@ -124,7 +141,7 @@ def _init_step_fn(params, mel0, t_embed, cfg, enc_rope, dec_rope,
     )
     hidden, dec_cache = decoder_forward_hidden_with_cache(
         params["decoder"], prefix_inputs, t_embed, dec_cache,
-        cfg.language_model, dec_rope,
+        cfg.language_model, dec_rope, 0, dec_ring,
     )
     first_logits = lm_head(params["decoder"], hidden[:, -1:, :])
     first_token = jnp.argmax(first_logits[0, 0, :], axis=-1).astype(jnp.int32)
@@ -132,7 +149,7 @@ def _init_step_fn(params, mel0, t_embed, cfg, enc_rope, dec_rope,
     # Decode positions 39..n_positions-1 (inputs 38..n_positions-2).
     rest, last, dec_cache = _decode_scan(
         params, audio[:, PREFIX_LEN:-1, :], first_token, dec_cache,
-        t_embed, cfg, dec_rope,
+        t_embed, cfg, dec_rope, 0, dec_ring,
     )
     tokens = jnp.concatenate([first_token[None], rest])
     prev_audio = audio[:, -1:, :]
@@ -141,16 +158,19 @@ def _init_step_fn(params, mel0, t_embed, cfg, enc_rope, dec_rope,
 
 def _stream_step_fn(params, mel_win, prev_token, prev_audio, t_embed,
                     enc_base, dec_base, cfg,
-                    enc_rope, dec_rope, enc_cache, dec_cache, n_positions: int):
+                    enc_rope, dec_rope, enc_cache, dec_cache, n_positions: int,
+                    enc_ring=None, dec_ring=None):
     """Steady-state step: P more positions.  mel_win covers mel frames
     [16*p0 - 4, 16*(p0+P) + 4) (length 16P + 8).  ``enc_base``/``dec_base``
-    are the absolute positions of cache slot 0 (nonzero after shifts)."""
+    are the absolute positions of cache slot 0 (always 0 in ring mode)."""
     audio, enc_cache = _encode_window(
-        params, mel_win, enc_cache, cfg, enc_rope, 4 * n_positions, enc_base
+        params, mel_win, enc_cache, cfg, enc_rope, 4 * n_positions, enc_base,
+        enc_ring,
     )  # [1, P, D] — positions p0..p0+P-1
     inputs = jnp.concatenate([prev_audio, audio[:, :-1, :]], axis=1)
     tokens, last, dec_cache = _decode_scan(
-        params, inputs, prev_token, dec_cache, t_embed, cfg, dec_rope, dec_base
+        params, inputs, prev_token, dec_cache, t_embed, cfg, dec_rope,
+        dec_base, dec_ring,
     )
     return tokens, last, audio[:, -1:, :], enc_cache, dec_cache
 
@@ -168,12 +188,14 @@ class StreamingSession:
         pad_config: Optional[PadConfig] = None,
         unbounded: bool = False,
     ):
-        """``unbounded=True`` sizes the KV caches to the model's sliding
-        windows and SHIFTS them as the stream advances (fixed-granule
-        drops of positions no query can attend anymore), so session
-        length is limited only by the RoPE tables (~43 min of decoder
-        positions) instead of preallocated cache memory.  The decoder
-        window (8192 positions) makes the unbounded decoder cache ~1.8 GB.
+        """``unbounded=True`` lays the KV caches out as head+ring buffers
+        INSIDE the jitted step (permanent 38-position prefix head + a
+        modular ring covering the sliding window), so history eviction is
+        free — no host-level cache copies, flat steady-state step time —
+        and session length is limited only by the RoPE tables (~43 min of
+        decoder positions).  The decoder window (8192 positions) makes the
+        unbounded decoder cache ~1.8 GB.  On-device replacement for the
+        reference's dynamic eviction (kv_cache.rs:176-203).
         """
         self.model = model
         self.tokenizer = tokenizer
@@ -187,17 +209,21 @@ class StreamingSession:
         lm = self.cfg.language_model
         enc = self.cfg.audio_encoder
         if unbounded:
-            # Cache = window + working margin; shift granule keeps the
-            # remaining history >= window at all times.
-            self._max_dec = lm.sliding_window + 16 * self.P
-            self._max_enc = 4 * (enc.sliding_window // 4 + 1) + 64 * self.P
-            self._dec_shift = 8 * self.P
-            self._enc_shift = 32 * self.P
+            # Ring sizes: window + one write granule (decoder writes 1
+            # position at a time, encoder 4P frames), encoder ring rounded
+            # to the 4P write granule so ring writes never wrap mid-block.
+            gran = 4 * self.P
+            dec_ring = lm.sliding_window + self.P
+            enc_ring = -(-(enc.sliding_window + gran) // gran) * gran
+            self._dec_ring = (PREFIX_LEN, dec_ring)
+            self._enc_ring = (4 * PREFIX_LEN, enc_ring)
+            self._max_dec = PREFIX_LEN + dec_ring
+            self._max_enc = 4 * PREFIX_LEN + enc_ring
             rope_positions = DECODER_ROPE_MAX_SEQ
         else:
+            self._dec_ring = self._enc_ring = None
             self._max_dec = int(max_duration_s * 6.25) + PREFIX_LEN + 2 * self.P
             self._max_enc = 4 * self._max_dec
-            self._dec_shift = self._enc_shift = 0
             rope_positions = self._max_dec
         self.enc_cache = create_encoder_cache(enc, 1, self._max_enc, cache_dtype)
         self.dec_cache = create_cache(lm, 1, self._max_dec, cache_dtype)
@@ -207,16 +233,6 @@ class StreamingSession:
         self._enc_base = 0
         self._dec_base = 0
         self._samples_base = 0  # samples trimmed from the head of the buffer
-
-        if unbounded:
-            from voxtral_tpu.models.layers import cache_shift
-
-            self._enc_shift_jit = jax.jit(
-                partial(cache_shift, shift=self._enc_shift)
-            )
-            self._dec_shift_jit = jax.jit(
-                partial(cache_shift, shift=self._dec_shift)
-            )
 
         # Audio buffer starts with the 76-token silence left pad
         # (= exactly the 38-position prefill).
@@ -234,12 +250,14 @@ class StreamingSession:
         self._init_jit = jax.jit(
             partial(_init_step_fn, cfg=self.cfg,
                     enc_rope=self._enc_rope, dec_rope=self._dec_rope,
-                    n_positions=PREFIX_LEN + self.P),
+                    n_positions=PREFIX_LEN + self.P,
+                    enc_ring=self._enc_ring, dec_ring=self._dec_ring),
         )
         self._step_jit = jax.jit(
             partial(_stream_step_fn, cfg=self.cfg,
                     enc_rope=self._enc_rope, dec_rope=self._dec_rope,
-                    n_positions=self.P),
+                    n_positions=self.P,
+                    enc_ring=self._enc_ring, dec_ring=self._dec_ring),
         )
 
     # -- internals ----------------------------------------------------------
@@ -305,7 +323,8 @@ class StreamingSession:
                 return
 
     def _maybe_shift(self) -> None:
-        """Unbounded mode: drop history no future query can attend."""
+        """Unbounded mode: ring caches evict on device; here only guard
+        the RoPE bound and trim the host-side sample buffer."""
         if not self.unbounded:
             if self._positions_done + self.P > self._max_dec:
                 raise RuntimeError(
@@ -318,14 +337,6 @@ class StreamingSession:
                 f"stream exceeded {DECODER_ROPE_MAX_SEQ} decoder positions "
                 "(~43 min) — the current RoPE table bound"
             )
-        enc_len = self._positions_done * 4 - self._enc_base
-        if enc_len + 4 * self.P > self._max_enc:
-            self.enc_cache = self._enc_shift_jit(self.enc_cache)
-            self._enc_base += self._enc_shift
-        dec_len = self._positions_done - self._dec_base
-        if dec_len + self.P > self._max_dec:
-            self.dec_cache = self._dec_shift_jit(self.dec_cache)
-            self._dec_base += self._dec_shift
         # Trim the host audio buffer: future mel windows start at frame
         # 16*p0 - MEL_MARGIN at the earliest.
         keep_from = max(
