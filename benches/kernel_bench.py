@@ -64,28 +64,48 @@ def _fold(y, k):
     return jnp.tile(y, (1, reps))[..., :k]
 
 
-def _timed_slope(run, short: int, long: int) -> float:
+def _timed_slope(run, short: int, long: int, reps: int = 3) -> float:
     """Per-iteration seconds via the slope between two chained scan
-    lengths (one value fetch each — the only real sync over axon)."""
+    lengths (one value fetch each — the only real sync over axon).
+
+    Dispatch/tunnel noise is several ms, so callers must size
+    ``long - short`` to tens of ms of real work; min-of-reps suppresses
+    the remaining jitter.
+    """
     np.asarray(run(short))  # warmup/compile for the short program
     np.asarray(run(long))   # warmup/compile for the long program
-    t0 = time.perf_counter()
-    np.asarray(run(short))
-    t_short = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    np.asarray(run(long))
-    t_long = time.perf_counter() - t0
-    return (t_long - t_short) / (long - short)
+
+    def best(length):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(run(length))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    return (best(long) - best(short)) / (long - short)
 
 
-def bench_matmul_variant(name, make_fn, m, n, k, weight_bytes, short=8, long=40):
+def bench_matmul_variant(name, make_fn, m, n, k, weight_bytes,
+                         short=None, long=None):
     """Generic chained matmul bench.  ``make_fn(key)`` returns
     (fn, weights) with fn(x, *weights) -> [M, N] f32-ish."""
     import jax
     import jax.numpy as jnp
 
+    if long is None:
+        # Size the measured iteration delta to ~40 GB of weight traffic
+        # (~60 ms at HBM speed) so tunnel jitter cannot swamp the slope.
+        diff = max(64, min(4000, int(4e10 / weight_bytes)))
+        short, long = max(8, diff // 10), max(8, diff // 10) + diff
+
     fn, weights = make_fn()
-    x0 = (np.random.RandomState(0).randn(m, k) * 0.5).astype(np.float32)
+    # Device-resident ONCE: numpy args would re-upload the weights over
+    # the tunnel on every call, swamping the slope with transfer noise.
+    weights = tuple(jnp.asarray(w) for w in weights)
+    x0 = jnp.asarray(
+        (np.random.RandomState(0).randn(m, k) * 0.5).astype(np.float32)
+    )
 
     def run_body(x0, length, *w):
         def body(x, _):
@@ -208,7 +228,7 @@ def suite_matmul(ms, include_q4):
     return results
 
 
-def suite_step(batches, seq=160, short=4, long=16):
+def suite_step(batches, seq=160, short=8, long=40):
     """Full single-token decode step (26 layers + lm_head + argmax +
     embed feedback) per-step cost at each batch size.
 

@@ -32,6 +32,9 @@ def main() -> int:
     ap.add_argument("--step", type=int, default=8)
     ap.add_argument("--platform", default="default")
     ap.add_argument("--params")
+    ap.add_argument("--sessions", type=int, default=1,
+                    help=">1: coalesce N lockstep sessions through a "
+                    "StreamPool and report the batched step time")
     args = ap.parse_args()
 
     if args.platform != "default":
@@ -63,25 +66,41 @@ def main() -> int:
     print(f"# model ready in {time.time()-t0:.0f}s, "
           f"backend={jax.default_backend()}", file=sys.stderr)
 
-    session = StreamingSession(model, step_positions=args.step)
     step_audio_ms = args.step * 160.0
-
     rng = np.random.default_rng(0)
     total = int(args.seconds * 16000)
     piece = int(step_audio_ms / 1000 * 16000)  # one step of audio per feed
+
+    if args.sessions > 1:
+        from voxtral_tpu.streaming import StreamPool
+
+        pool = StreamPool(model, max_streams=args.sessions,
+                          step_positions=args.step,
+                          max_duration_s=args.seconds + 10)
+        sessions = [
+            StreamingSession(model, step_positions=args.step, pool=pool)
+            for _ in range(args.sessions)
+        ]
+    else:
+        sessions = [StreamingSession(model, step_positions=args.step)]
 
     step_times = []
     fed = 0
     while fed < total:
         samples = rng.normal(size=piece).astype(np.float32) * 0.2
-        before = session.positions_done
+        before = sessions[0].positions_done
+        # Buffer every session's audio first, then one timed pump —
+        # the coalescing pattern the serving layer uses.
+        for s in sessions[1:]:
+            s.feed(samples, pump=False)
         t0 = time.perf_counter()
-        session.feed(samples)
+        sessions[0].feed(samples)
         dt = (time.perf_counter() - t0) * 1000
-        if session.positions_done > before and before > 0:  # steady steps
+        if sessions[0].positions_done > before and before > 0:
             step_times.append(dt)
         fed += piece
-    session.finish()
+    for s in sessions:
+        s.finish()
 
     steady = np.asarray(step_times[1:]) if len(step_times) > 1 else np.asarray(step_times)
     if steady.size == 0:
@@ -89,15 +108,17 @@ def main() -> int:
               f"> {(38 + 2 * args.step) * 0.16:.1f}s of audio", file=sys.stderr)
         return 2
     report = {
+        "sessions": args.sessions,
         "step_audio_ms": step_audio_ms,
         "steady_step_ms_p50": round(float(np.percentile(steady, 50)), 1),
         "steady_step_ms_p95": round(float(np.percentile(steady, 95)), 1),
         "realtime_factor": round(float(np.percentile(steady, 50)) / step_audio_ms, 3),
         "steps": int(steady.size),
-        "tokens": len(session.tokens),
+        "tokens": sum(len(s.tokens) for s in sessions),
         "backend": jax.default_backend(),
     }
-    print(f"# step audio {step_audio_ms:.0f} ms | p50 {report['steady_step_ms_p50']} ms "
+    print(f"# sessions {args.sessions} | step audio {step_audio_ms:.0f} ms "
+          f"| p50 {report['steady_step_ms_p50']} ms "
           f"| p95 {report['steady_step_ms_p95']} ms | "
           f"{report['realtime_factor']*100:.1f}% of realtime budget",
           file=sys.stderr)

@@ -113,3 +113,60 @@ def test_error_paths(server):
     assert status == 404
     status, data = request(server, "POST", "/transcribe_pcm", b"")
     assert status == 400
+
+
+@pytest.fixture(scope="module")
+def pooled_server():
+    from tests.test_model import tiny_config
+    from voxtral_tpu.models.voxtral import VoxtralModel
+    from voxtral_tpu.pipeline import PipelineConfig, TranscribePipeline
+    from voxtral_tpu.serving import make_server
+    from voxtral_tpu.tokenizer import VoxtralTokenizer
+
+    model = VoxtralModel.init_random(
+        jax.random.PRNGKey(0), tiny_config(), dtype=jnp.float32
+    )
+    tokenizer = VoxtralTokenizer([None] * 500, {}, 500)
+    pipeline = TranscribePipeline(model, tokenizer, PipelineConfig())
+    srv = make_server(pipeline, "127.0.0.1", 0, pool_streams=2)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield srv.server_address
+    srv.shutdown()
+
+
+def test_pooled_concurrent_streams(pooled_server):
+    """Two concurrent /stream sessions through the coalescing pool must
+    both transcribe; a third falls back to a solo session and still works."""
+    sids = []
+    for _ in range(3):
+        status, data = request(pooled_server, "POST", "/stream/start")
+        assert status == 200
+        sids.append(json.loads(data)["session"])
+
+    rng = np.random.default_rng(5)
+    chunks = {sid: (rng.normal(size=16000 * 9) * 0.2).astype(np.float32)
+              for sid in sids}
+
+    errors = []
+
+    def drive(sid):
+        try:
+            for piece in np.array_split(chunks[sid], 6):
+                status, data = request(
+                    pooled_server, "POST", f"/stream/{sid}/feed",
+                    piece.astype(np.float32).tobytes(),
+                )
+                assert status == 200, data
+            status, data = request(pooled_server, "POST", f"/stream/{sid}/finish")
+            assert status == 200, data
+            assert json.loads(data)["tokens"] > 0
+        except Exception as e:  # noqa: BLE001
+            errors.append((sid, e))
+
+    threads = [threading.Thread(target=drive, args=(sid,)) for sid in sids]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert not errors, errors

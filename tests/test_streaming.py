@@ -169,3 +169,54 @@ def test_emit_holds_back_split_utf8(model):
     d2 = session._emit()
     assert d2 == "é"
     assert session.text == "café"
+
+
+def test_stream_pool_matches_solo(model):
+    """Pooled (batched) sessions must be token-identical to solo sessions,
+    including when they join staggered and advance at different rates."""
+    from voxtral_tpu.streaming import StreamPool
+
+    rng = np.random.default_rng(11)
+    audio_a = (rng.normal(size=16000 * 9).astype(np.float32) * 0.25)
+    audio_b = (rng.normal(size=16000 * 7).astype(np.float32) * 0.3)
+
+    solo_a = StreamingSession(model, step_positions=8)
+    solo_a.feed(audio_a)
+    solo_a.finish()
+    solo_b = StreamingSession(model, step_positions=8)
+    solo_b.feed(audio_b)
+    solo_b.finish()
+
+    pool = StreamPool(model, max_streams=3, step_positions=8)
+    pa = StreamingSession(model, step_positions=8, pool=pool)
+    pb = StreamingSession(model, step_positions=8, pool=pool)
+    assert pool.free_slots == 1
+    # Staggered feeding: a gets audio first, b catches up, then both.
+    pieces_a = np.array_split(audio_a, 5)
+    pieces_b = np.array_split(audio_b, 4)
+    pa.feed(pieces_a[0])
+    pa.feed(pieces_a[1])
+    pb.feed(pieces_b[0])
+    pa.feed(pieces_a[2])
+    pb.feed(pieces_b[1])
+    pb.feed(pieces_b[2])
+    pa.feed(pieces_a[3])
+    pa.feed(pieces_a[4])
+    pa.finish()
+    pb.feed(pieces_b[3])
+    pb.finish()
+    assert pool.free_slots == 3
+
+    assert pa.tokens == solo_a.tokens, (pa.tokens, solo_a.tokens)
+    assert pb.tokens == solo_b.tokens, (pb.tokens, solo_b.tokens)
+
+    # A third session can attach after the others detached; a 4th at
+    # capacity raises.
+    pc = StreamingSession(model, step_positions=8, pool=pool)
+    StreamingSession(model, step_positions=8, pool=pool)
+    StreamingSession(model, step_positions=8, pool=pool)
+    with pytest.raises(RuntimeError, match="pool full"):
+        StreamingSession(model, step_positions=8, pool=pool)
+    pc.feed(audio_b[: 16000 * 7])
+    pc.finish()
+    assert pc.tokens == solo_b.tokens

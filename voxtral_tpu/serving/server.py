@@ -41,31 +41,84 @@ class _State:
     # evict on idle TTL and cap concurrency so they can't exhaust HBM.
     SESSION_TTL_S = 300.0
     MAX_SESSIONS = 16
+    COALESCE_S = 0.02  # batching window for concurrent /stream feeds
 
-    def __init__(self, pipeline: TranscribePipeline, step_positions: int = 8):
+    def __init__(self, pipeline: TranscribePipeline, step_positions: int = 8,
+                 pool_streams: int = 0):
         self.pipeline = pipeline
         self.step_positions = step_positions
         self.lock = threading.Lock()
         self.sessions: dict[str, object] = {}
         self.last_access: dict[str, float] = {}
 
+        # Optional StreamPool: concurrent sessions share one BATCHED decode
+        # step (HBM-bound weights are streamed once for all of them).  A
+        # dedicated pump thread coalesces feeds arriving within COALESCE_S.
+        self.pool = None
+        self._pump_cv = threading.Condition()
+        self._feed_pending = False
+        self._pump_seq = 0
+        if pool_streams > 0:
+            from voxtral_tpu.streaming import StreamPool
+
+            self.pool = StreamPool(
+                pipeline.model, max_streams=pool_streams,
+                step_positions=step_positions,
+                delay_tokens=pipeline.pcfg.delay_tokens,
+            )
+            threading.Thread(target=self._pump_loop, daemon=True).start()
+
+    def _pump_loop(self) -> None:
+        while True:
+            with self._pump_cv:
+                while not self._feed_pending:
+                    self._pump_cv.wait()
+                self._feed_pending = False
+            time.sleep(self.COALESCE_S)  # let concurrent feeds land
+            try:
+                with self.lock:
+                    self.pool.pump()
+            except Exception:
+                log.exception("pool pump failed")
+            with self._pump_cv:
+                self._pump_seq += 1
+                self._pump_cv.notify_all()
+
+    def pump_and_wait(self) -> None:
+        """Signal the pump thread and block until the next pump completes."""
+        with self._pump_cv:
+            seq = self._pump_seq
+            self._feed_pending = True
+            self._pump_cv.notify_all()
+            while self._pump_seq == seq:
+                self._pump_cv.wait(timeout=5.0)
+
     def evict_idle(self) -> None:
         now = time.time()
         for sid, ts in list(self.last_access.items()):
             if now - ts > self.SESSION_TTL_S:
-                self.sessions.pop(sid, None)
+                session = self.sessions.pop(sid, None)
                 self.last_access.pop(sid, None)
+                if session is not None and getattr(session, "_pool", None):
+                    try:
+                        session.finish()
+                    except Exception:
+                        log.exception("evicting pooled session %s", sid)
                 log.info("evicted idle session %s", sid)
 
 
 def _new_session(state: _State):
     from voxtral_tpu.streaming import StreamingSession
 
+    pool = state.pool
+    if pool is not None and pool.free_slots == 0:
+        pool = None  # fall back to a solo session
     return StreamingSession(
         state.pipeline.model,
         state.pipeline.tokenizer,
         delay_tokens=state.pipeline.pcfg.delay_tokens,
         step_positions=state.step_positions,
+        pool=pool,
     )
 
 
@@ -164,8 +217,24 @@ class _Handler(BaseHTTPRequestHandler):
                         self._json(404, {"error": f"unknown session: {sid}"})
                         return
                     self.state.last_access[sid] = time.time()
-                    delta = session.feed(samples)
-                    positions = session.positions_done
+                    pooled = getattr(session, "_pool", None) is not None
+                    if pooled:
+                        session.feed(samples, pump=False)
+                    else:
+                        delta = session.feed(samples)
+                        positions = session.positions_done
+                if pooled:
+                    # Coalesce: the pump thread batches every session's
+                    # ready step into ONE vmapped decode program.
+                    self.state.pump_and_wait()
+                    with self.state.lock:
+                        if session.overrun:
+                            self._json(400, {
+                                "error": "stream exceeded max duration"
+                            })
+                            return
+                        delta = session._emit()
+                        positions = session.positions_done
                 self._json(200, {"delta": delta, "positions": positions})
             else:
                 with self.state.lock:
@@ -235,8 +304,11 @@ def make_server(
     host: str = "127.0.0.1",
     port: int = 8080,
     step_positions: int = 8,
+    pool_streams: int = 0,
 ) -> VoxtralHTTPServer:
-    return VoxtralHTTPServer((host, port), _State(pipeline, step_positions))
+    return VoxtralHTTPServer(
+        (host, port), _State(pipeline, step_positions, pool_streams)
+    )
 
 
 def main(argv: Optional[list[str]] = None) -> int:
@@ -252,6 +324,9 @@ def main(argv: Optional[list[str]] = None) -> int:
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--platform", default="default")
+    ap.add_argument("--pool-streams", type=int, default=4,
+                    help="coalesce up to N concurrent /stream sessions into "
+                    "batched decode steps (0 disables pooling)")
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO, stream=sys.stderr)
@@ -291,7 +366,8 @@ def main(argv: Optional[list[str]] = None) -> int:
         print("error: need --model, --gguf or --random-weights", file=sys.stderr)
         return 2
 
-    server = make_server(pipeline, args.host, args.port)
+    server = make_server(pipeline, args.host, args.port,
+                         pool_streams=args.pool_streams)
     log.info("serving on http://%s:%d", args.host, args.port)
     try:
         server.serve_forever()

@@ -175,6 +175,186 @@ def _stream_step_fn(params, mel_win, prev_token, prev_audio, t_embed,
     return tokens, last, audio[:, -1:, :], enc_cache, dec_cache
 
 
+class StreamPool:
+    """Coalesces concurrent streaming sessions into BATCHED decode steps.
+
+    Decode is HBM-bound on the weights, so stepping B sessions in one
+    vmapped program costs far less than B separate steps (measured:
+    B=2 ~1.6x B=1).  The pool owns [B]-leading KV-cache arrays; sessions
+    attach to free slots and their steady-state steps run together —
+    sessions that are not ready for a step are masked by pointing their
+    cache writes at a sacrificial trash slot and discarding their tokens,
+    so mixed-progress pools stay correct (each slot keeps its own cache
+    lengths and positions).
+
+    Beyond reference parity: the reference serializes whole requests on
+    one wgpu queue (serve.mjs is static-only; native CLI is 1-stream).
+    """
+
+    def __init__(
+        self,
+        model: VoxtralModel,
+        max_streams: int = 4,
+        step_positions: int = 8,
+        max_duration_s: float = 120.0,
+        delay_tokens: float = 6.0,
+    ):
+        self.model = model
+        self.cfg = model.config
+        self.B = max_streams
+        self.P = step_positions
+        self.max_duration_s = max_duration_s
+        lm, enc = self.cfg.language_model, self.cfg.audio_encoder
+        self.max_dec = int(max_duration_s * 6.25) + PREFIX_LEN + 2 * self.P
+        self.max_enc = 4 * self.max_dec
+        # +1 write granule of sacrificial slots for masked (not-ready) steps.
+        s_dec = self.max_dec + self.P
+        s_enc = self.max_enc + 4 * self.P
+        cdt = model.cache_dtype
+        shape_e = (self.B, enc.n_layers, 1, s_enc, enc.n_kv_heads, enc.head_dim)
+        shape_d = (self.B, lm.n_layers, 1, s_dec, lm.n_kv_heads, lm.head_dim)
+        self.enc_k = jnp.zeros(shape_e, cdt)
+        self.enc_v = jnp.zeros(shape_e, cdt)
+        self.dec_k = jnp.zeros(shape_d, cdt)
+        self.dec_v = jnp.zeros(shape_d, cdt)
+        self.prev_tok = jnp.zeros((self.B,), jnp.int32)
+        self.prev_audio = jnp.zeros((1, 1, lm.dim), model.compute_dtype)
+        self.prev_audio = jnp.tile(self.prev_audio[None], (self.B, 1, 1, 1))
+        self._enc_rope = rope_tables(enc.head_dim, 4 * self.max_dec,
+                                     enc.rope_theta)
+        self._dec_rope = rope_tables(lm.head_dim, self.max_dec, lm.rope_theta)
+        self._t_embed = model.t_embed(delay_tokens)
+        self.sessions: list[Optional["StreamingSession"]] = [None] * self.B
+
+        def _one_step(mel_win, prev_token, prev_audio, enc_k, enc_v, enc_len,
+                      dec_k, dec_v, dec_len, params, t_embed):
+            enc_cache = KVCache(enc_k, enc_v, enc_len)
+            dec_cache = KVCache(dec_k, dec_v, dec_len)
+            tokens, last, pa, enc_cache, dec_cache = _stream_step_fn(
+                params, mel_win, prev_token, prev_audio, t_embed,
+                jnp.int32(0), jnp.int32(0), self.cfg,
+                self._enc_rope, self._dec_rope, enc_cache, dec_cache, self.P,
+            )
+            return tokens, last, pa, enc_cache.k, enc_cache.v, dec_cache.k, dec_cache.v
+
+        def _pool_step(params, mel_wins, prev_tok, prev_audio, ready,
+                       enc_k, enc_v, enc_len, dec_k, dec_v, dec_len, t_embed):
+            out = jax.vmap(
+                _one_step, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, None, None)
+            )(mel_wins, prev_tok, prev_audio, enc_k, enc_v, enc_len,
+              dec_k, dec_v, dec_len, params, t_embed)
+            tokens, last, pa, enc_k, enc_v, dec_k, dec_v = out
+            # Not-ready slots keep their feedback state (their cache writes
+            # went to the trash slots and their tokens are discarded).
+            last = jnp.where(ready, last, prev_tok)
+            pa = jnp.where(ready[:, None, None, None], pa, prev_audio)
+            return tokens, last, pa, enc_k, enc_v, dec_k, dec_v
+
+        self._pool_step_jit = jax.jit(_pool_step, donate_argnums=(5, 6, 8, 9))
+        self._init_jit = jax.jit(
+            partial(_init_step_fn, cfg=self.cfg,
+                    enc_rope=self._enc_rope, dec_rope=self._dec_rope,
+                    n_positions=PREFIX_LEN + self.P),
+        )
+
+    # -- slots ---------------------------------------------------------------
+
+    def attach(self, session: "StreamingSession") -> int:
+        for b in range(self.B):
+            if self.sessions[b] is None:
+                self.sessions[b] = session
+                return b
+        raise RuntimeError(f"stream pool full ({self.B} slots)")
+
+    def detach(self, slot: int) -> None:
+        self.sessions[slot] = None
+
+    @property
+    def free_slots(self) -> int:
+        return sum(1 for s in self.sessions if s is None)
+
+    # -- stepping ------------------------------------------------------------
+
+    def _slot_init(self, b: int, sess: "StreamingSession") -> None:
+        need = PREFIX_LEN + self.P
+        mel0 = sess._mel_window(0, 16 * need + 8)
+        out = self._init_jit(
+            self.model.params, jnp.asarray(mel0, self.model.compute_dtype),
+            self._t_embed,
+            enc_cache=KVCache(self.enc_k[b], self.enc_v[b],
+                              jnp.zeros((), jnp.int32)),
+            dec_cache=KVCache(self.dec_k[b], self.dec_v[b],
+                              jnp.zeros((), jnp.int32)),
+        )
+        tokens, last, prev_audio, enc_cache, dec_cache = out
+        self.enc_k = self.enc_k.at[b].set(enc_cache.k)
+        self.enc_v = self.enc_v.at[b].set(enc_cache.v)
+        self.dec_k = self.dec_k.at[b].set(dec_cache.k)
+        self.dec_v = self.dec_v.at[b].set(dec_cache.v)
+        self.prev_tok = self.prev_tok.at[b].set(last)
+        self.prev_audio = self.prev_audio.at[b].set(prev_audio)
+        sess.tokens.extend(np.asarray(tokens).tolist())
+        sess._positions_done = need
+
+    def pump(self) -> None:
+        """Run every step that has audio available, batching across ready
+        sessions; loops until no session can advance."""
+        lm = self.cfg.language_model
+        while True:
+            progressed = False
+            for b, sess in enumerate(self.sessions):
+                if (sess is not None and sess._positions_done == 0
+                        and sess._available_positions() >= PREFIX_LEN + self.P):
+                    self._slot_init(b, sess)
+                    progressed = True
+
+            ready = np.zeros(self.B, bool)
+            for b, sess in enumerate(self.sessions):
+                if sess is None or sess._positions_done == 0:
+                    continue
+                if sess._positions_done + self.P > self.max_dec:
+                    # Mark instead of raising: one overlong stream must not
+                    # stall the other pooled sessions.
+                    sess.overrun = True
+                    continue
+                if sess._available_positions() >= sess._positions_done + self.P:
+                    ready[b] = True
+            if not ready.any():
+                if not progressed:
+                    return
+                continue
+
+            n_mels = self.cfg.audio.num_mel_bins
+            w = 16 * self.P + 8
+            mel_wins = np.zeros((self.B, 1, n_mels, w), np.float32)
+            enc_len = np.full(self.B, self.max_enc, np.int32)  # trash slot
+            dec_len = np.full(self.B, self.max_dec, np.int32)
+            for b, sess in enumerate(self.sessions):
+                if ready[b]:
+                    p0 = sess._positions_done
+                    mel_wins[b] = sess._mel_window(
+                        16 * p0 - MEL_MARGIN, 16 * (p0 + self.P) + MEL_MARGIN
+                    )
+                    enc_len[b] = 4 * p0
+                    dec_len[b] = p0
+
+            out = self._pool_step_jit(
+                self.model.params,
+                jnp.asarray(mel_wins, self.model.compute_dtype),
+                self.prev_tok, self.prev_audio, jnp.asarray(ready),
+                self.enc_k, self.enc_v, jnp.asarray(enc_len),
+                self.dec_k, self.dec_v, jnp.asarray(dec_len),
+                self._t_embed,
+            )
+            tokens, self.prev_tok, self.prev_audio, \
+                self.enc_k, self.enc_v, self.dec_k, self.dec_v = out
+            tokens = np.asarray(tokens)
+            for b, sess in enumerate(self.sessions):
+                if ready[b]:
+                    sess.tokens.extend(tokens[b].tolist())
+                    sess._positions_done += self.P
+
+
 class StreamingSession:
     """Incremental transcription over a live 16 kHz mono stream."""
 
@@ -187,6 +367,7 @@ class StreamingSession:
         max_duration_s: float = 120.0,
         pad_config: Optional[PadConfig] = None,
         unbounded: bool = False,
+        pool: Optional[StreamPool] = None,
     ):
         """``unbounded=True`` lays the KV caches out as head+ring buffers
         INSIDE the jitted step (permanent 38-position prefix head + a
@@ -204,6 +385,26 @@ class StreamingSession:
         self.pad_config = pad_config or PadConfig.voxtral()
         self._mel = MelSpectrogram.voxtral()
         self.unbounded = unbounded
+        self._pool = pool
+        self._slot: Optional[int] = None
+
+        if pool is not None:
+            if unbounded:
+                raise ValueError("pooled sessions are bounded "
+                                 "(pool caches are preallocated)")
+            self.P = pool.P
+            self._max_dec = pool.max_dec
+            self._slot = pool.attach(self)
+            self._samples = np.zeros(
+                self.pad_config.left_pad_samples(), np.float32
+            )
+            self._samples_base = 0
+            self._positions_done = 0
+            self.tokens = []
+            self._text = ""
+            self._finished = False
+            self.overrun = False
+            return
 
         cache_dtype = model.cache_dtype
         lm = self.cfg.language_model
@@ -246,6 +447,7 @@ class StreamingSession:
         self.tokens: list[int] = []
         self._text = ""
         self._finished = False
+        self.overrun = False  # pooled mode: stream exceeded max_duration_s
 
         self._init_jit = jax.jit(
             partial(_init_step_fn, cfg=self.cfg,
@@ -289,6 +491,9 @@ class StreamingSession:
         return max(0, (max_frame - 8) // 16)
 
     def _run_ready_steps(self) -> None:
+        if self._pool is not None:
+            self._pool.pump()
+            return
         while True:
             avail = self._available_positions()
             if self._positions_done == 0:
@@ -365,13 +570,20 @@ class StreamingSession:
 
     # -- public API ---------------------------------------------------------
 
-    def feed(self, samples: np.ndarray) -> str:
-        """Append 16 kHz mono samples; returns newly decoded text."""
+    def feed(self, samples: np.ndarray, pump: bool = True) -> str:
+        """Append 16 kHz mono samples; returns newly decoded text.
+
+        ``pump=False`` only buffers the samples (no decode) — used by
+        coalescing callers (the serving layer / StreamPool benchmarks)
+        that batch steps across sessions before pumping once.
+        """
         if self._finished:
             raise RuntimeError("session already finished")
         self._samples = np.concatenate(
             [self._samples, np.asarray(samples, np.float32)]
         )
+        if not pump:
+            return ""
         self._run_ready_steps()
         return self._emit()
 
@@ -396,6 +608,9 @@ class StreamingSession:
             [self._samples, np.zeros(pad, np.float32)]
         )
         self._run_ready_steps()
+        if self._pool is not None and self._slot is not None:
+            self._pool.detach(self._slot)
+            self._slot = None
         return self._emit()
 
     @property
