@@ -1,0 +1,154 @@
+"""Decode megakernel (one pallas_call per decoder layer) equivalence tests.
+
+Runs the fused kernel in interpret mode on production-structured small
+dims and asserts it matches the standard XLA decode layer (same w8
+quantized weights, same single-token cached-attention semantics).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from voxtral_tpu.models.layers import (
+    AttentionSpec,
+    decoder_block_with_cache,
+    rope_tables,
+)
+from voxtral_tpu.ops.decode_step_pallas import (
+    ada_vectors,
+    decode_layer_step,
+    fuse_decode_weights,
+    rope_pair_vectors,
+    supports_megakernel,
+)
+from voxtral_tpu.ops.w8 import quantize_w8_rowwise
+
+L, B, S, D = 3, 2, 16, 256
+N_HEADS, N_KV, HEAD_DIM, HIDDEN = 8, 2, 32, 512
+T_COND = 8
+OFFSET = 7
+EPS = 1e-5
+
+
+def _w8_stack(rng, n, k):
+    per = [quantize_w8_rowwise(
+        (rng.normal(size=(n, k)) * 0.05).astype(np.float32))["w8"]
+        for _ in range(L)]
+    return {"w8": {
+        "codes": jnp.asarray(np.stack([p["codes"] for p in per])),
+        "scale": jnp.asarray(np.stack([p["scale"] for p in per])),
+    }}
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(0)
+    nq, nkv = N_HEADS * HEAD_DIM, N_KV * HEAD_DIM
+    params = {
+        "layers": {
+            "ada": {
+                "w0": jnp.asarray(rng.normal(size=(L, D, T_COND)) * 0.05,
+                                  jnp.float32),
+                "w2": jnp.asarray(rng.normal(size=(L, T_COND, D)) * 0.05,
+                                  jnp.float32),
+            },
+            "attention_norm": jnp.asarray(
+                1.0 + rng.normal(size=(L, D)) * 0.1, jnp.float32),
+            "attention": {
+                "wq": _w8_stack(rng, nq, D),
+                "wk": _w8_stack(rng, nkv, D),
+                "wv": _w8_stack(rng, nkv, D),
+                "wo": _w8_stack(rng, D, nq),
+            },
+            "ffn_norm": jnp.asarray(
+                1.0 + rng.normal(size=(L, D)) * 0.1, jnp.float32),
+            "ffn": {
+                "w1": _w8_stack(rng, HIDDEN, D),
+                "w2": _w8_stack(rng, D, HIDDEN),
+                "w3": _w8_stack(rng, HIDDEN, D),
+            },
+        },
+    }
+    t_embed = jnp.asarray(rng.normal(size=(1, 1, D)) * 0.3, jnp.float32)
+    k_cache = jnp.asarray(rng.normal(size=(L, B, S, N_KV, HEAD_DIM)) * 0.4,
+                          jnp.float32)
+    v_cache = jnp.asarray(rng.normal(size=(L, B, S, N_KV, HEAD_DIM)) * 0.4,
+                          jnp.float32)
+    # Zero out unwritten slots like a real cache (masked anyway).
+    mask = (np.arange(S) < OFFSET)[None, None, :, None, None]
+    k_cache = k_cache * mask
+    v_cache = v_cache * mask
+    x = jnp.asarray(rng.normal(size=(B, D)) * 0.5, jnp.float32)
+    return params, t_embed, k_cache, v_cache, x
+
+
+def test_supports_megakernel(setup):
+    params, *_ = setup
+    assert supports_megakernel(params, HEAD_DIM)
+    assert not supports_megakernel({"layers": {"attention": {"wq": jnp.ones(1)}}}, HEAD_DIM)
+
+
+def test_rope_pair_vectors_match_tables():
+    cos, sin = rope_tables(HEAD_DIM, 32, theta=1e6)
+    for pos in (0, 5, 31):
+        c, s = rope_pair_vectors(jnp.asarray(pos), HEAD_DIM, theta=1e6)
+        # interleaved-pair contract: c[2i] = cos[pos, i], s[2i+1] = sin[pos, i]
+        np.testing.assert_allclose(np.asarray(c[0::2]), np.asarray(cos[pos]),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(c[1::2]), np.asarray(cos[pos]),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(s[0::2]), -np.asarray(sin[pos]),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(s[1::2]), np.asarray(sin[pos]),
+                                   rtol=1e-6)
+
+
+def test_megakernel_matches_xla_layer(setup):
+    params, t_embed, k_cache, v_cache, x = setup
+    lyr = params["layers"]
+    fused = fuse_decode_weights(params)
+    adav = ada_vectors(params, t_embed)
+    assert adav.shape == (L, D)
+
+    spec = AttentionSpec(n_heads=N_HEADS, n_kv_heads=N_KV,
+                         head_dim=HEAD_DIM, sliding_window=None, causal=True)
+    cos, sin = rope_tables(HEAD_DIM, S, theta=1e6)
+    offset = jnp.asarray(OFFSET, jnp.int32)
+    cos_p, sin_p = rope_pair_vectors(offset, HEAD_DIM, theta=1e6)
+
+    for l in range(L):
+        layer_params = jax.tree_util.tree_map(lambda a: a[l], lyr)
+
+        # Reference: standard XLA decode layer on one token.
+        ref_x, ref_k, ref_v = decoder_block_with_cache(
+            x[:, None, :], t_embed, layer_params, spec, cos, sin,
+            k_cache[l], v_cache[l], offset, EPS,
+        )
+
+        # Megakernel (interpret mode).
+        out_x, k_new, v_new = decode_layer_step(
+            x, jnp.asarray(l, jnp.int32), offset,
+            lyr["attention_norm"][l], lyr["ffn_norm"][l], adav[l],
+            fused["sqkv"][l], fused["so"][l], fused["s13"][l], fused["s2"][l],
+            cos_p, sin_p,
+            k_cache[l], v_cache[l],
+            fused["wqkv"], fused["wo"], fused["w13"], fused["w2"],
+            n_heads=N_HEADS, n_kv=N_KV, head_dim=HEAD_DIM, eps=EPS,
+            interpret=True,
+        )
+
+        np.testing.assert_allclose(
+            np.asarray(out_x), np.asarray(ref_x[:, 0, :]),
+            rtol=2e-3, atol=2e-3, err_msg=f"layer {l} hidden mismatch",
+        )
+        # The reference wrote K/V at OFFSET inside its cache copy.
+        np.testing.assert_allclose(
+            np.asarray(k_new), np.asarray(ref_k[:, OFFSET]),
+            rtol=2e-3, atol=2e-3, err_msg=f"layer {l} k mismatch",
+        )
+        np.testing.assert_allclose(
+            np.asarray(v_new), np.asarray(ref_v[:, OFFSET]),
+            rtol=2e-3, atol=2e-3, err_msg=f"layer {l} v mismatch",
+        )

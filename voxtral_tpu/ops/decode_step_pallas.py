@@ -1,0 +1,353 @@
+"""Per-layer decode megakernel: one ``pallas_call`` per decoder layer.
+
+Why: kernel microbenches (``benches/kernel_bench.py``) show the isolated
+W8A8 matmuls already stream weights at 590-740 GB/s, and one layer's
+matmul work sums to ~165 us — but the real decode step costs ~2x that,
+because between XLA ops the weight DMA drains (quantize / RoPE / attention
+/ epilogues sit on the VPU while HBM idles).  Fusing the ENTIRE layer —
+rms_norm -> QKV (int8 MXU) -> RoPE -> cached attention -> WO -> residual
+-> ffn_norm -> ADA -> W1/W3 -> SwiGLU -> W2 -> residual — into one kernel
+with manually double-buffered weight-tile DMA keeps the HBM pipe busy
+through all of it.  This is the TPU-native replacement for the
+reference's per-op WGSL kernel launches (op.rs:139-206 dispatches ~200
+q4_matmul launches per token; here a token is 26 kernels + lm_head).
+
+Weight layout: the stacked per-layer int8 codes ([L, N, K], rowwise
+scales [L, N]) are fused at model-prep time into
+    wqkv [L, Nq+2Nkv, D], wo [L, D, Nq], w13 [L, 2F, D], w2 [L, D, F]
+and the kernel receives the FULL stacked arrays in HBM plus a layer
+index — the DMA slices tiles of layer ``l`` directly, so ``lax.scan``
+over layers never materializes a per-layer weight copy.
+
+RoPE uses the adjacent-pair formulation with lane rolls (interleaved
+pairs, rope.rs:103-141): out = x * C + swap(x) * S where
+C[2i]=C[2i+1]=cos_i, S[2i]=-sin_i, S[2i+1]=+sin_i, and swap exchanges
+adjacent lanes.  C/S are precomputed per position outside the kernel.
+
+The kernel attends over the OLD cache (positions < offset) plus the
+fresh K/V of this token in-register (self-attention term), and returns
+k_new/v_new for the caller's cache append — the cache itself is
+read-only here.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Params = dict[str, Any]
+
+
+def _quant(x):
+    """Per-row symmetric int8 activation quantization ([B, K] f32)."""
+    absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    sx = jnp.maximum(absmax, 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(x / sx), -127, 127).astype(jnp.int8)
+    return xq, sx
+
+
+def _rope_pairs(v, c, s):
+    """Adjacent-pair RoPE: v [B, H, D]; c/s [1, D] pair-expanded."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, v.ndim - 1)
+    even = (lane % 2) == 0
+    d = v.shape[-1]
+    # pltpu.roll needs shift >= 0: roll by d-1 == roll by -1 (wraparound).
+    swap = jnp.where(even, pltpu.roll(v, d - 1, axis=v.ndim - 1),
+                     pltpu.roll(v, 1, axis=v.ndim - 1))
+    return v * c[None] + swap * s[None]
+
+
+def _make_kernel(B, D, S, n_heads, n_kv, head_dim, hidden, tile_n, eps):
+    """Build the layer kernel for static dims.
+
+    Shapes: x [B, D]; caches [B, S, Hkv, hd]; wqkv [L, NQKV, D];
+    wo [L, D, NQ]; w13 [L, 2F, D]; w2 [L, D, F].
+    """
+    nq = n_heads * head_dim
+    nkv = n_kv * head_dim
+    nqkv = nq + 2 * nkv
+    groups = n_heads // n_kv
+    scale = head_dim ** -0.5
+
+    def kernel(
+        # scalar prefetch
+        layer_ref, off_ref,
+        # VMEM inputs
+        x_ref, attn_norm_ref, ffn_norm_ref, ada_ref,
+        sqkv_ref, so_ref, s13_ref, s2_ref, cos_ref, sin_ref,
+        kc_ref, vc_ref,
+        # HBM stacked weights
+        wqkv_hbm, wo_hbm, w13_hbm, w2_hbm,
+        # outputs
+        xo_ref, kn_ref, vn_ref,
+        # scratch
+        bufa, bufb, sem,
+    ):
+        layer = layer_ref[0]
+        off = off_ref[0]
+
+        def stream_matmul(xq, sx, w_hbm, scale_row, buf, n_out, k_in):
+            """y[B, n_out] = dequant(xq @ W_l^T); W rows DMA'd in tiles."""
+            n_tiles = n_out // tile_n
+
+            def dma(slot, j):
+                return pltpu.make_async_copy(
+                    w_hbm.at[layer, pl.ds(j * tile_n, tile_n), :],
+                    buf.at[slot, :, pl.ds(0, k_in)],
+                    sem.at[slot],
+                )
+
+            dma(0, 0).start()
+            outs = []
+            for j in range(n_tiles):
+                if j + 1 < n_tiles:
+                    dma((j + 1) % 2, j + 1).start()
+                dma(j % 2, j).wait()
+                z = jax.lax.dot_general(
+                    xq, buf[j % 2, :, :k_in],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )  # [B, tile_n]
+                outs.append(
+                    z.astype(jnp.float32) * sx
+                    * scale_row[0, j * tile_n:(j + 1) * tile_n][None, :]
+                )
+            return jnp.concatenate(outs, axis=-1)
+
+        x = x_ref[:].astype(jnp.float32)  # [B, D] residual stream
+
+        # ---- attention block ------------------------------------------------
+        var = jnp.mean(x * x, axis=-1, keepdims=True)
+        h = x * jax.lax.rsqrt(var + eps) * attn_norm_ref[0][None, :]
+        xq, sx = _quant(h)
+        qkv = stream_matmul(xq, sx, wqkv_hbm, sqkv_ref, bufa, nqkv, D)
+        q = qkv[:, :nq].reshape(B, n_heads, head_dim)
+        k = qkv[:, nq:nq + nkv].reshape(B, n_kv, head_dim)
+        v = qkv[:, nq + nkv:].reshape(B, n_kv, head_dim)
+
+        c, s = cos_ref[:], sin_ref[:]
+        q = _rope_pairs(q, c, s)
+        k = _rope_pairs(k, c, s)
+        kn_ref[:] = k.astype(kn_ref.dtype)
+        vn_ref[:] = v.astype(vn_ref.dtype)
+
+        # Grouped attention over cache (< off) + self term, all f32 VPU.
+        qg = q.reshape(B, n_kv, groups, head_dim) * scale
+        kc = kc_ref[:].astype(jnp.float32)  # [B, S, Hkv, hd]
+        vc = vc_ref[:].astype(jnp.float32)
+        kct = jnp.transpose(kc, (0, 2, 1, 3))  # [B, Hkv, S, hd]
+        vct = jnp.transpose(vc, (0, 2, 1, 3))
+        scores = jnp.sum(qg[:, :, :, None, :] * kct[:, :, None, :, :],
+                         axis=-1)  # [B, Hkv, G, S]
+        pos = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 3)
+        scores = jnp.where(pos < off, scores, -jnp.inf)
+        self_s = jnp.sum(qg * k[:, :, None, :], axis=-1)  # [B, Hkv, G]
+
+        m = jnp.maximum(jnp.max(scores, axis=-1), self_s)
+        e_cache = jnp.exp(scores - m[..., None])
+        e_self = jnp.exp(self_s - m)
+        denom = jnp.sum(e_cache, axis=-1) + e_self
+        ctx = jnp.sum(e_cache[..., None] * vct[:, :, None, :, :], axis=3)
+        ctx = ctx + e_self[..., None] * v[:, :, None, :]
+        attn = (ctx / denom[..., None]).reshape(B, nq)
+
+        xq, sx = _quant(attn)
+        x = x + stream_matmul(xq, sx, wo_hbm, so_ref, bufb, D, nq)
+
+        # ---- FFN block ------------------------------------------------------
+        var = jnp.mean(x * x, axis=-1, keepdims=True)
+        h = x * jax.lax.rsqrt(var + eps) * ffn_norm_ref[0][None, :]
+        h = h * ada_ref[0][None, :]  # precomputed 1 + w2(gelu(w0 t))
+        xq, sx = _quant(h)
+        up = stream_matmul(xq, sx, w13_hbm, s13_ref, bufa, 2 * hidden, D)
+        gate, upv = up[:, :hidden], up[:, hidden:]
+        hmid = gate * jax.nn.sigmoid(gate) * upv  # silu(gate) * up
+        xq, sx = _quant(hmid)
+        x = x + stream_matmul(xq, sx, w2_hbm, s2_ref, bufb, D, hidden)
+
+        xo_ref[:] = x
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_heads", "n_kv", "head_dim", "eps", "interpret"),
+)
+def decode_layer_step(
+    x, layer, offset,
+    attn_norm, ffn_norm, ada_vec,
+    sqkv, so, s13, s2, cos_p, sin_p,
+    k_cache, v_cache,
+    wqkv, wo, w13, w2,
+    n_heads=32, n_kv=8, head_dim=128, eps=1e-5, interpret=False,
+):
+    """One decoder layer of a single-token decode step, fused.
+
+    x [B, D] f32; layer/offset scalars; caches [B, S, Hkv, hd];
+    stacked weights wqkv [L, NQKV, D] int8 (+ scales per layer given
+    pre-sliced: sqkv [NQKV] f32 etc.); cos_p/sin_p [hd] pair-expanded.
+    Returns (x_out [B, D] f32, k_new, v_new [B, Hkv, hd]).
+    """
+    B, D = x.shape
+    S = k_cache.shape[1]
+    hidden = w2.shape[2]
+    nq = n_heads * head_dim
+    nqkv = nq + 2 * n_kv * head_dim
+    tile_n = 512
+    while nqkv % tile_n or D % tile_n or (2 * hidden) % tile_n:
+        tile_n //= 2
+    kmax = max(D, nq, hidden)
+
+    kernel = _make_kernel(B, D, S, n_heads, n_kv, head_dim, hidden,
+                          tile_n, eps)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # x
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # attn_norm [1, D]
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # ffn_norm
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # ada
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # sqkv [1, NQKV]
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # so [1, D]
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # s13 [1, 2F]
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # s2 [1, D]
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # cos [1, hd]
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # sin [1, hd]
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # k_cache
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # v_cache
+            pl.BlockSpec(memory_space=pl.ANY),    # wqkv (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),    # wo
+            pl.BlockSpec(memory_space=pl.ANY),    # w13
+            pl.BlockSpec(memory_space=pl.ANY),    # w2
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, tile_n, kmax), jnp.int8),
+            pltpu.VMEM((2, tile_n, kmax), jnp.int8),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, n_kv, head_dim), k_cache.dtype),
+            jax.ShapeDtypeStruct((B, n_kv, head_dim), v_cache.dtype),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(layer, jnp.int32).reshape(1),
+        jnp.asarray(offset, jnp.int32).reshape(1),
+        x.astype(jnp.float32),
+        attn_norm.astype(jnp.float32).reshape(1, D),
+        ffn_norm.astype(jnp.float32).reshape(1, D),
+        ada_vec.astype(jnp.float32).reshape(1, D),
+        sqkv.astype(jnp.float32).reshape(1, nqkv),
+        so.astype(jnp.float32).reshape(1, D),
+        s13.astype(jnp.float32).reshape(1, 2 * hidden),
+        s2.astype(jnp.float32).reshape(1, D),
+        cos_p.astype(jnp.float32).reshape(1, head_dim),
+        sin_p.astype(jnp.float32).reshape(1, head_dim),
+        k_cache, v_cache,
+        wqkv, wo, w13, w2,
+    )
+    return out
+
+
+def rope_pair_vectors(position, head_dim, theta=1_000_000.0):
+    """C/S vectors for the adjacent-pair RoPE formulation at ``position``.
+
+    Returns (c [hd], s [hd]) with c[2i]=c[2i+1]=cos(p*f_i),
+    s[2i]=-sin(p*f_i), s[2i+1]=+sin(p*f_i) — matches layers.apply_rope's
+    interleaved-pair semantics for a single position.
+    """
+    half = head_dim // 2
+    inv_freq = 1.0 / (theta ** (
+        jnp.arange(half, dtype=jnp.float32) * 2.0 / head_dim))
+    ang = position.astype(jnp.float32) * inv_freq  # [half]
+    c = jnp.repeat(jnp.cos(ang), 2)
+    s = jnp.stack([-jnp.sin(ang), jnp.sin(ang)], axis=-1).reshape(-1)
+    return c, s
+
+
+def fuse_decode_weights(decoder_params: Params) -> Params:
+    """Prepare the megakernel's fused stacked weights from w8 params.
+
+    decoder_params["layers"] carries w8 dicts with codes [L, N, K] /
+    scale [L, N]; returns the fused HBM arrays + per-layer norm/scale
+    stacks the step function scans over.
+    """
+    lyr = decoder_params["layers"]
+    att, ffn = lyr["attention"], lyr["ffn"]
+
+    def codes(leaf):
+        return leaf["w8"]["codes"]
+
+    def scales(leaf):
+        return leaf["w8"]["scale"].astype(jnp.float32)
+
+    wqkv = jnp.concatenate(
+        [codes(att["wq"]), codes(att["wk"]), codes(att["wv"])], axis=1)
+    sqkv = jnp.concatenate(
+        [scales(att["wq"]), scales(att["wk"]), scales(att["wv"])], axis=1)
+    w13 = jnp.concatenate([codes(ffn["w1"]), codes(ffn["w3"])], axis=1)
+    s13 = jnp.concatenate([scales(ffn["w1"]), scales(ffn["w3"])], axis=1)
+    return {
+        "wqkv": wqkv, "sqkv": sqkv,
+        "wo": codes(att["wo"]), "so": scales(att["wo"]),
+        "w13": w13, "s13": s13,
+        "w2": codes(ffn["w2"]), "s2": scales(ffn["w2"]),
+        "attn_norm": lyr["attention_norm"].astype(jnp.float32),
+        "ffn_norm": lyr["ffn_norm"].astype(jnp.float32),
+    }
+
+
+def supports_megakernel(decoder_params: Params, head_dim: int) -> bool:
+    """The fused kernel needs w8 layers and even head_dim (pair RoPE)."""
+    lyr = decoder_params.get("layers", {})
+    att = lyr.get("attention", {})
+    if not (isinstance(att.get("wq"), dict) and "w8" in att["wq"]):
+        return False
+    ffn = lyr.get("ffn", {})
+    if not (isinstance(ffn.get("w1"), dict) and "w8" in ffn["w1"]):
+        return False
+    return head_dim % 2 == 0
+
+
+def ada_vectors(decoder_params: Params, t_embed) -> jax.Array:
+    """Precompute the per-layer ADA modulation vector 1 + w2(gelu(w0 t)).
+
+    t_embed: [1, 1, D].  ADA weights are tiny (d->32->d) and may be dense
+    or w8; evaluated with the standard linear() dispatch once per
+    transcription — t does not change across decode steps, so the
+    megakernel folds ADA into a single elementwise multiply.
+    Returns [L, D] f32.
+    """
+    from voxtral_tpu.models.layers import linear
+
+    ada = decoder_params["layers"]["ada"]
+
+    def one(w0, w2):
+        h = linear(t_embed[0].astype(jnp.float32), w0)
+        h = jax.nn.gelu(h.astype(jnp.float32), approximate=False)
+        return 1.0 + linear(h, w2)[0].astype(jnp.float32)
+
+    return jax.vmap(one)(ada["w0"], ada["w2"])  # [L, D]
