@@ -152,3 +152,41 @@ def test_megakernel_matches_xla_layer(setup):
             np.asarray(v_new), np.asarray(ref_v[:, OFFSET]),
             rtol=2e-3, atol=2e-3, err_msg=f"layer {l} v mismatch",
         )
+
+
+def test_fused_transcribe_matches_xla_path(monkeypatch):
+    """Full transcribe with the megakernel (interpret mode) must produce
+    the same tokens as the standard XLA w8 path on the golden model."""
+    from tests.test_golden_full_model import golden_cfg, golden_mel
+    from tests.test_safetensors_loader import synth_checkpoint
+    from safetensors.numpy import save_file
+    from voxtral_tpu.loaders.safetensors_loader import load_voxtral_params
+    from voxtral_tpu.models.voxtral import VoxtralModel
+    from voxtral_tpu.utils.quantize import quantize_params_w8
+    import tempfile, os
+
+    cfg = golden_cfg()
+    tensors = synth_checkpoint(cfg, np.random.default_rng(42))
+    tensors = {k: (v * 0.25).astype(np.float32) for k, v in tensors.items()}
+    d = tempfile.mkdtemp()
+    path = f"{d}/consolidated.safetensors"
+    save_file(tensors, path)
+    mel = golden_mel()
+
+    def build():
+        dense = load_voxtral_params(path, cfg, dtype="float32",
+                                    to_device=False)
+        return VoxtralModel(quantize_params_w8(dense), cfg)
+
+    monkeypatch.setenv("VOXTRAL_MEGAKERNEL", "0")
+    plain = build()
+    assert plain.fused_decode is None
+    ref_tokens = plain.transcribe_streaming(mel)
+
+    monkeypatch.setenv("VOXTRAL_MEGAKERNEL", "force")
+    fused = build()
+    assert fused.fused_decode is not None
+    mk_tokens = fused.transcribe_streaming(mel)
+
+    assert mk_tokens.tolist() == ref_tokens.tolist(), (
+        mk_tokens.tolist(), ref_tokens.tolist())

@@ -45,7 +45,7 @@ from voxtral_tpu.models.decoder import (
     lm_head,
 )
 from voxtral_tpu.models.encoder import encoder_forward
-from voxtral_tpu.models.layers import KVCache, rope_tables
+from voxtral_tpu.models.layers import KVCache, cache_update_layer, rope_tables
 from voxtral_tpu.models.time_embedding import time_embedding
 from voxtral_tpu.tokenizer import BOS_TOKEN, STREAMING_PAD
 from voxtral_tpu.utils.profiling import span
@@ -105,6 +105,8 @@ def transcribe_streaming_fn(
     t_embed: jax.Array,
     cfg: VoxtralConfig,
     cache_dtype=jnp.bfloat16,
+    fused=None,
+    mk_interpret: bool = False,
 ) -> jax.Array:
     """Greedy streaming transcription, fully on device, batched.
 
@@ -115,6 +117,11 @@ def transcribe_streaming_fn(
     Decode is HBM-bound on the weights, so batching B independent chunks
     into one scan makes the extra chunks nearly free — the pipeline packs
     ALL chunks of a file into a single call.
+
+    ``fused``: prepared stacked megakernel weights
+    (ops.decode_step_pallas.fuse_decode_weights) — when given, each decode
+    step runs 26 fused per-layer Pallas kernels instead of ~200 XLA ops,
+    keeping the weight DMA pipelined through the attention/VPU work.
     """
     lm_cfg = cfg.language_model
 
@@ -135,19 +142,72 @@ def transcribe_streaming_fn(
     first_logits = lm_head(params["decoder"], hidden[:, -1, :])  # [B, V]
     first_token = jnp.argmax(first_logits, axis=-1).astype(jnp.int32)  # [B]
 
-    def step(carry, i):
-        prev_token, cache = carry
-        # Input position = PREFIX_LEN + i; predicts token PREFIX_LEN + i + 1.
-        audio_pos = jax.lax.dynamic_slice_in_dim(
-            audio_embeds, PREFIX_LEN + i, 1, axis=1
-        )  # [B, 1, D]
-        text = embed_tokens(params["decoder"], prev_token[:, None])
-        hidden, cache = decoder_forward_hidden_with_cache(
-            params["decoder"], audio_pos + text, t_embed, cache, lm_cfg, rope
+    if fused is not None:
+        from voxtral_tpu.models.layers import rms_norm
+        from voxtral_tpu.ops.decode_step_pallas import (
+            ada_vectors,
+            decode_layer_step,
+            rope_pair_vectors,
         )
-        logits = lm_head(params["decoder"], hidden[:, 0, :])  # [B, V]
-        token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        return (token, cache), token
+
+        ada_vecs = ada_vectors(params["decoder"], t_embed)  # [L, D]
+        n_layers = lm_cfg.n_layers
+
+        def step(carry, i):
+            prev_token, cache = carry
+            audio_pos = jax.lax.dynamic_slice_in_dim(
+                audio_embeds, PREFIX_LEN + i, 1, axis=1
+            )
+            text = embed_tokens(params["decoder"], prev_token[:, None])
+            x = (audio_pos + text)[:, 0, :].astype(jnp.float32)
+            offset = cache.length
+            cos_p, sin_p = rope_pair_vectors(
+                offset, lm_cfg.head_dim, lm_cfg.rope_theta
+            )
+
+            def layer_body(xc, inp):
+                (l, attn_norm, ffn_norm, ada_vec,
+                 sqkv, so, s13, s2, k_l, v_l) = inp
+                x_out, k_new, v_new = decode_layer_step(
+                    xc, l, offset, attn_norm, ffn_norm, ada_vec,
+                    sqkv, so, s13, s2, cos_p, sin_p, k_l, v_l,
+                    fused["wqkv"], fused["wo"], fused["w13"], fused["w2"],
+                    n_heads=lm_cfg.n_heads, n_kv=lm_cfg.n_kv_heads,
+                    head_dim=lm_cfg.head_dim, eps=lm_cfg.norm_eps,
+                    interpret=mk_interpret,
+                )
+                k_l, v_l = cache_update_layer(
+                    k_l, v_l, k_new[:, None], v_new[:, None], offset
+                )
+                return x_out, (k_l, v_l)
+
+            xs = (
+                jnp.arange(n_layers, dtype=jnp.int32),
+                fused["attn_norm"], fused["ffn_norm"], ada_vecs,
+                fused["sqkv"], fused["so"], fused["s13"], fused["s2"],
+                cache.k, cache.v,
+            )
+            x, (k_new, v_new) = jax.lax.scan(layer_body, x, xs)
+            cache = KVCache(k_new, v_new, offset + 1)
+            hidden = rms_norm(x, params["decoder"]["norm"], lm_cfg.norm_eps)
+            logits = lm_head(params["decoder"], hidden)
+            token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return (token, cache), token
+    else:
+        def step(carry, i):
+            prev_token, cache = carry
+            # Input position = PREFIX_LEN + i; predicts token PREFIX_LEN+i+1.
+            audio_pos = jax.lax.dynamic_slice_in_dim(
+                audio_embeds, PREFIX_LEN + i, 1, axis=1
+            )  # [B, 1, D]
+            text = embed_tokens(params["decoder"], prev_token[:, None])
+            hidden, cache = decoder_forward_hidden_with_cache(
+                params["decoder"], audio_pos + text, t_embed, cache, lm_cfg,
+                rope,
+            )
+            logits = lm_head(params["decoder"], hidden[:, 0, :])  # [B, V]
+            token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return (token, cache), token
 
     n_steps = seq_len - PREFIX_LEN - 1
     (_, _), rest = jax.lax.scan(
@@ -184,11 +244,37 @@ class VoxtralModel:
         self.cache_dtype = cache_dtype if cache_dtype is not None else compute_dtype
 
         cfg = self.config
+
+        # Decode megakernel (per-layer fused Pallas step): enabled on TPU
+        # for w8 models at the production head_dim; VOXTRAL_MEGAKERNEL=0
+        # disables, =force enables off-TPU (interpret mode, tests only).
+        import os
+
+        from voxtral_tpu.ops.decode_step_pallas import supports_megakernel
+
+        mk_env = os.environ.get("VOXTRAL_MEGAKERNEL", "1")
+        on_tpu = jax.default_backend() == "tpu"
+        lm = cfg.language_model
+        use_mk = (
+            mk_env != "0"
+            and supports_megakernel(params["decoder"], lm.head_dim)
+            and ((on_tpu and lm.head_dim == 128) or mk_env == "force")
+        )
+        self.fused_decode = None
+        self._mk_interpret = False
+        if use_mk:
+            from voxtral_tpu.ops.decode_step_pallas import fuse_decode_weights
+
+            self.fused_decode = fuse_decode_weights(params["decoder"])
+            self._mk_interpret = not on_tpu
+
         self._encode = jax.jit(partial(encode_audio_fn, cfg=cfg))
         self._forward = jax.jit(partial(forward_fn, cfg=cfg))
         self._forward_streaming = jax.jit(partial(forward_streaming_fn, cfg=cfg))
         self._transcribe = jax.jit(
-            partial(transcribe_streaming_fn, cfg=cfg, cache_dtype=self.cache_dtype)
+            partial(transcribe_streaming_fn, cfg=cfg,
+                    cache_dtype=self.cache_dtype,
+                    mk_interpret=self._mk_interpret)
         )
 
     # -- constructors -------------------------------------------------------
@@ -325,7 +411,9 @@ class VoxtralModel:
         t_embed = self.t_embed(delay_tokens)
         with span("transcribe_streaming", mel_frames=int(mel.shape[-1]),
                   tokens=seq - PREFIX_LEN):
-            tokens = self._transcribe(self.params, mel, t_embed)
+            tokens = self._transcribe(
+                self.params, mel, t_embed, fused=self.fused_decode
+            )
             return np.asarray(jax.device_get(tokens))[0]
 
     def transcribe_streaming_batch_async(
@@ -341,7 +429,9 @@ class VoxtralModel:
         if self.decoder_seq_len(mel_batch.shape[-1]) < PREFIX_LEN + 1:
             return np.zeros((mel_batch.shape[0], 0), dtype=np.int32)
         t_embed = self.t_embed(delay_tokens)
-        return self._transcribe(self.params, mel_batch, t_embed)
+        return self._transcribe(
+            self.params, mel_batch, t_embed, fused=self.fused_decode
+        )
 
     def transcribe_streaming_batch(
         self, mel_batch: jax.Array, delay_tokens: float = 6.0
