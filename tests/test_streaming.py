@@ -220,3 +220,19 @@ def test_stream_pool_matches_solo(model):
     pc.feed(audio_b[: 16000 * 7])
     pc.finish()
     assert pc.tokens == solo_b.tokens
+
+
+def test_endpoint_detection(model):
+    """Endpoint fires after text followed by a run of [STREAMING_PAD]s,
+    and re-arms after consume_endpoint()."""
+    session = StreamingSession(model, step_positions=8, max_duration_s=30)
+    assert not session.endpoint()
+    session.tokens = [32] * 10                     # silence only: no text yet
+    assert not session.endpoint(min_pad_run=4)
+    session.tokens = [32, 1500, 1501, 32, 32, 32, 32]  # text then silence
+    assert session.endpoint(min_pad_run=4)
+    assert not session.endpoint(min_pad_run=8)     # run too short for 8
+    session.consume_endpoint()
+    assert not session.endpoint(min_pad_run=4)     # consumed
+    session.tokens += [1502] + [32] * 4            # next utterance
+    assert session.endpoint(min_pad_run=4)

@@ -223,6 +223,9 @@ class _Handler(BaseHTTPRequestHandler):
                     else:
                         delta = session.feed(samples)
                         positions = session.positions_done
+                        endpoint = session.endpoint()
+                        if endpoint:
+                            session.consume_endpoint()
                 if pooled:
                     # Coalesce: the pump thread batches every session's
                     # ready step into ONE vmapped decode program.
@@ -235,7 +238,11 @@ class _Handler(BaseHTTPRequestHandler):
                             return
                         delta = session._emit()
                         positions = session.positions_done
-                self._json(200, {"delta": delta, "positions": positions})
+                        endpoint = session.endpoint()
+                        if endpoint:
+                            session.consume_endpoint()
+                self._json(200, {"delta": delta, "positions": positions,
+                                 "endpoint": endpoint})
             else:
                 with self.state.lock:
                     session = self.state.sessions.pop(sid, None)

@@ -49,7 +49,7 @@ from voxtral_tpu.models.decoder import (
 from voxtral_tpu.models.encoder import create_encoder_cache, encoder_layers_with_cache
 from voxtral_tpu.models.layers import KVCache, conv_downsample, rope_tables
 from voxtral_tpu.models.voxtral import PREFIX_LEN, VoxtralModel, make_prefix_ids
-from voxtral_tpu.tokenizer import VoxtralTokenizer
+from voxtral_tpu.tokenizer import STREAMING_PAD, VoxtralTokenizer
 
 Params = dict[str, Any]
 
@@ -620,3 +620,30 @@ class StreamingSession:
     @property
     def positions_done(self) -> int:
         return self._positions_done
+
+    def endpoint(self, min_pad_run: int = 8) -> bool:
+        """Speech-aware endpoint detection.
+
+        True when the decoder has emitted text since the last endpoint
+        and the stream has since gone silent for ``min_pad_run`` decoder
+        positions (the model emits ``[STREAMING_PAD]`` = 32 for silence;
+        8 positions = 1.28 s).  Callers (e.g. the serving layer) use this
+        to finalize an utterance — beyond reference parity (its demo only
+        transcribes whole recordings).
+
+        Consuming an endpoint: call :meth:`consume_endpoint` so the next
+        utterance is detected independently.
+        """
+        if not hasattr(self, "_endpoint_mark"):
+            self._endpoint_mark = 0
+        toks = self.tokens[self._endpoint_mark:]
+        if len(toks) < min_pad_run:
+            return False
+        tail = toks[-min_pad_run:]
+        if any(t != STREAMING_PAD for t in tail):
+            return False
+        return any(t >= 1000 for t in toks)
+
+    def consume_endpoint(self) -> None:
+        """Mark the current utterance boundary as handled."""
+        self._endpoint_mark = len(self.tokens)
