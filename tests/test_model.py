@@ -148,3 +148,25 @@ def test_transcribe_matches_naive_loop(tiny_model):
         generated.append(int(jnp.argmax(logits[0, -1])))
 
     np.testing.assert_array_equal(fast, np.array(generated[PREFIX_LEN:], np.int32))
+
+
+def test_sampling_transcribe(tiny_model):
+    """temperature>0 produces valid tokens; temperature=0 stays greedy
+    and bit-identical to the default path; sampling is seed-deterministic."""
+    rng = np.random.default_rng(4)
+    mel = (rng.normal(size=(1, 128, 48 * 16)) * 0.3).astype(np.float32)
+
+    greedy = tiny_model.transcribe_streaming(mel)
+    greedy2 = tiny_model.transcribe_streaming(mel, temperature=0.0)
+    assert np.array_equal(greedy, greedy2)
+
+    s1 = tiny_model.transcribe_streaming(mel, temperature=0.8, top_k=8, seed=1)
+    s2 = tiny_model.transcribe_streaming(mel, temperature=0.8, top_k=8, seed=1)
+    s3 = tiny_model.transcribe_streaming(mel, temperature=0.8, top_k=8, seed=2)
+    assert s1.shape == greedy.shape
+    assert np.array_equal(s1, s2), "sampling must be seed-deterministic"
+    assert s1.dtype == np.int32
+    vocab = tiny_model.config.language_model.vocab_size
+    assert s1.min() >= 0 and s1.max() < vocab
+    # different seeds should (overwhelmingly) differ on a random model
+    assert not np.array_equal(s1, s3) or len(s1) < 4

@@ -65,6 +65,22 @@ def make_prefix_ids() -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def select_token(logits, key=None, temperature: float = 0.0, top_k: int = 0):
+    """Greedy argmax, or temperature/top-k sampling when temperature > 0.
+
+    Beyond reference parity (the reference is greedy-only,
+    voxtral.rs:365-396); temperature/top_k are STATIC so the greedy path
+    compiles with zero sampling overhead.  logits [B, V] -> int32 [B].
+    """
+    if temperature <= 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    l = logits.astype(jnp.float32) / temperature
+    if top_k > 0:
+        kth = jax.lax.top_k(l, top_k)[0][..., -1:]
+        l = jnp.where(l < kth, -jnp.inf, l)
+    return jax.random.categorical(key, l, axis=-1).astype(jnp.int32)
+
+
 def encode_audio_fn(params: Params, mel: jax.Array, cfg: VoxtralConfig) -> jax.Array:
     """mel [B, n_mels, T] -> audio embeds [B, T/16, llm_dim]."""
     enc = encoder_forward(params["encoder"], mel, cfg.audio_encoder)
@@ -107,6 +123,9 @@ def transcribe_streaming_fn(
     cache_dtype=jnp.bfloat16,
     fused=None,
     mk_interpret: bool = False,
+    temperature: float = 0.0,
+    top_k: int = 0,
+    seed: int = 0,
 ) -> jax.Array:
     """Greedy streaming transcription, fully on device, batched.
 
@@ -140,7 +159,9 @@ def transcribe_streaming_fn(
         params["decoder"], prefix_inputs, t_embed, cache, lm_cfg, rope
     )
     first_logits = lm_head(params["decoder"], hidden[:, -1, :])  # [B, V]
-    first_token = jnp.argmax(first_logits, axis=-1).astype(jnp.int32)  # [B]
+    key = jax.random.PRNGKey(seed)
+    key, k0 = jax.random.split(key)
+    first_token = select_token(first_logits, k0, temperature, top_k)  # [B]
 
     if fused is not None:
         from voxtral_tpu.models.layers import rms_norm
@@ -154,7 +175,8 @@ def transcribe_streaming_fn(
         n_layers = lm_cfg.n_layers
 
         def step(carry, i):
-            prev_token, cache = carry
+            prev_token, cache, key = carry
+            key, kstep = jax.random.split(key)
             audio_pos = jax.lax.dynamic_slice_in_dim(
                 audio_embeds, PREFIX_LEN + i, 1, axis=1
             )
@@ -191,11 +213,12 @@ def transcribe_streaming_fn(
             cache = KVCache(k_new, v_new, offset + 1)
             hidden = rms_norm(x, params["decoder"]["norm"], lm_cfg.norm_eps)
             logits = lm_head(params["decoder"], hidden)
-            token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            return (token, cache), token
+            token = select_token(logits, kstep, temperature, top_k)
+            return (token, cache, key), token
     else:
         def step(carry, i):
-            prev_token, cache = carry
+            prev_token, cache, key = carry
+            key, kstep = jax.random.split(key)
             # Input position = PREFIX_LEN + i; predicts token PREFIX_LEN+i+1.
             audio_pos = jax.lax.dynamic_slice_in_dim(
                 audio_embeds, PREFIX_LEN + i, 1, axis=1
@@ -206,12 +229,12 @@ def transcribe_streaming_fn(
                 rope,
             )
             logits = lm_head(params["decoder"], hidden[:, 0, :])  # [B, V]
-            token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            return (token, cache), token
+            token = select_token(logits, kstep, temperature, top_k)
+            return (token, cache, key), token
 
     n_steps = seq_len - PREFIX_LEN - 1
-    (_, _), rest = jax.lax.scan(
-        step, (first_token, cache), jnp.arange(n_steps, dtype=jnp.int32)
+    (_, _, _), rest = jax.lax.scan(
+        step, (first_token, cache, key), jnp.arange(n_steps, dtype=jnp.int32)
     )  # rest: [n_steps, B]
     return jnp.concatenate([first_token[None, :], rest]).T  # [B, S-PREFIX]
 
@@ -271,11 +294,20 @@ class VoxtralModel:
         self._encode = jax.jit(partial(encode_audio_fn, cfg=cfg))
         self._forward = jax.jit(partial(forward_fn, cfg=cfg))
         self._forward_streaming = jax.jit(partial(forward_streaming_fn, cfg=cfg))
-        self._transcribe = jax.jit(
-            partial(transcribe_streaming_fn, cfg=cfg,
-                    cache_dtype=self.cache_dtype,
-                    mk_interpret=self._mk_interpret)
-        )
+        self._transcribe_jits: dict = {}
+        self._transcribe = self._get_transcribe()  # greedy default
+
+    def _get_transcribe(self, temperature: float = 0.0, top_k: int = 0):
+        """Jitted transcribe for a (temperature, top_k) setting (cached)."""
+        key = (float(temperature), int(top_k))
+        if key not in self._transcribe_jits:
+            self._transcribe_jits[key] = jax.jit(
+                partial(transcribe_streaming_fn, cfg=self.config,
+                        cache_dtype=self.cache_dtype,
+                        mk_interpret=self._mk_interpret,
+                        temperature=float(temperature), top_k=int(top_k))
+            )
+        return self._transcribe_jits[key]
 
     # -- constructors -------------------------------------------------------
 
@@ -397,10 +429,14 @@ class VoxtralModel:
         return t2 // self.config.downsample_factor
 
     def transcribe_streaming(
-        self, mel: jax.Array, delay_tokens: float = 6.0
+        self, mel: jax.Array, delay_tokens: float = 6.0,
+        temperature: float = 0.0, top_k: int = 0, seed: int = 0,
     ) -> np.ndarray:
-        """Greedy transcription of one mel chunk -> int32 token IDs.
+        """Transcription of one mel chunk -> int32 token IDs.
 
+        Greedy by default (reference semantics); ``temperature`` > 0
+        switches the on-device scan to temperature/top-k sampling
+        (beyond parity — the argmax site is the only difference).
         Returns the generated tokens after the 38-token prefix (control
         tokens included, exactly like the reference's Vec<i32>).
         """
@@ -409,10 +445,11 @@ class VoxtralModel:
         if seq < PREFIX_LEN + 1:
             return np.zeros((0,), dtype=np.int32)
         t_embed = self.t_embed(delay_tokens)
+        fn = self._get_transcribe(temperature, top_k)
         with span("transcribe_streaming", mel_frames=int(mel.shape[-1]),
                   tokens=seq - PREFIX_LEN):
-            tokens = self._transcribe(
-                self.params, mel, t_embed, fused=self.fused_decode
+            tokens = fn(
+                self.params, mel, t_embed, fused=self.fused_decode, seed=seed
             )
             return np.asarray(jax.device_get(tokens))[0]
 
