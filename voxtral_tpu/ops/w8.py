@@ -60,7 +60,17 @@ def w8_matmul(x: jax.Array, w8: dict) -> jax.Array:
 
     import os
 
-    if os.environ.get("VOXTRAL_W8_PALLAS") == "1":
+    rows = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
+    env = os.environ.get("VOXTRAL_W8_PALLAS", "auto")
+    # "auto": Pallas only for huge-N decode matvecs (the 131k lm_head,
+    # measured 759 vs 518 GB/s at M=1 — benches/kernel_bench.py); per-layer
+    # matmuls stay on XLA (round-1 finding: per-call pipeline warm-up x 9
+    # matmuls/layer loses e2e) — the megakernel covers those now.
+    use_pallas = env == "1" or (
+        env == "auto" and rows <= 8 and codes.shape[0] >= 32768
+        and jax.default_backend() == "tpu"
+    )
+    if use_pallas and env != "0":
         from voxtral_tpu.ops.w8_pallas import (
             w8_matmul_pallas,
             w8_pallas_supported,
