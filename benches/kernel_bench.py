@@ -110,7 +110,11 @@ def bench_matmul_variant(name, make_fn, m, n, k, weight_bytes,
     def run_body(x0, length, *w):
         def body(x, _):
             y = fn(x, *w)
-            x2 = x0 + 1e-3 * _fold(y.astype(jnp.float32), k)
+            # Perturbation must exceed bf16 epsilon at |x0|~0.5 (~4e-3):
+            # smaller deltas round away in low-precision variants and XLA
+            # hoists the then-loop-invariant dot out of the scan entirely
+            # (observed as impossible TB/s numbers).
+            x2 = x0 + 5e-2 * _fold(y.astype(jnp.float32), k)
             return x2, ()
         x, _ = jax.lax.scan(body, x0, None, length=length)
         return x[0, 0]
