@@ -63,7 +63,31 @@ def _rope_pairs(v, c, s):
     return v * c[None] + swap * s[None]
 
 
-def _make_kernel(B, D, S, n_heads, n_kv, head_dim, hidden, tile_n, eps):
+def _phase_tiles(D, nqkv, nq, hidden):
+    """Weight-DMA buffer plan: one double buffer per distinct contraction
+    dim K, tile height the largest power of two that divides every N
+    streamed through it while keeping a tile near ~2 MB (VMEM is the
+    scarce resource — the whole kernel must stay under XLA's ~31 MB
+    scoped-vmem pool for fusions containing the pallas call).
+
+    Phases: qkv (N=nqkv, K=D), wo (N=D, K=nq), w13 (N=2F, K=D),
+    w2 (N=D, K=F).  Returns ({k: (tile, buf_index)}, [buffer shapes]).
+    """
+    by_k: dict[int, list[int]] = {}
+    for n_out, k_in in ((nqkv, D), (D, nq), (2 * hidden, D), (D, hidden)):
+        by_k.setdefault(k_in, []).append(n_out)
+    plan = {}
+    shapes = []
+    for idx, (k, n_list) in enumerate(sorted(by_k.items())):
+        t = 512
+        while t > 8 and (any(n % t for n in n_list) or t * k > 2 * 2**20):
+            t //= 2
+        plan[k] = (t, idx)
+        shapes.append((2, t, k))
+    return plan, shapes
+
+
+def _make_kernel(B, D, S, n_heads, n_kv, head_dim, hidden, plan, n_bufs, eps):
     """Build the layer kernel for static dims.
 
     Shapes: x [B, D]; caches [B, S, Hkv, hd]; wqkv [L, NQKV, D];
@@ -86,20 +110,23 @@ def _make_kernel(B, D, S, n_heads, n_kv, head_dim, hidden, tile_n, eps):
         wqkv_hbm, wo_hbm, w13_hbm, w2_hbm,
         # outputs
         xo_ref, kn_ref, vn_ref,
-        # scratch
-        bufa, bufb, sem,
+        # scratch: one double buffer per distinct K + DMA semaphores
+        *scratch,
     ):
+        bufs, sem = scratch[:n_bufs], scratch[n_bufs]
         layer = layer_ref[0]
         off = off_ref[0]
 
-        def stream_matmul(xq, sx, w_hbm, scale_row, buf, n_out, k_in):
+        def stream_matmul(xq, sx, w_hbm, scale_row, n_out, k_in):
             """y[B, n_out] = dequant(xq @ W_l^T); W rows DMA'd in tiles."""
+            tile_n, buf_idx = plan[k_in]
+            buf = bufs[buf_idx]
             n_tiles = n_out // tile_n
 
             def dma(slot, j):
                 return pltpu.make_async_copy(
                     w_hbm.at[layer, pl.ds(j * tile_n, tile_n), :],
-                    buf.at[slot, :, pl.ds(0, k_in)],
+                    buf.at[slot],
                     sem.at[slot],
                 )
 
@@ -110,7 +137,7 @@ def _make_kernel(B, D, S, n_heads, n_kv, head_dim, hidden, tile_n, eps):
                     dma((j + 1) % 2, j + 1).start()
                 dma(j % 2, j).wait()
                 z = jax.lax.dot_general(
-                    xq, buf[j % 2, :, :k_in],
+                    xq, buf[j % 2],
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.int32,
                 )  # [B, tile_n]
@@ -126,7 +153,7 @@ def _make_kernel(B, D, S, n_heads, n_kv, head_dim, hidden, tile_n, eps):
         var = jnp.mean(x * x, axis=-1, keepdims=True)
         h = x * jax.lax.rsqrt(var + eps) * attn_norm_ref[0][None, :]
         xq, sx = _quant(h)
-        qkv = stream_matmul(xq, sx, wqkv_hbm, sqkv_ref, bufa, nqkv, D)
+        qkv = stream_matmul(xq, sx, wqkv_hbm, sqkv_ref, nqkv, D)
         q = qkv[:, :nq].reshape(B, n_heads, head_dim)
         k = qkv[:, nq:nq + nkv].reshape(B, n_kv, head_dim)
         v = qkv[:, nq + nkv:].reshape(B, n_kv, head_dim)
@@ -158,18 +185,18 @@ def _make_kernel(B, D, S, n_heads, n_kv, head_dim, hidden, tile_n, eps):
         attn = (ctx / denom[..., None]).reshape(B, nq)
 
         xq, sx = _quant(attn)
-        x = x + stream_matmul(xq, sx, wo_hbm, so_ref, bufb, D, nq)
+        x = x + stream_matmul(xq, sx, wo_hbm, so_ref, D, nq)
 
         # ---- FFN block ------------------------------------------------------
         var = jnp.mean(x * x, axis=-1, keepdims=True)
         h = x * jax.lax.rsqrt(var + eps) * ffn_norm_ref[0][None, :]
         h = h * ada_ref[0][None, :]  # precomputed 1 + w2(gelu(w0 t))
         xq, sx = _quant(h)
-        up = stream_matmul(xq, sx, w13_hbm, s13_ref, bufa, 2 * hidden, D)
+        up = stream_matmul(xq, sx, w13_hbm, s13_ref, 2 * hidden, D)
         gate, upv = up[:, :hidden], up[:, hidden:]
         hmid = gate * jax.nn.sigmoid(gate) * upv  # silu(gate) * up
         xq, sx = _quant(hmid)
-        x = x + stream_matmul(xq, sx, w2_hbm, s2_ref, bufb, D, hidden)
+        x = x + stream_matmul(xq, sx, w2_hbm, s2_ref, D, hidden)
 
         xo_ref[:] = x
 
@@ -200,13 +227,10 @@ def decode_layer_step(
     hidden = w2.shape[2]
     nq = n_heads * head_dim
     nqkv = nq + 2 * n_kv * head_dim
-    tile_n = 512
-    while nqkv % tile_n or D % tile_n or (2 * hidden) % tile_n:
-        tile_n //= 2
-    kmax = max(D, nq, hidden)
+    plan, buf_shapes = _phase_tiles(D, nqkv, nq, hidden)
 
     kernel = _make_kernel(B, D, S, n_heads, n_kv, head_dim, hidden,
-                          tile_n, eps)
+                          plan, len(buf_shapes), eps)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -234,11 +258,8 @@ def decode_layer_step(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((2, tile_n, kmax), jnp.int8),
-            pltpu.VMEM((2, tile_n, kmax), jnp.int8),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=[pltpu.VMEM(s, jnp.int8) for s in buf_shapes]
+        + [pltpu.SemaphoreType.DMA((2,))],
     )
 
     out = pl.pallas_call(
@@ -250,7 +271,7 @@ def decode_layer_step(
             jax.ShapeDtypeStruct((B, n_kv, head_dim), v_cache.dtype),
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024,
+            vmem_limit_bytes=30 * 1024 * 1024,
         ),
         interpret=interpret,
     )(
