@@ -315,10 +315,105 @@ def suite_step(batches, seq=160, short=8, long=40):
     return results
 
 
+def suite_step_fused(batches, seq=160, short=8, long=40):
+    """Same full decode step as ``suite_step`` but through the per-layer
+    Pallas megakernel (``ops/decode_step_pallas.py``): 26 fused kernels +
+    lm_head + argmax + embed feedback per step.  The delta vs
+    ``decode_step`` is exactly the inter-op DMA-drain overhead the
+    megakernel exists to remove."""
+    import jax
+    import jax.numpy as jnp
+
+    from voxtral_tpu.config import VoxtralConfig
+    from voxtral_tpu.models.decoder import create_cache, embed_tokens, lm_head
+    from voxtral_tpu.models.layers import KVCache, rms_norm
+    from voxtral_tpu.ops.decode_step_pallas import (
+        decode_stack_step,
+        fuse_decode_weights,
+        rope_pair_vectors,
+    )
+    from voxtral_tpu.utils.quantize import random_w8_params
+
+    cfg = VoxtralConfig.voxtral()
+    lm_cfg = cfg.language_model
+    params = random_w8_params(cfg)["decoder"]
+    fused = fuse_decode_weights(params)
+    ada_vecs = jnp.ones((lm_cfg.n_layers, lm_cfg.dim), jnp.float32)
+
+    results = []
+    for b in batches:
+        audio = jnp.asarray(
+            np.random.RandomState(0).randn(b, seq, lm_cfg.dim) * 0.05,
+            jnp.bfloat16,
+        )
+        cache0 = create_cache(lm_cfg, b, seq, dtype=jnp.bfloat16)
+
+        def run(params, fused, ada_vecs, audio, cache_k, cache_v, length, b):
+            tok0 = jnp.full((b,), 32, jnp.int32)
+            cache = KVCache(cache_k, cache_v, jnp.asarray(38, jnp.int32))
+
+            def step(carry, i):
+                prev, cache = carry
+                offset = cache.length
+                apos = jax.lax.dynamic_slice_in_dim(audio, 38, 1, axis=1)
+                text = embed_tokens(params, prev[:, None])
+                x = (apos + text)[:, 0, :].astype(jnp.float32)
+                cos_p, sin_p = rope_pair_vectors(
+                    offset, lm_cfg.head_dim, lm_cfg.rope_theta)
+
+                x, k_new, v_new = decode_stack_step(
+                    x, offset,
+                    fused["attn_norm"], fused["ffn_norm"], ada_vecs,
+                    fused["sqkv"], fused["so"], fused["s13"], fused["s2"],
+                    cos_p, sin_p, cache.k, cache.v,
+                    fused["wqkv"], fused["wo"], fused["w13"], fused["w2"],
+                    n_heads=lm_cfg.n_heads, n_kv=lm_cfg.n_kv_heads,
+                    head_dim=lm_cfg.head_dim, eps=lm_cfg.norm_eps,
+                )
+                zero = jnp.zeros((), jnp.int32)
+                start = (zero, zero, offset, zero, zero)
+                k_c = jax.lax.dynamic_update_slice(
+                    cache.k, k_new[:, :, None].astype(cache.k.dtype), start)
+                v_c = jax.lax.dynamic_update_slice(
+                    cache.v, v_new[:, :, None].astype(cache.v.dtype), start)
+                cache = KVCache(k_c, v_c, offset + 1)
+                hidden = rms_norm(x, params["norm"], lm_cfg.norm_eps)
+                logits = lm_head(params, hidden)
+                token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                return (token, cache), token
+
+            (_, _), toks = jax.lax.scan(
+                step, (tok0, cache), jnp.arange(length, dtype=jnp.int32))
+            return toks[-1, 0]
+
+        import functools
+
+        @functools.lru_cache(maxsize=None)
+        def _jitted(length, b):
+            return jax.jit(functools.partial(run, length=length, b=b))
+
+        def runner(length, b=b, audio=audio):
+            return _jitted(length, b)(
+                params, fused, ada_vecs, audio, cache0.k, cache0.v)
+
+        per_step = _timed_slope(runner, short, long)
+        layer_bytes = sum(n * k + 4 * n for n, k in LAYER_SHAPES)
+        step_bytes = 26 * layer_bytes + 131072 * 3072 + 4 * 131072
+        r = {
+            "bench": "decode_step_fused", "batch": b, "seq": seq,
+            "ms_per_step": round(per_step * 1e3, 3),
+            "eff_gbps": round(step_bytes / per_step / 1e9, 1),
+            "tok_s_equiv": round(b / per_step, 1),
+        }
+        results.append(r)
+        print(json.dumps(r), flush=True)
+    return results
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--suite", default="all",
-                    choices=["all", "matmul", "step"])
+                    choices=["all", "matmul", "step", "step-fused"])
     ap.add_argument("--m", default="1,2,8")
     ap.add_argument("--batch", default="1,2,4")
     ap.add_argument("--q4", action="store_true",
@@ -343,6 +438,8 @@ def main():
         suite_matmul([int(x) for x in args.m.split(",")], args.q4)
     if args.suite in ("all", "step"):
         suite_step([int(x) for x in args.batch.split(",")])
+    if args.suite == "step-fused":
+        suite_step_fused([int(x) for x in args.batch.split(",")])
 
 
 if __name__ == "__main__":

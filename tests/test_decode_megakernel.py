@@ -154,6 +154,63 @@ def test_megakernel_matches_xla_layer(setup):
         )
 
 
+def test_stack_kernel_matches_per_layer(setup):
+    """decode_stack_step (grid over layers, one pallas_call) must match
+    running decode_layer_step sequentially with cache appends."""
+    from voxtral_tpu.ops.decode_step_pallas import (
+        decode_stack_step,
+        supports_stack_kernel,
+    )
+
+    params, t_embed, k_cache, v_cache, x = setup
+    lyr = params["layers"]
+    fused = fuse_decode_weights(params)
+    adav = ada_vectors(params, t_embed)
+    offset = jnp.asarray(OFFSET, jnp.int32)
+    cos_p, sin_p = rope_pair_vectors(offset, HEAD_DIM, theta=1e6)
+
+    class _LM:
+        dim, n_heads, n_kv_heads = D, N_HEADS, N_KV
+        head_dim, hidden_dim = HEAD_DIM, HIDDEN
+
+    assert supports_stack_kernel(_LM)
+
+    # Reference: per-layer megakernel chained through the residual stream
+    # (caches are per-layer independent at a single decode position).
+    ref_x = x
+    ref_k, ref_v = [], []
+    for l in range(L):
+        ref_x, k_new, v_new = decode_layer_step(
+            ref_x, jnp.asarray(l, jnp.int32), offset,
+            lyr["attention_norm"][l], lyr["ffn_norm"][l], adav[l],
+            fused["sqkv"][l], fused["so"][l], fused["s13"][l],
+            fused["s2"][l], cos_p, sin_p,
+            k_cache[l], v_cache[l],
+            fused["wqkv"], fused["wo"], fused["w13"], fused["w2"],
+            n_heads=N_HEADS, n_kv=N_KV, head_dim=HEAD_DIM, eps=EPS,
+            interpret=True,
+        )
+        ref_k.append(k_new)
+        ref_v.append(v_new)
+
+    out_x, kn, vn = decode_stack_step(
+        x, offset,
+        lyr["attention_norm"], lyr["ffn_norm"], adav,
+        fused["sqkv"], fused["so"], fused["s13"], fused["s2"],
+        cos_p, sin_p, k_cache, v_cache,
+        fused["wqkv"], fused["wo"], fused["w13"], fused["w2"],
+        n_heads=N_HEADS, n_kv=N_KV, head_dim=HEAD_DIM, eps=EPS,
+        interpret=True,
+    )
+
+    np.testing.assert_allclose(np.asarray(out_x), np.asarray(ref_x),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(kn), np.asarray(jnp.stack(ref_k)),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(vn), np.asarray(jnp.stack(ref_v)),
+                               rtol=2e-3, atol=2e-3)
+
+
 def test_fused_transcribe_matches_xla_path(monkeypatch):
     """Full transcribe with the megakernel (interpret mode) must produce
     the same tokens as the standard XLA w8 path on the golden model."""

@@ -168,11 +168,14 @@ def transcribe_streaming_fn(
         from voxtral_tpu.ops.decode_step_pallas import (
             ada_vectors,
             decode_layer_step,
+            decode_stack_step,
             rope_pair_vectors,
+            supports_stack_kernel,
         )
 
         ada_vecs = ada_vectors(params["decoder"], t_embed)  # [L, D]
         n_layers = lm_cfg.n_layers
+        use_stack = supports_stack_kernel(lm_cfg)
 
         def step(carry, i):
             prev_token, cache, key = carry
@@ -186,6 +189,32 @@ def transcribe_streaming_fn(
             cos_p, sin_p = rope_pair_vectors(
                 offset, lm_cfg.head_dim, lm_cfg.rope_theta
             )
+
+            if use_stack:
+                # Whole stack in one kernel: weight DMA never drains
+                # across phase or layer boundaries.
+                x, k_new, v_new = decode_stack_step(
+                    x, offset,
+                    fused["attn_norm"], fused["ffn_norm"], ada_vecs,
+                    fused["sqkv"], fused["so"], fused["s13"], fused["s2"],
+                    cos_p, sin_p, cache.k, cache.v,
+                    fused["wqkv"], fused["wo"], fused["w13"], fused["w2"],
+                    n_heads=lm_cfg.n_heads, n_kv=lm_cfg.n_kv_heads,
+                    head_dim=lm_cfg.head_dim, eps=lm_cfg.norm_eps,
+                    interpret=mk_interpret,
+                )
+                zero = jnp.zeros((), jnp.int32)
+                start = (zero, zero, offset, zero, zero)
+                k_c = jax.lax.dynamic_update_slice(
+                    cache.k, k_new[:, :, None].astype(cache.k.dtype), start)
+                v_c = jax.lax.dynamic_update_slice(
+                    cache.v, v_new[:, :, None].astype(cache.v.dtype), start)
+                cache = KVCache(k_c, v_c, offset + 1)
+                hidden = rms_norm(
+                    x, params["decoder"]["norm"], lm_cfg.norm_eps)
+                logits = lm_head(params["decoder"], hidden)
+                token = select_token(logits, kstep, temperature, top_k)
+                return (token, cache, key), token
 
             def layer_body(xc, inp):
                 (l, attn_norm, ffn_norm, ada_vec,

@@ -293,6 +293,293 @@ def decode_layer_step(
     return out
 
 
+# ---------------------------------------------------------------------------
+# v2: whole-stack kernel — grid over layers, DMA never drains
+# ---------------------------------------------------------------------------
+
+
+def _stack_plan(D, nqkv, nq, hidden):
+    """Per-phase weight-tile plan for the stacked kernel.
+
+    Each phase (qkv, wo, w13, w2) gets its OWN double buffer so the next
+    phase's first tile can prefetch during the current phase's epilogue
+    (attention / SwiGLU VPU work) — with per-K shared buffers (v1 kernel)
+    the DMA pipe drains at every phase boundary.  Tile counts must be
+    even so the cross-layer prefetch of next layer's qkv tile 0 lands in
+    a slot whose previous tile is already consumed.  Returns
+    {phase: (tile, n_tiles, K, N)} or None if any phase can't tile.
+    """
+    phases = {
+        "qkv": (nqkv, D),
+        "wo": (D, nq),
+        "w13": (2 * hidden, D),
+        "w2": (D, hidden),
+    }
+    plan = {}
+    for name, (n_out, k_in) in phases.items():
+        t = 512
+        while t >= 8 and (
+            n_out % t or (n_out // t) % 2 or t * k_in > 2 * 2**20
+        ):
+            t //= 2
+        if t < 8:
+            return None
+        plan[name] = (t, n_out // t, k_in, n_out)
+    return plan
+
+
+def _make_stack_kernel(B, D, S, L, n_heads, n_kv, head_dim, hidden, plan,
+                       eps):
+    """Kernel body for one grid step = one decoder layer.
+
+    The residual stream lives in VMEM scratch across grid steps (the TPU
+    grid is sequential); per-layer norms/scales/caches arrive as blocked
+    inputs (Pallas auto-prefetches layer l+1's blocks during layer l);
+    weights stay in HBM and stream through per-phase double buffers with
+    an explicit prefetch chain qkv -> wo -> w13 -> w2 -> next layer's
+    qkv, so the HBM pipe stays busy through attention/SwiGLU and across
+    layer boundaries.
+    """
+    nq = n_heads * head_dim
+    nkv = n_kv * head_dim
+    nqkv = nq + 2 * nkv
+    groups = n_heads // n_kv
+    scale = head_dim ** -0.5
+    order = ("qkv", "wo", "w13", "w2")
+    pidx = {name: i for i, name in enumerate(order)}
+
+    def kernel(
+        off_ref,
+        x_ref, attn_norm_ref, ffn_norm_ref, ada_ref,
+        sqkv_ref, so_ref, s13_ref, s2_ref, cos_ref, sin_ref,
+        kc_ref, vc_ref,
+        wqkv_hbm, wo_hbm, w13_hbm, w2_hbm,
+        xo_ref, kn_ref, vn_ref,
+        buf_qkv, buf_wo, buf_w13, buf_w2, x_s, sem,
+    ):
+        l = pl.program_id(0)
+        off = off_ref[0]
+        hbm = {"qkv": wqkv_hbm, "wo": wo_hbm, "w13": w13_hbm, "w2": w2_hbm}
+        bufs = {"qkv": buf_qkv, "wo": buf_wo, "w13": buf_w13, "w2": buf_w2}
+
+        def dma(name, li, j):
+            t = plan[name][0]
+            return pltpu.make_async_copy(
+                hbm[name].at[li, pl.ds(j * t, t), :],
+                bufs[name].at[j % 2],
+                sem.at[pidx[name], j % 2],
+            )
+
+        @pl.when(l == 0)
+        def _():
+            dma("qkv", 0, 0).start()
+
+        def stream(name, xq, sx, scale_ref, on_last):
+            """y = dequant(xq @ W_l^T); tile j+1 (or the next phase's /
+            next layer's tile 0, via on_last) is issued before waiting
+            on tile j."""
+            t, n_tiles, _, _ = plan[name]
+            outs = []
+            for j in range(n_tiles):
+                if j + 1 < n_tiles:
+                    dma(name, l, j + 1).start()
+                else:
+                    on_last()
+                dma(name, l, j).wait()
+                z = jax.lax.dot_general(
+                    xq, bufs[name][j % 2],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                outs.append(
+                    z.astype(jnp.float32) * sx
+                    * scale_ref[0, 0, j * t:(j + 1) * t][None, :]
+                )
+            return jnp.concatenate(outs, axis=-1)
+
+        x = jnp.where(l == 0, x_ref[:], x_s[:])  # [B, D] f32 residual
+
+        # ---- attention block ---------------------------------------------
+        var = jnp.mean(x * x, axis=-1, keepdims=True)
+        h = x * jax.lax.rsqrt(var + eps) * attn_norm_ref[0]
+        xq, sx = _quant(h)
+        qkv = stream("qkv", xq, sx, sqkv_ref,
+                     lambda: dma("wo", l, 0).start())
+        q = qkv[:, :nq].reshape(B, n_heads, head_dim)
+        k = qkv[:, nq:nq + nkv].reshape(B, n_kv, head_dim)
+        v = qkv[:, nq + nkv:].reshape(B, n_kv, head_dim)
+
+        c, s = cos_ref[:], sin_ref[:]
+        q = _rope_pairs(q, c, s)
+        k = _rope_pairs(k, c, s)
+        kn_ref[0] = k.astype(kn_ref.dtype)
+        vn_ref[0] = v.astype(vn_ref.dtype)
+
+        qg = q.reshape(B, n_kv, groups, head_dim) * scale
+        kc = kc_ref[0].astype(jnp.float32)  # [B, S, Hkv, hd]
+        vc = vc_ref[0].astype(jnp.float32)
+        kct = jnp.transpose(kc, (0, 2, 1, 3))  # [B, Hkv, S, hd]
+        vct = jnp.transpose(vc, (0, 2, 1, 3))
+        scores = jnp.sum(qg[:, :, :, None, :] * kct[:, :, None, :, :],
+                         axis=-1)  # [B, Hkv, G, S]
+        pos = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 3)
+        scores = jnp.where(pos < off, scores, -jnp.inf)
+        self_s = jnp.sum(qg * k[:, :, None, :], axis=-1)  # [B, Hkv, G]
+
+        m = jnp.maximum(jnp.max(scores, axis=-1), self_s)
+        e_cache = jnp.exp(scores - m[..., None])
+        e_self = jnp.exp(self_s - m)
+        denom = jnp.sum(e_cache, axis=-1) + e_self
+        ctx = jnp.sum(e_cache[..., None] * vct[:, :, None, :, :], axis=3)
+        ctx = ctx + e_self[..., None] * v[:, :, None, :]
+        attn = (ctx / denom[..., None]).reshape(B, nq)
+
+        xq, sx = _quant(attn)
+        x = x + stream("wo", xq, sx, so_ref,
+                       lambda: dma("w13", l, 0).start())
+
+        # ---- FFN block -----------------------------------------------------
+        var = jnp.mean(x * x, axis=-1, keepdims=True)
+        h = x * jax.lax.rsqrt(var + eps) * ffn_norm_ref[0]
+        h = h * ada_ref[0]
+        xq, sx = _quant(h)
+        up = stream("w13", xq, sx, s13_ref,
+                    lambda: dma("w2", l, 0).start())
+        gate, upv = up[:, :hidden], up[:, hidden:]
+        hmid = gate * jax.nn.sigmoid(gate) * upv
+        xq, sx = _quant(hmid)
+
+        def issue_next_layer():
+            @pl.when(l + 1 < L)
+            def _():
+                dma("qkv", l + 1, 0).start()
+
+        x = x + stream("w2", xq, sx, s2_ref, issue_next_layer)
+
+        x_s[:] = x
+
+        @pl.when(l == L - 1)
+        def _():
+            xo_ref[:] = x
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_heads", "n_kv", "head_dim", "eps", "interpret"),
+)
+def decode_stack_step(
+    x, offset,
+    attn_norms, ffn_norms, ada_vecs,
+    sqkv, so, s13, s2, cos_p, sin_p,
+    k_cache, v_cache,
+    wqkv, wo, w13, w2,
+    n_heads=32, n_kv=8, head_dim=128, eps=1e-5, interpret=False,
+):
+    """All decoder layers of a single-token decode step in ONE kernel.
+
+    x [B, D] f32; caches [L, B, S, Hkv, hd]; stacked weights
+    wqkv [L, NQKV, D] int8 etc. with per-layer scale stacks
+    (sqkv [L, NQKV] f32, ...); norm stacks [L, D]; cos_p/sin_p [hd].
+    Returns (x_out [B, D] f32, k_new, v_new [L, B, Hkv, hd]) — the
+    caller appends k_new/v_new at ``offset`` across all layers at once.
+    """
+    B, D = x.shape
+    L, _, S = k_cache.shape[:3]
+    hidden = w2.shape[2]
+    nq = n_heads * head_dim
+    nqkv = nq + 2 * n_kv * head_dim
+    plan = _stack_plan(D, nqkv, nq, hidden)
+    if plan is None:
+        raise ValueError("decode_stack_step: dims not tileable")
+
+    kernel = _make_stack_kernel(
+        B, D, S, L, n_heads, n_kv, head_dim, hidden, plan, eps)
+
+    def vmem(shape, idx):
+        return pl.BlockSpec(shape, idx, memory_space=pltpu.VMEM)
+
+    const2 = lambda l, off: (0, 0)  # noqa: E731
+    # Per-layer vectors ride as [L, 1, dim] so the (1, 1, dim) block's
+    # last two dims satisfy the TPU (8, 128)-or-full-dim block rule.
+    perl3 = lambda l, off: (l, 0, 0)  # noqa: E731
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(L,),
+        in_specs=[
+            vmem((B, D), const2),                       # x
+            vmem((1, 1, D), perl3),                     # attn_norm
+            vmem((1, 1, D), perl3),                     # ffn_norm
+            vmem((1, 1, D), perl3),                     # ada
+            vmem((1, 1, nqkv), perl3),                  # sqkv
+            vmem((1, 1, D), perl3),                     # so
+            vmem((1, 1, 2 * hidden), perl3),            # s13
+            vmem((1, 1, D), perl3),                     # s2
+            vmem((1, head_dim), const2),                # cos
+            vmem((1, head_dim), const2),                # sin
+            vmem((1, B, S, n_kv, head_dim),
+                 lambda l, off: (l, 0, 0, 0, 0)),       # k cache
+            vmem((1, B, S, n_kv, head_dim),
+                 lambda l, off: (l, 0, 0, 0, 0)),       # v cache
+            pl.BlockSpec(memory_space=pl.ANY),       # wqkv (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),       # wo
+            pl.BlockSpec(memory_space=pl.ANY),       # w13
+            pl.BlockSpec(memory_space=pl.ANY),       # w2
+        ],
+        out_specs=(
+            vmem((B, D), const2),
+            vmem((1, B, n_kv, head_dim), lambda l, off: (l, 0, 0, 0)),
+            vmem((1, B, n_kv, head_dim), lambda l, off: (l, 0, 0, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, plan[name][0], plan[name][2]), jnp.int8)
+            for name in ("qkv", "wo", "w13", "w2")
+        ] + [
+            pltpu.VMEM((B, D), jnp.float32),
+            pltpu.SemaphoreType.DMA((4, 2)),
+        ],
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, D), jnp.float32),
+            jax.ShapeDtypeStruct((L, B, n_kv, head_dim), k_cache.dtype),
+            jax.ShapeDtypeStruct((L, B, n_kv, head_dim), v_cache.dtype),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(offset, jnp.int32).reshape(1),
+        x.astype(jnp.float32),
+        attn_norms.astype(jnp.float32).reshape(L, 1, D),
+        ffn_norms.astype(jnp.float32).reshape(L, 1, D),
+        ada_vecs.astype(jnp.float32).reshape(L, 1, D),
+        sqkv.astype(jnp.float32).reshape(L, 1, nqkv),
+        so.astype(jnp.float32).reshape(L, 1, D),
+        s13.astype(jnp.float32).reshape(L, 1, 2 * hidden),
+        s2.astype(jnp.float32).reshape(L, 1, D),
+        cos_p.astype(jnp.float32).reshape(1, head_dim),
+        sin_p.astype(jnp.float32).reshape(1, head_dim),
+        k_cache, v_cache,
+        wqkv, wo, w13, w2,
+    )
+    return out
+
+
+def supports_stack_kernel(lm_cfg) -> bool:
+    """True when the whole-stack kernel can tile this geometry."""
+    nq = lm_cfg.n_heads * lm_cfg.head_dim
+    nqkv = nq + 2 * lm_cfg.n_kv_heads * lm_cfg.head_dim
+    return _stack_plan(lm_cfg.dim, nqkv, nq, lm_cfg.hidden_dim) is not None
+
+
 def rope_pair_vectors(position, head_dim, theta=1_000_000.0):
     """C/S vectors for the adjacent-pair RoPE formulation at ``position``.
 
