@@ -325,8 +325,8 @@ def suite_step_fused(batches, seq=160, short=8, long=40):
     import jax.numpy as jnp
 
     from voxtral_tpu.config import VoxtralConfig
-    from voxtral_tpu.models.decoder import create_cache, embed_tokens, lm_head
-    from voxtral_tpu.models.layers import KVCache, rms_norm
+    from voxtral_tpu.models.decoder import create_cache, embed_tokens
+    from voxtral_tpu.models.layers import KVCache
     from voxtral_tpu.ops.decode_step_pallas import (
         decode_stack_step,
         fuse_decode_weights,
@@ -347,6 +347,9 @@ def suite_step_fused(batches, seq=160, short=8, long=40):
             jnp.bfloat16,
         )
         cache0 = create_cache(lm_cfg, b, seq, dtype=jnp.bfloat16)
+        # Head-major cache layout for the stack kernel.
+        ck0 = jnp.transpose(cache0.k, (0, 1, 3, 2, 4))
+        cv0 = jnp.transpose(cache0.v, (0, 1, 3, 2, 4))
 
         def run(params, fused, ada_vecs, audio, cache_k, cache_v, length, b):
             tok0 = jnp.full((b,), 32, jnp.int32)
@@ -361,24 +364,27 @@ def suite_step_fused(batches, seq=160, short=8, long=40):
                 cos_p, sin_p = rope_pair_vectors(
                     offset, lm_cfg.head_dim, lm_cfg.rope_theta)
 
-                x, k_new, v_new = decode_stack_step(
+                emb = params["tok_embeddings"]["w8"]
+                x, k_new, v_new, logits = decode_stack_step(
                     x, offset,
                     fused["attn_norm"], fused["ffn_norm"], ada_vecs,
                     fused["sqkv"], fused["so"], fused["s13"], fused["s2"],
                     cos_p, sin_p, cache.k, cache.v,
                     fused["wqkv"], fused["wo"], fused["w13"], fused["w2"],
+                    final_norm=params["norm"], lm_codes=emb["codes"],
+                    lm_scale=emb["scale"],
                     n_heads=lm_cfg.n_heads, n_kv=lm_cfg.n_kv_heads,
                     head_dim=lm_cfg.head_dim, eps=lm_cfg.norm_eps,
                 )
                 zero = jnp.zeros((), jnp.int32)
-                start = (zero, zero, offset, zero, zero)
+                start = (zero, zero, zero, offset, zero)
                 k_c = jax.lax.dynamic_update_slice(
-                    cache.k, k_new[:, :, None].astype(cache.k.dtype), start)
+                    cache.k, k_new[:, :, :, None].astype(cache.k.dtype),
+                    start)
                 v_c = jax.lax.dynamic_update_slice(
-                    cache.v, v_new[:, :, None].astype(cache.v.dtype), start)
+                    cache.v, v_new[:, :, :, None].astype(cache.v.dtype),
+                    start)
                 cache = KVCache(k_c, v_c, offset + 1)
-                hidden = rms_norm(x, params["norm"], lm_cfg.norm_eps)
-                logits = lm_head(params, hidden)
                 token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
                 return (token, cache), token
 
@@ -392,9 +398,9 @@ def suite_step_fused(batches, seq=160, short=8, long=40):
         def _jitted(length, b):
             return jax.jit(functools.partial(run, length=length, b=b))
 
-        def runner(length, b=b, audio=audio):
+        def runner(length, b=b, audio=audio, ck0=ck0, cv0=cv0):
             return _jitted(length, b)(
-                params, fused, ada_vecs, audio, cache0.k, cache0.v)
+                params, fused, ada_vecs, audio, ck0, cv0)
 
         per_step = _timed_slope(runner, short, long)
         layer_bytes = sum(n * k + 4 * n for n, k in LAYER_SHAPES)

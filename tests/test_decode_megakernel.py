@@ -197,7 +197,9 @@ def test_stack_kernel_matches_per_layer(setup):
         x, offset,
         lyr["attention_norm"], lyr["ffn_norm"], adav,
         fused["sqkv"], fused["so"], fused["s13"], fused["s2"],
-        cos_p, sin_p, k_cache, v_cache,
+        cos_p, sin_p,
+        jnp.transpose(k_cache, (0, 1, 3, 2, 4)),  # head-major layout
+        jnp.transpose(v_cache, (0, 1, 3, 2, 4)),
         fused["wqkv"], fused["wo"], fused["w13"], fused["w2"],
         n_heads=N_HEADS, n_kv=N_KV, head_dim=HEAD_DIM, eps=EPS,
         interpret=True,
@@ -209,6 +211,58 @@ def test_stack_kernel_matches_per_layer(setup):
                                rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(np.asarray(vn), np.asarray(jnp.stack(ref_v)),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_stack_kernel_lm_fold(setup):
+    """Folded final-norm + lm_head grid step must match running the
+    stack kernel followed by XLA rms_norm + w8 lm_head."""
+    from voxtral_tpu.models.layers import rms_norm
+    from voxtral_tpu.ops.decode_step_pallas import decode_stack_step
+    from voxtral_tpu.ops.w8 import w8_matmul
+
+    params, t_embed, k_cache, v_cache, x = setup
+    lyr = params["layers"]
+    fused = fuse_decode_weights(params)
+    adav = ada_vectors(params, t_embed)
+    offset = jnp.asarray(OFFSET, jnp.int32)
+    cos_p, sin_p = rope_pair_vectors(offset, HEAD_DIM, theta=1e6)
+
+    V = 1024
+    rng = np.random.default_rng(7)
+    lm_w8 = quantize_w8_rowwise(
+        (rng.normal(size=(V, D)) * 0.05).astype(np.float32))["w8"]
+    final_norm = jnp.asarray(1.0 + rng.normal(size=(D,)) * 0.1, jnp.float32)
+
+    kt = jnp.transpose(k_cache, (0, 1, 3, 2, 4))
+    vt = jnp.transpose(v_cache, (0, 1, 3, 2, 4))
+    args = (
+        x, offset,
+        lyr["attention_norm"], lyr["ffn_norm"], adav,
+        fused["sqkv"], fused["so"], fused["s13"], fused["s2"],
+        cos_p, sin_p, kt, vt,
+        fused["wqkv"], fused["wo"], fused["w13"], fused["w2"],
+    )
+    kw = dict(n_heads=N_HEADS, n_kv=N_KV, head_dim=HEAD_DIM, eps=EPS,
+              interpret=True)
+
+    ref_x, ref_k, ref_v = decode_stack_step(*args, **kw)
+    hidden = rms_norm(ref_x, final_norm, EPS)
+    ref_logits = w8_matmul(
+        hidden, {"codes": jnp.asarray(lm_w8["codes"]),
+                 "scale": jnp.asarray(lm_w8["scale"])})
+
+    out_x, kn, vn, logits = decode_stack_step(
+        *args, final_norm=final_norm,
+        lm_codes=jnp.asarray(lm_w8["codes"]),
+        lm_scale=jnp.asarray(lm_w8["scale"]), **kw)
+
+    np.testing.assert_allclose(np.asarray(out_x), np.asarray(ref_x),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(kn), np.asarray(ref_k),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits),
+                               rtol=5e-3, atol=5e-3)
+    assert int(jnp.argmax(logits[0])) == int(jnp.argmax(ref_logits[0]))
 
 
 def test_fused_transcribe_matches_xla_path(monkeypatch):

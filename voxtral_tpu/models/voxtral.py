@@ -176,6 +176,17 @@ def transcribe_streaming_fn(
         ada_vecs = ada_vectors(params["decoder"], t_embed)  # [L, D]
         n_layers = lm_cfg.n_layers
         use_stack = supports_stack_kernel(lm_cfg)
+        # Fold final norm + tied lm_head into the stack kernel when the
+        # embedding table is w8 and the vocab tiles cleanly.
+        from voxtral_tpu.ops.decode_step_pallas import _lm_tile
+
+        emb = params["decoder"]["tok_embeddings"]
+        lm_w8 = emb.get("w8") if isinstance(emb, dict) else None
+        fold_lm = (
+            use_stack
+            and lm_w8 is not None
+            and _lm_tile(lm_w8["codes"].shape[0], lm_cfg.dim) is not None
+        )
 
         def step(carry, i):
             prev_token, cache, key = carry
@@ -192,8 +203,17 @@ def transcribe_streaming_fn(
 
             if use_stack:
                 # Whole stack in one kernel: weight DMA never drains
-                # across phase or layer boundaries.
-                x, k_new, v_new = decode_stack_step(
+                # across phase or layer boundaries.  The fused path
+                # carries the cache head-major ([L, B, Hkv, S, hd]) so
+                # the kernel's attention dots need no transpose.
+                lm_kw = {}
+                if fold_lm:
+                    lm_kw = dict(
+                        final_norm=params["decoder"]["norm"],
+                        lm_codes=lm_w8["codes"],
+                        lm_scale=lm_w8["scale"],
+                    )
+                out = decode_stack_step(
                     x, offset,
                     fused["attn_norm"], fused["ffn_norm"], ada_vecs,
                     fused["sqkv"], fused["so"], fused["s13"], fused["s2"],
@@ -201,18 +221,25 @@ def transcribe_streaming_fn(
                     fused["wqkv"], fused["wo"], fused["w13"], fused["w2"],
                     n_heads=lm_cfg.n_heads, n_kv=lm_cfg.n_kv_heads,
                     head_dim=lm_cfg.head_dim, eps=lm_cfg.norm_eps,
-                    interpret=mk_interpret,
+                    interpret=mk_interpret, **lm_kw,
                 )
+                if fold_lm:
+                    x, k_new, v_new, logits = out
+                else:
+                    x, k_new, v_new = out
                 zero = jnp.zeros((), jnp.int32)
-                start = (zero, zero, offset, zero, zero)
+                start = (zero, zero, zero, offset, zero)
                 k_c = jax.lax.dynamic_update_slice(
-                    cache.k, k_new[:, :, None].astype(cache.k.dtype), start)
+                    cache.k, k_new[:, :, :, None].astype(cache.k.dtype),
+                    start)
                 v_c = jax.lax.dynamic_update_slice(
-                    cache.v, v_new[:, :, None].astype(cache.v.dtype), start)
+                    cache.v, v_new[:, :, :, None].astype(cache.v.dtype),
+                    start)
                 cache = KVCache(k_c, v_c, offset + 1)
-                hidden = rms_norm(
-                    x, params["decoder"]["norm"], lm_cfg.norm_eps)
-                logits = lm_head(params["decoder"], hidden)
+                if not fold_lm:
+                    hidden = rms_norm(
+                        x, params["decoder"]["norm"], lm_cfg.norm_eps)
+                    logits = lm_head(params["decoder"], hidden)
                 token = select_token(logits, kstep, temperature, top_k)
                 return (token, cache, key), token
 
@@ -260,6 +287,15 @@ def transcribe_streaming_fn(
             logits = lm_head(params["decoder"], hidden[:, 0, :])  # [B, V]
             token = select_token(logits, kstep, temperature, top_k)
             return (token, cache, key), token
+
+    if fused is not None and use_stack:
+        # One-time head-major transpose of the prefilled cache for the
+        # stack kernel ([L, B, S, Hkv, hd] -> [L, B, Hkv, S, hd]).
+        cache = KVCache(
+            jnp.transpose(cache.k, (0, 1, 3, 2, 4)),
+            jnp.transpose(cache.v, (0, 1, 3, 2, 4)),
+            cache.length,
+        )
 
     n_steps = seq_len - PREFIX_LEN - 1
     (_, _, _), rest = jax.lax.scan(

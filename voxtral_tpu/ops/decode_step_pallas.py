@@ -328,8 +328,16 @@ def _stack_plan(D, nqkv, nq, hidden):
     return plan
 
 
+def _lm_tile(V, D):
+    """Row-tile for the folded lm_head phase (own double buffer)."""
+    t = 512
+    while t >= 8 and (V % t or t * D > 2 * 2**20):
+        t //= 2
+    return t if t >= 8 else None
+
+
 def _make_stack_kernel(B, D, S, L, n_heads, n_kv, head_dim, hidden, plan,
-                       eps):
+                       eps, lm):
     """Kernel body for one grid step = one decoder layer.
 
     The residual stream lives in VMEM scratch across grid steps (the TPU
@@ -339,6 +347,11 @@ def _make_stack_kernel(B, D, S, L, n_heads, n_kv, head_dim, hidden, plan,
     an explicit prefetch chain qkv -> wo -> w13 -> w2 -> next layer's
     qkv, so the HBM pipe stays busy through attention/SwiGLU and across
     layer boundaries.
+
+    ``lm`` = (V, lm_tile) folds the final RMSNorm + tied lm_head into a
+    final grid step (grid = L + 1): the lm_head's first weight tile
+    prefetches during the last layer's w2 stream, so the DMA pipe stays
+    busy from the first qkv tile to the last vocab tile of the step.
     """
     nq = n_heads * head_dim
     nkv = n_kv * head_dim
@@ -348,15 +361,22 @@ def _make_stack_kernel(B, D, S, L, n_heads, n_kv, head_dim, hidden, plan,
     order = ("qkv", "wo", "w13", "w2")
     pidx = {name: i for i, name in enumerate(order)}
 
-    def kernel(
-        off_ref,
-        x_ref, attn_norm_ref, ffn_norm_ref, ada_ref,
-        sqkv_ref, so_ref, s13_ref, s2_ref, cos_ref, sin_ref,
-        kc_ref, vc_ref,
-        wqkv_hbm, wo_hbm, w13_hbm, w2_hbm,
-        xo_ref, kn_ref, vn_ref,
-        buf_qkv, buf_wo, buf_w13, buf_w2, x_s, sem,
-    ):
+    def kernel(off_ref, *refs):
+        if lm is not None:
+            (x_ref, attn_norm_ref, ffn_norm_ref, ada_ref,
+             sqkv_ref, so_ref, s13_ref, s2_ref, cos_ref, sin_ref,
+             kc_ref, vc_ref, fnorm_ref, lms_ref,
+             wqkv_hbm, wo_hbm, w13_hbm, w2_hbm, lm_hbm,
+             xo_ref, kn_ref, vn_ref, logits_ref,
+             buf_qkv, buf_wo, buf_w13, buf_w2, buf_lm, x_s, sem) = refs
+        else:
+            (x_ref, attn_norm_ref, ffn_norm_ref, ada_ref,
+             sqkv_ref, so_ref, s13_ref, s2_ref, cos_ref, sin_ref,
+             kc_ref, vc_ref,
+             wqkv_hbm, wo_hbm, w13_hbm, w2_hbm,
+             xo_ref, kn_ref, vn_ref,
+             buf_qkv, buf_wo, buf_w13, buf_w2, x_s, sem) = refs
+
         l = pl.program_id(0)
         off = off_ref[0]
         hbm = {"qkv": wqkv_hbm, "wo": wo_hbm, "w13": w13_hbm, "w2": w2_hbm}
@@ -370,97 +390,155 @@ def _make_stack_kernel(B, D, S, L, n_heads, n_kv, head_dim, hidden, plan,
                 sem.at[pidx[name], j % 2],
             )
 
+        def lm_dma(j, slot):
+            t = lm[1]
+            return pltpu.make_async_copy(
+                lm_hbm.at[pl.ds(j * t, t), :],
+                buf_lm.at[slot],
+                sem.at[4, slot],
+            )
+
         @pl.when(l == 0)
         def _():
             dma("qkv", 0, 0).start()
 
-        def stream(name, xq, sx, scale_ref, on_last):
-            """y = dequant(xq @ W_l^T); tile j+1 (or the next phase's /
-            next layer's tile 0, via on_last) is issued before waiting
-            on tile j."""
-            t, n_tiles, _, _ = plan[name]
-            outs = []
-            for j in range(n_tiles):
-                if j + 1 < n_tiles:
-                    dma(name, l, j + 1).start()
-                else:
-                    on_last()
-                dma(name, l, j).wait()
-                z = jax.lax.dot_general(
-                    xq, bufs[name][j % 2],
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.int32,
-                )
-                outs.append(
-                    z.astype(jnp.float32) * sx
-                    * scale_ref[0, 0, j * t:(j + 1) * t][None, :]
-                )
-            return jnp.concatenate(outs, axis=-1)
+        @pl.when(l < L)
+        def _layer():
+            def stream(name, xq, sx, scale_ref, on_last):
+                """y = dequant(xq @ W_l^T); tile j+1 (or the next
+                phase's / next layer's tile 0, via on_last) is issued
+                before waiting on tile j."""
+                t, n_tiles, _, _ = plan[name]
+                outs = []
+                for j in range(n_tiles):
+                    if j + 1 < n_tiles:
+                        dma(name, l, j + 1).start()
+                    else:
+                        on_last()
+                    dma(name, l, j).wait()
+                    z = jax.lax.dot_general(
+                        xq, bufs[name][j % 2],
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )
+                    outs.append(
+                        z.astype(jnp.float32) * sx
+                        * scale_ref[0, 0, j * t:(j + 1) * t][None, :]
+                    )
+                return jnp.concatenate(outs, axis=-1)
 
-        x = jnp.where(l == 0, x_ref[:], x_s[:])  # [B, D] f32 residual
+            x = jnp.where(l == 0, x_ref[:], x_s[:])  # [B, D] f32 residual
 
-        # ---- attention block ---------------------------------------------
-        var = jnp.mean(x * x, axis=-1, keepdims=True)
-        h = x * jax.lax.rsqrt(var + eps) * attn_norm_ref[0]
-        xq, sx = _quant(h)
-        qkv = stream("qkv", xq, sx, sqkv_ref,
-                     lambda: dma("wo", l, 0).start())
-        q = qkv[:, :nq].reshape(B, n_heads, head_dim)
-        k = qkv[:, nq:nq + nkv].reshape(B, n_kv, head_dim)
-        v = qkv[:, nq + nkv:].reshape(B, n_kv, head_dim)
+            # ---- attention block -----------------------------------------
+            var = jnp.mean(x * x, axis=-1, keepdims=True)
+            h = x * jax.lax.rsqrt(var + eps) * attn_norm_ref[0]
+            xq, sx = _quant(h)
+            qkv = stream("qkv", xq, sx, sqkv_ref,
+                         lambda: dma("wo", l, 0).start())
+            q = qkv[:, :nq].reshape(B, n_heads, head_dim)
+            k = qkv[:, nq:nq + nkv].reshape(B, n_kv, head_dim)
+            v = qkv[:, nq + nkv:].reshape(B, n_kv, head_dim)
 
-        c, s = cos_ref[:], sin_ref[:]
-        q = _rope_pairs(q, c, s)
-        k = _rope_pairs(k, c, s)
-        kn_ref[0] = k.astype(kn_ref.dtype)
-        vn_ref[0] = v.astype(vn_ref.dtype)
+            c, s = cos_ref[:], sin_ref[:]
+            q = _rope_pairs(q, c, s)
+            k = _rope_pairs(k, c, s)
+            kn_ref[0] = k.astype(kn_ref.dtype)
+            vn_ref[0] = v.astype(vn_ref.dtype)
 
-        qg = q.reshape(B, n_kv, groups, head_dim) * scale
-        kc = kc_ref[0].astype(jnp.float32)  # [B, S, Hkv, hd]
-        vc = vc_ref[0].astype(jnp.float32)
-        kct = jnp.transpose(kc, (0, 2, 1, 3))  # [B, Hkv, S, hd]
-        vct = jnp.transpose(vc, (0, 2, 1, 3))
-        scores = jnp.sum(qg[:, :, :, None, :] * kct[:, :, None, :, :],
-                         axis=-1)  # [B, Hkv, G, S]
-        pos = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 3)
-        scores = jnp.where(pos < off, scores, -jnp.inf)
-        self_s = jnp.sum(qg * k[:, :, None, :], axis=-1)  # [B, Hkv, G]
+            # Cache arrives pre-transposed [B, Hkv, S, hd] so score/ctx
+            # contractions hit the MXU directly (no per-step VPU
+            # transpose — the v2.0 kernel's transposes stalled the DMA
+            # pipe during the attention phase).
+            # Mosaic matmul allows at most ONE batch dim: fold (B, Hkv)
+            # into a single leading batch axis for both contractions.
+            qg = q.reshape(B * n_kv, groups, head_dim) * scale
+            kc = kc_ref[0].reshape(B * n_kv, S, head_dim)  # cache bf16
+            vc = vc_ref[0].reshape(B * n_kv, S, head_dim)
+            scores = jax.lax.dot_general(
+                qg.astype(kc.dtype), kc,
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # [B*Hkv, G, S]
+            pos = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 2)
+            scores = jnp.where(pos < off, scores, -jnp.inf)
+            kf = k.reshape(B * n_kv, 1, head_dim)
+            self_s = jnp.sum(qg * kf, axis=-1)  # [B*Hkv, G]
 
-        m = jnp.maximum(jnp.max(scores, axis=-1), self_s)
-        e_cache = jnp.exp(scores - m[..., None])
-        e_self = jnp.exp(self_s - m)
-        denom = jnp.sum(e_cache, axis=-1) + e_self
-        ctx = jnp.sum(e_cache[..., None] * vct[:, :, None, :, :], axis=3)
-        ctx = ctx + e_self[..., None] * v[:, :, None, :]
-        attn = (ctx / denom[..., None]).reshape(B, nq)
+            m = jnp.maximum(jnp.max(scores, axis=-1), self_s)
+            e_cache = jnp.exp(scores - m[..., None])
+            e_self = jnp.exp(self_s - m)
+            denom = jnp.sum(e_cache, axis=-1) + e_self
+            ctx = jax.lax.dot_general(
+                e_cache.astype(vc.dtype), vc,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # [B*Hkv, G, hd]
+            ctx = ctx + e_self[..., None] * v.reshape(B * n_kv, 1, head_dim)
+            attn = (ctx / denom[..., None]).reshape(B, nq)
 
-        xq, sx = _quant(attn)
-        x = x + stream("wo", xq, sx, so_ref,
-                       lambda: dma("w13", l, 0).start())
+            xq, sx = _quant(attn)
+            x = x + stream("wo", xq, sx, so_ref,
+                           lambda: dma("w13", l, 0).start())
 
-        # ---- FFN block -----------------------------------------------------
-        var = jnp.mean(x * x, axis=-1, keepdims=True)
-        h = x * jax.lax.rsqrt(var + eps) * ffn_norm_ref[0]
-        h = h * ada_ref[0]
-        xq, sx = _quant(h)
-        up = stream("w13", xq, sx, s13_ref,
-                    lambda: dma("w2", l, 0).start())
-        gate, upv = up[:, :hidden], up[:, hidden:]
-        hmid = gate * jax.nn.sigmoid(gate) * upv
-        xq, sx = _quant(hmid)
+            # ---- FFN block -----------------------------------------------
+            var = jnp.mean(x * x, axis=-1, keepdims=True)
+            h = x * jax.lax.rsqrt(var + eps) * ffn_norm_ref[0]
+            h = h * ada_ref[0]
+            xq, sx = _quant(h)
+            up = stream("w13", xq, sx, s13_ref,
+                        lambda: dma("w2", l, 0).start())
+            gate, upv = up[:, :hidden], up[:, hidden:]
+            hmid = gate * jax.nn.sigmoid(gate) * upv
+            xq, sx = _quant(hmid)
 
-        def issue_next_layer():
-            @pl.when(l + 1 < L)
+            def issue_next():
+                @pl.when(l + 1 < L)
+                def _():
+                    dma("qkv", l + 1, 0).start()
+
+                if lm is not None:
+                    @pl.when(l + 1 == L)
+                    def _():
+                        lm_dma(0, 0).start()
+
+            x = x + stream("w2", xq, sx, s2_ref, issue_next)
+
+            x_s[:] = x
+
+            @pl.when(l == L - 1)
             def _():
-                dma("qkv", l + 1, 0).start()
+                xo_ref[:] = x
 
-        x = x + stream("w2", xq, sx, s2_ref, issue_next_layer)
+        if lm is not None:
+            @pl.when(l == L)
+            def _lm_head():
+                V, t = lm
+                n_tiles = V // t
+                x = x_s[:]
+                var = jnp.mean(x * x, axis=-1, keepdims=True)
+                h = x * jax.lax.rsqrt(var + eps) * fnorm_ref[0]
+                xq, sx = _quant(h)
 
-        x_s[:] = x
+                def body(j, _):
+                    slot = jax.lax.rem(j, 2)
 
-        @pl.when(l == L - 1)
-        def _():
-            xo_ref[:] = x
+                    @pl.when(j + 1 < n_tiles)
+                    def _():
+                        lm_dma(j + 1, jax.lax.rem(j + 1, 2)).start()
+
+                    lm_dma(j, slot).wait()
+                    z = jax.lax.dot_general(
+                        xq, buf_lm[slot],
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )
+                    logits_ref[:, pl.ds(j * t, t)] = (
+                        z.astype(jnp.float32) * sx
+                        * lms_ref[0, pl.ds(j * t, t)][None, :]
+                    )
+                    return 0
+
+                jax.lax.fori_loop(0, n_tiles, body, 0)
 
     return kernel
 
@@ -475,18 +553,27 @@ def decode_stack_step(
     sqkv, so, s13, s2, cos_p, sin_p,
     k_cache, v_cache,
     wqkv, wo, w13, w2,
+    final_norm=None, lm_codes=None, lm_scale=None,
     n_heads=32, n_kv=8, head_dim=128, eps=1e-5, interpret=False,
 ):
     """All decoder layers of a single-token decode step in ONE kernel.
 
-    x [B, D] f32; caches [L, B, S, Hkv, hd]; stacked weights
-    wqkv [L, NQKV, D] int8 etc. with per-layer scale stacks
-    (sqkv [L, NQKV] f32, ...); norm stacks [L, D]; cos_p/sin_p [hd].
-    Returns (x_out [B, D] f32, k_new, v_new [L, B, Hkv, hd]) — the
-    caller appends k_new/v_new at ``offset`` across all layers at once.
+    x [B, D] f32; caches PRE-TRANSPOSED [L, B, Hkv, S, hd] (head-major,
+    so in-kernel attention contractions are MXU dots with no transpose);
+    stacked weights wqkv [L, NQKV, D] int8 etc. with per-layer scale
+    stacks (sqkv [L, NQKV] f32, ...); norm stacks [L, D]; cos_p/sin_p
+    [hd].  Returns (x_out [B, D] f32, k_new, v_new [L, B, Hkv, hd]) —
+    the caller appends k_new/v_new at ``offset`` (axis 3) across all
+    layers at once.
+
+    When ``final_norm`` [D] + ``lm_codes`` [V, D] int8 + ``lm_scale``
+    [V] are given, the final RMSNorm and tied lm_head run as one extra
+    grid step and a 4th output ``logits`` [B, V] f32 is returned — the
+    whole decode step (minus argmax/embed feedback) is then a single
+    kernel whose weight DMA never drains.
     """
     B, D = x.shape
-    L, _, S = k_cache.shape[:3]
+    L, _, _, S = k_cache.shape[:4]
     hidden = w2.shape[2]
     nq = n_heads * head_dim
     nqkv = nq + 2 * n_kv * head_dim
@@ -494,68 +581,52 @@ def decode_stack_step(
     if plan is None:
         raise ValueError("decode_stack_step: dims not tileable")
 
+    lm = None
+    if lm_codes is not None:
+        V = lm_codes.shape[0]
+        t_lm = _lm_tile(V, D)
+        if t_lm is None:
+            raise ValueError("decode_stack_step: vocab not tileable")
+        lm = (V, t_lm)
+
     kernel = _make_stack_kernel(
-        B, D, S, L, n_heads, n_kv, head_dim, hidden, plan, eps)
+        B, D, S, L, n_heads, n_kv, head_dim, hidden, plan, eps, lm)
 
     def vmem(shape, idx):
         return pl.BlockSpec(shape, idx, memory_space=pltpu.VMEM)
 
     const2 = lambda l, off: (0, 0)  # noqa: E731
-    # Per-layer vectors ride as [L, 1, dim] so the (1, 1, dim) block's
-    # last two dims satisfy the TPU (8, 128)-or-full-dim block rule.
-    perl3 = lambda l, off: (l, 0, 0)  # noqa: E731
+    if lm is None:
+        # Per-layer vectors ride as [L, 1, dim] so the (1, 1, dim)
+        # block's last two dims satisfy the TPU (8, 128)-or-full-dim
+        # block rule.
+        perl3 = lambda l, off: (l, 0, 0)  # noqa: E731
+        perl5 = lambda l, off: (l, 0, 0, 0, 0)  # noqa: E731
+        perl4 = lambda l, off: (l, 0, 0, 0)  # noqa: E731
+    else:
+        # Grid runs one step past the last layer (the lm_head step);
+        # clamp so Pallas doesn't prefetch an out-of-range block (the
+        # unchanged index means no refetch happens at l == L).
+        clamp = lambda l: jnp.minimum(l, L - 1)  # noqa: E731
+        perl3 = lambda l, off: (clamp(l), 0, 0)  # noqa: E731
+        perl5 = lambda l, off: (clamp(l), 0, 0, 0, 0)  # noqa: E731
+        perl4 = lambda l, off: (clamp(l), 0, 0, 0)  # noqa: E731
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(L,),
-        in_specs=[
-            vmem((B, D), const2),                       # x
-            vmem((1, 1, D), perl3),                     # attn_norm
-            vmem((1, 1, D), perl3),                     # ffn_norm
-            vmem((1, 1, D), perl3),                     # ada
-            vmem((1, 1, nqkv), perl3),                  # sqkv
-            vmem((1, 1, D), perl3),                     # so
-            vmem((1, 1, 2 * hidden), perl3),            # s13
-            vmem((1, 1, D), perl3),                     # s2
-            vmem((1, head_dim), const2),                # cos
-            vmem((1, head_dim), const2),                # sin
-            vmem((1, B, S, n_kv, head_dim),
-                 lambda l, off: (l, 0, 0, 0, 0)),       # k cache
-            vmem((1, B, S, n_kv, head_dim),
-                 lambda l, off: (l, 0, 0, 0, 0)),       # v cache
-            pl.BlockSpec(memory_space=pl.ANY),       # wqkv (HBM)
-            pl.BlockSpec(memory_space=pl.ANY),       # wo
-            pl.BlockSpec(memory_space=pl.ANY),       # w13
-            pl.BlockSpec(memory_space=pl.ANY),       # w2
-        ],
-        out_specs=(
-            vmem((B, D), const2),
-            vmem((1, B, n_kv, head_dim), lambda l, off: (l, 0, 0, 0)),
-            vmem((1, B, n_kv, head_dim), lambda l, off: (l, 0, 0, 0)),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, plan[name][0], plan[name][2]), jnp.int8)
-            for name in ("qkv", "wo", "w13", "w2")
-        ] + [
-            pltpu.VMEM((B, D), jnp.float32),
-            pltpu.SemaphoreType.DMA((4, 2)),
-        ],
-    )
-
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((B, D), jnp.float32),
-            jax.ShapeDtypeStruct((L, B, n_kv, head_dim), k_cache.dtype),
-            jax.ShapeDtypeStruct((L, B, n_kv, head_dim), v_cache.dtype),
-        ),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=64 * 1024 * 1024,
-        ),
-        interpret=interpret,
-    )(
+    in_specs = [
+        vmem((B, D), const2),                       # x
+        vmem((1, 1, D), perl3),                     # attn_norm
+        vmem((1, 1, D), perl3),                     # ffn_norm
+        vmem((1, 1, D), perl3),                     # ada
+        vmem((1, 1, nqkv), perl3),                  # sqkv
+        vmem((1, 1, D), perl3),                     # so
+        vmem((1, 1, 2 * hidden), perl3),            # s13
+        vmem((1, 1, D), perl3),                     # s2
+        vmem((1, head_dim), const2),                # cos
+        vmem((1, head_dim), const2),                # sin
+        vmem((1, B, n_kv, S, head_dim), perl5),     # k cache (head-major)
+        vmem((1, B, n_kv, S, head_dim), perl5),     # v cache
+    ]
+    operands = [
         jnp.asarray(offset, jnp.int32).reshape(1),
         x.astype(jnp.float32),
         attn_norms.astype(jnp.float32).reshape(L, 1, D),
@@ -568,8 +639,59 @@ def decode_stack_step(
         cos_p.astype(jnp.float32).reshape(1, head_dim),
         sin_p.astype(jnp.float32).reshape(1, head_dim),
         k_cache, v_cache,
-        wqkv, wo, w13, w2,
+    ]
+    out_specs = [
+        vmem((B, D), const2),
+        vmem((1, B, n_kv, head_dim), perl4),
+        vmem((1, B, n_kv, head_dim), perl4),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, D), jnp.float32),
+        jax.ShapeDtypeStruct((L, B, n_kv, head_dim), k_cache.dtype),
+        jax.ShapeDtypeStruct((L, B, n_kv, head_dim), v_cache.dtype),
+    ]
+    scratch = [
+        pltpu.VMEM((2, plan[name][0], plan[name][2]), jnp.int8)
+        for name in ("qkv", "wo", "w13", "w2")
+    ]
+    if lm is not None:
+        V, t_lm = lm
+        in_specs += [
+            vmem((1, D), const2),                   # final norm
+            vmem((1, V), const2),                   # lm scales
+        ]
+        operands += [
+            final_norm.astype(jnp.float32).reshape(1, D),
+            lm_scale.astype(jnp.float32).reshape(1, V),
+        ]
+        out_specs.append(vmem((B, V), const2))      # logits
+        out_shape.append(jax.ShapeDtypeStruct((B, V), jnp.float32))
+        scratch.append(pltpu.VMEM((2, t_lm, D), jnp.int8))
+
+    weight_specs = [pl.BlockSpec(memory_space=pl.ANY)] * (4 + (lm is not None))
+    weights = [wqkv, wo, w13, w2] + ([lm_codes] if lm is not None else [])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(L + 1,) if lm is not None else (L,),
+        in_specs=in_specs + weight_specs,
+        out_specs=tuple(out_specs),
+        scratch_shapes=scratch + [
+            pltpu.VMEM((B, D), jnp.float32),
+            pltpu.SemaphoreType.DMA((5, 2)),
+        ],
     )
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=tuple(out_shape),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*operands, *weights)
     return out
 
 
