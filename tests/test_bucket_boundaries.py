@@ -77,3 +77,27 @@ def test_bucket_padding_does_not_change_real_tokens(pipeline):
     t16 = tokens_with_bucket(16)
     n = min(len(t1), len(t16))
     np.testing.assert_array_equal(t1[:n], t16[:n])
+
+
+def test_unequal_chunk_merge_preserves_text(monkeypatch):
+    """Merging unequal-length chunks into one padded batch (the decode
+    cost model) must produce the same text as per-length groups."""
+    import voxtral_tpu.pipeline as pl
+
+    model = VoxtralModel.init_random(
+        jax.random.PRNGKey(1), tiny_config(), dtype=jnp.float32
+    )
+    tok = VoxtralTokenizer([None] * 500, {}, 500)
+    pipe = TranscribePipeline(
+        model, tok,
+        PipelineConfig(max_mel_frames=600, bucket_positions=1),
+    )
+    rng = np.random.default_rng(3)
+    # ~1.6 chunks at 600 mel frames: one full + one short final chunk.
+    samples = rng.normal(size=int(9.0 * 16000)).astype(np.float32) * 0.2
+
+    monkeypatch.setattr(pl, "STEP_COST_C1_MS", 1e9)  # never merge
+    grouped = pipe.transcribe_samples(samples)
+    monkeypatch.setattr(pl, "STEP_COST_C1_MS", 0.0)  # always merge
+    merged = pipe.transcribe_samples(samples)
+    assert merged == grouped

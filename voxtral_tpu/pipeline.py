@@ -35,13 +35,23 @@ from voxtral_tpu.audio import (
     resample_to_16k,
 )
 from voxtral_tpu.config import VoxtralConfig
-from voxtral_tpu.models.voxtral import VoxtralModel
+from voxtral_tpu.models.voxtral import PREFIX_LEN, VoxtralModel
 from voxtral_tpu.tokenizer import VoxtralTokenizer
 from voxtral_tpu.utils.profiling import span
 
 log = logging.getLogger("voxtral_tpu")
 
 SAMPLES_PER_POSITION = 2560  # one decoder position = 2560 samples (160 ms)
+
+# Batched decode-step cost model (measured on v5e with the fused stack
+# kernel, benches/kernel_bench.py --suite step-fused --batch 1,2,4,8):
+# one step at batch B costs ~ C0 + C1*B ms — decode streams the same
+# weights regardless of B, so extra rows ride nearly free.  Used to
+# decide whether unequal-length chunks should be padded to a common
+# length and decoded as ONE batch.
+# Measured: B=1: 4.60, B=2: 4.61, B=4: 4.62, B=8: 5.06 ms/step.
+STEP_COST_C0_MS = 4.55
+STEP_COST_C1_MS = 0.07
 
 
 @dataclasses.dataclass
@@ -162,16 +172,50 @@ class TranscribePipeline:
 
         # Chunks of the SAME padded length decode in one batched on-device
         # scan (all non-final chunks are exactly max_mel_frames long, so a
-        # long file becomes one big batch + one short final chunk).  The
-        # marginal per-chunk step cost is well below a separate pass, but
-        # padding unequal chunks to a common length is not — so batching
-        # is grouped by length rather than global.
+        # long file becomes one big batch + one short final chunk).
         padded = [
             self._bucketed_pad(AudioBuffer(ch.samples, 16000)) for ch in chunks
+        ]
+        # True decode-token count per chunk (decode is causal, so a chunk
+        # padded with extra silence to join a longer batch produces the
+        # SAME tokens at its real positions — trim at fetch).
+        tok_counts = [
+            self.model.decoder_seq_len(self.mel.num_frames(len(p.samples)))
+            - PREFIX_LEN
+            for p in padded
         ]
         groups: dict[int, list[int]] = {}
         for idx, p in enumerate(padded):
             groups.setdefault(len(p.samples), []).append(idx)
+
+        # Decode is HBM-bound on the weights: a batched step costs
+        # ~C0 + C1*B ms, so folding unequal-length chunks into ONE batch
+        # (padding the short ones with silence) wins whenever the merged
+        # cost beats the per-length groups.
+        if len(groups) > 1:
+            def step_cost(b: int) -> float:
+                return STEP_COST_C0_MS + STEP_COST_C1_MS * b
+
+            grouped_cost = sum(
+                max(tok_counts[i] for i in idxs) * step_cost(len(idxs))
+                for idxs in groups.values()
+            )
+            merged_cost = max(tok_counts) * step_cost(len(padded))
+            if merged_cost < grouped_cost:
+                target = max(len(p.samples) for p in padded)
+                padded = [
+                    AudioBuffer(
+                        np.pad(p.samples, (0, target - len(p.samples))), 16000
+                    )
+                    if len(p.samples) < target else p
+                    for p in padded
+                ]
+                groups = {target: list(range(len(padded)))}
+                log.info(
+                    "merged %d unequal chunks into one batch "
+                    "(est. %.0f ms vs %.0f ms grouped)",
+                    len(padded), merged_cost, grouped_cost,
+                )
 
         # Dispatch every group first (async), fetch afterwards — overlaps
         # the dispatch roundtrips and lets the device queue run ahead.
@@ -196,7 +240,7 @@ class TranscribePipeline:
         with span("transcribe_fetch", groups=len(pending)):
             for idxs, dev_tokens in pending:
                 for i, toks in zip(idxs, np.asarray(dev_tokens)):
-                    chunk_tokens[i] = toks
+                    chunk_tokens[i] = toks[:tok_counts[i]]
 
         with span("decode_tokens", chunks=len(chunk_tokens)):
             texts = []
