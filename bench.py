@@ -73,7 +73,7 @@ def main() -> None:
     tokenizer = VoxtralTokenizer([None] * 131072, {}, 131072)
     pipeline = TranscribePipeline(
         model, tokenizer,
-        PipelineConfig(delay_tokens=6.0, max_mel_frames=1500, bucket_positions=1),
+        PipelineConfig(delay_tokens=6.0, max_mel_frames=3000, bucket_positions=1),
     )
 
     from voxtral_tpu.audio import chunk_audio as _chunks

@@ -416,10 +416,60 @@ def suite_step_fused(batches, seq=160, short=8, long=40):
     return results
 
 
+def suite_encode(mel_frames=(2344,), short=4, long=12):
+    """Full audio-encode stage (conv + 32 layers + reshape + adapter) via
+    the chained-slope method — the e2e bench's per-stage sync over the
+    tunneled transport inflates stage wall-times, so this is the honest
+    on-device encode cost."""
+    import jax
+    import jax.numpy as jnp
+
+    from voxtral_tpu.config import VoxtralConfig
+    from voxtral_tpu.models.voxtral import encode_audio_fn
+    from voxtral_tpu.utils.quantize import random_w8_params
+
+    cfg = VoxtralConfig.voxtral()
+    params = random_w8_params(cfg)
+    results = []
+    for t in mel_frames:
+        mel0 = jnp.asarray(
+            np.random.RandomState(0).randn(1, 128, t) * 0.3, jnp.bfloat16)
+
+        def run(params, mel0, length):
+            def body(mel, _):
+                out = encode_audio_fn(params, mel, cfg)  # [1, S, D]
+                # fold [1, S, D] back onto [1, 128, T] (data dependency)
+                flat = out.reshape(-1)
+                n = 128 * t
+                reps = -(-n // flat.shape[0])
+                mel2 = mel0 + 5e-2 * jnp.tile(flat, reps)[:n].reshape(
+                    1, 128, t).astype(mel0.dtype)
+                return mel2, ()
+            mel, _ = jax.lax.scan(body, mel0, None, length=length)
+            return mel[0, 0, 0]
+
+        import functools
+
+        @functools.lru_cache(maxsize=None)
+        def _jitted(length):
+            return jax.jit(functools.partial(run, length=length))
+
+        def runner(length):
+            return _jitted(length)(params, mel0)
+
+        per_iter = _timed_slope(runner, short, long)
+        r = {"bench": "encode", "mel_frames": t,
+             "ms": round(per_iter * 1e3, 2)}
+        results.append(r)
+        print(json.dumps(r), flush=True)
+    return results
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--suite", default="all",
-                    choices=["all", "matmul", "step", "step-fused"])
+                    choices=["all", "matmul", "step", "step-fused",
+                             "encode"])
     ap.add_argument("--m", default="1,2,8")
     ap.add_argument("--batch", default="1,2,4")
     ap.add_argument("--q4", action="store_true",
@@ -446,6 +496,8 @@ def main():
         suite_step([int(x) for x in args.batch.split(",")])
     if args.suite == "step-fused":
         suite_step_fused([int(x) for x in args.batch.split(",")])
+    if args.suite == "encode":
+        suite_encode()
 
 
 if __name__ == "__main__":

@@ -49,8 +49,10 @@ def build_parser() -> argparse.ArgumentParser:
         help="Delay in tokens (1 token = 80 ms); default 6 = 480 ms",
     )
     p.add_argument(
-        "--max-mel-frames", type=int, default=1200,
-        help="Max mel frames per chunk",
+        "--max-mel-frames", type=int, default=3000,
+        help="Max mel frames per chunk (reference defaults to 1200 for "
+        "WebGPU shared-memory limits, transcribe.rs:56-57; TPU has no "
+        "such limit and each extra chunk re-pays the decode prefix)",
     )
     p.add_argument(
         "--dtype", choices=["bfloat16", "float32", "w8"], default="bfloat16",

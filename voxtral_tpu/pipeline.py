@@ -57,7 +57,12 @@ STEP_COST_C1_MS = 0.07
 @dataclasses.dataclass
 class PipelineConfig:
     delay_tokens: float = 6.0
-    max_mel_frames: int = 1200
+    # Chunk cap.  The reference uses 1200-1500 to fit WebGPU
+    # shared-memory limits (transcribe.rs:56-57); TPUs have no such
+    # limit, and every extra chunk re-pays the 38-position silence
+    # prefix in decode steps, so the TPU default is larger (3000 frames
+    # = 30 s of audio per chunk; encoder scores at S=750 are ~72 MB).
+    max_mel_frames: int = 3000
     # Decoder-length bucket granularity.  Non-final chunks always have the
     # same shape (max_mel_frames), so bucketing only pads the FINAL chunk
     # of each file; 8 positions (1.28 s) balances compile count vs waste.
