@@ -301,13 +301,15 @@ def decode_layer_step(
 def _stack_plan(D, nqkv, nq, hidden):
     """Per-phase weight-tile plan for the stacked kernel.
 
-    Each phase (qkv, wo, w13, w2) gets its OWN double buffer so the next
-    phase's first tile can prefetch during the current phase's epilogue
-    (attention / SwiGLU VPU work) — with per-K shared buffers (v1 kernel)
-    the DMA pipe drains at every phase boundary.  Tile counts must be
-    even so the cross-layer prefetch of next layer's qkv tile 0 lands in
-    a slot whose previous tile is already consumed.  Returns
-    {phase: (tile, n_tiles, K, N)} or None if any phase can't tile.
+    Each phase (qkv, wo, w13, w2) gets its OWN 3-slot rotating buffer
+    (slot = tile % 3): two tiles stay in flight at all times, and the
+    next phase's tiles 0/1 prefetch during the current phase's last two
+    iterations — so the DMA pipe stays busy through the inter-phase
+    epilogues (attention / SwiGLU VPU work) and across layer boundaries.
+    Three slots (not two) let tile j+2 issue while j and j+1 are still
+    outstanding without a write-after-read hazard on the slot being
+    consumed.  Returns {phase: (tile, n_tiles, K, N)} or None if any
+    phase can't tile.
     """
     phases = {
         "qkv": (nqkv, D),
@@ -318,9 +320,7 @@ def _stack_plan(D, nqkv, nq, hidden):
     plan = {}
     for name, (n_out, k_in) in phases.items():
         t = 512
-        while t >= 8 and (
-            n_out % t or (n_out // t) % 2 or t * k_in > 2 * 2**20
-        ):
+        while t >= 8 and (n_out % t or t * k_in > 3 * 2**19):
             t //= 2
         if t < 8:
             return None
@@ -386,8 +386,8 @@ def _make_stack_kernel(B, D, S, L, n_heads, n_kv, head_dim, hidden, plan,
             t = plan[name][0]
             return pltpu.make_async_copy(
                 hbm[name].at[li, pl.ds(j * t, t), :],
-                bufs[name].at[j % 2],
-                sem.at[pidx[name], j % 2],
+                bufs[name].at[j % 3],
+                sem.at[pidx[name], j % 3],
             )
 
         def lm_dma(j, slot):
@@ -401,23 +401,35 @@ def _make_stack_kernel(B, D, S, L, n_heads, n_kv, head_dim, hidden, plan,
         @pl.when(l == 0)
         def _():
             dma("qkv", 0, 0).start()
+            if plan["qkv"][1] > 1:
+                dma("qkv", 0, 1).start()
 
         @pl.when(l < L)
         def _layer():
             def stream(name, xq, sx, scale_ref, on_last):
-                """y = dequant(xq @ W_l^T); tile j+1 (or the next
-                phase's / next layer's tile 0, via on_last) is issued
-                before waiting on tile j."""
+                """y = dequant(xq @ W_l^T).
+
+                Uniform 3-slot discipline: tiles 0 and 1 were pre-issued
+                by the PREVIOUS phase's last two iterations (on_last);
+                iteration j issues tile j+2 into slot (j+2)%3 — whose
+                previous occupant, tile j-1, was consumed last iteration
+                — then waits on tile j.  The last two iterations instead
+                issue the NEXT phase's tiles 0/1 via on_last(i), so two
+                tiles of DMA cover every inter-phase epilogue."""
                 t, n_tiles, _, _ = plan[name]
                 outs = []
                 for j in range(n_tiles):
-                    if j + 1 < n_tiles:
-                        dma(name, l, j + 1).start()
-                    else:
-                        on_last()
+                    if j + 2 < n_tiles:
+                        dma(name, l, j + 2).start()
+                    elif j + 2 == n_tiles:
+                        on_last(0)
+                    else:  # j == n_tiles - 1
+                        if n_tiles == 1:
+                            on_last(0)
+                        on_last(1)
                     dma(name, l, j).wait()
                     z = jax.lax.dot_general(
-                        xq, bufs[name][j % 2],
+                        xq, bufs[name][j % 3],
                         dimension_numbers=(((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.int32,
                     )
@@ -427,14 +439,21 @@ def _make_stack_kernel(B, D, S, L, n_heads, n_kv, head_dim, hidden, plan,
                     )
                 return jnp.concatenate(outs, axis=-1)
 
+            def chain(name):
+                """on_last target: prefetch tile i of phase ``name`` of
+                the current layer (if it exists)."""
+                def issue(i):
+                    if i < plan[name][1]:
+                        dma(name, l, i).start()
+                return issue
+
             x = jnp.where(l == 0, x_ref[:], x_s[:])  # [B, D] f32 residual
 
             # ---- attention block -----------------------------------------
             var = jnp.mean(x * x, axis=-1, keepdims=True)
             h = x * jax.lax.rsqrt(var + eps) * attn_norm_ref[0]
             xq, sx = _quant(h)
-            qkv = stream("qkv", xq, sx, sqkv_ref,
-                         lambda: dma("wo", l, 0).start())
+            qkv = stream("qkv", xq, sx, sqkv_ref, chain("wo"))
             q = qkv[:, :nq].reshape(B, n_heads, head_dim)
             k = qkv[:, nq:nq + nkv].reshape(B, n_kv, head_dim)
             v = qkv[:, nq + nkv:].reshape(B, n_kv, head_dim)
@@ -477,29 +496,29 @@ def _make_stack_kernel(B, D, S, L, n_heads, n_kv, head_dim, hidden, plan,
             attn = (ctx / denom[..., None]).reshape(B, nq)
 
             xq, sx = _quant(attn)
-            x = x + stream("wo", xq, sx, so_ref,
-                           lambda: dma("w13", l, 0).start())
+            x = x + stream("wo", xq, sx, so_ref, chain("w13"))
 
             # ---- FFN block -----------------------------------------------
             var = jnp.mean(x * x, axis=-1, keepdims=True)
             h = x * jax.lax.rsqrt(var + eps) * ffn_norm_ref[0]
             h = h * ada_ref[0]
             xq, sx = _quant(h)
-            up = stream("w13", xq, sx, s13_ref,
-                        lambda: dma("w2", l, 0).start())
+            up = stream("w13", xq, sx, s13_ref, chain("w2"))
             gate, upv = up[:, :hidden], up[:, hidden:]
             hmid = gate * jax.nn.sigmoid(gate) * upv
             xq, sx = _quant(hmid)
 
-            def issue_next():
+            def issue_next(i):
                 @pl.when(l + 1 < L)
                 def _():
-                    dma("qkv", l + 1, 0).start()
+                    if i < plan["qkv"][1]:
+                        dma("qkv", l + 1, i).start()
 
                 if lm is not None:
                     @pl.when(l + 1 == L)
                     def _():
-                        lm_dma(0, 0).start()
+                        if i < lm[0] // lm[1]:
+                            lm_dma(i, i % 3).start()
 
             x = x + stream("w2", xq, sx, s2_ref, issue_next)
 
@@ -519,13 +538,17 @@ def _make_stack_kernel(B, D, S, L, n_heads, n_kv, head_dim, hidden, plan,
                 h = x * jax.lax.rsqrt(var + eps) * fnorm_ref[0]
                 xq, sx = _quant(h)
 
+                # Tiles 0 and 1 were pre-issued during the last layer's
+                # w2 stream (issue_next) into slots 0/1 of the 3-slot
+                # rotating buffer; issuing j+2 into slot (j+2)%3 before
+                # waiting on j never touches an in-use slot (that slot
+                # held tile j-1, consumed last iteration).
                 def body(j, _):
-                    slot = jax.lax.rem(j, 2)
-
-                    @pl.when(j + 1 < n_tiles)
+                    @pl.when(j + 2 < n_tiles)
                     def _():
-                        lm_dma(j + 1, jax.lax.rem(j + 1, 2)).start()
+                        lm_dma(j + 2, jax.lax.rem(j + 2, 3)).start()
 
+                    slot = jax.lax.rem(j, 3)
                     lm_dma(j, slot).wait()
                     z = jax.lax.dot_general(
                         xq, buf_lm[slot],
@@ -651,7 +674,7 @@ def decode_stack_step(
         jax.ShapeDtypeStruct((L, B, n_kv, head_dim), v_cache.dtype),
     ]
     scratch = [
-        pltpu.VMEM((2, plan[name][0], plan[name][2]), jnp.int8)
+        pltpu.VMEM((3, plan[name][0], plan[name][2]), jnp.int8)
         for name in ("qkv", "wo", "w13", "w2")
     ]
     if lm is not None:
@@ -666,7 +689,7 @@ def decode_stack_step(
         ]
         out_specs.append(vmem((B, V), const2))      # logits
         out_shape.append(jax.ShapeDtypeStruct((B, V), jnp.float32))
-        scratch.append(pltpu.VMEM((2, t_lm, D), jnp.int8))
+        scratch.append(pltpu.VMEM((3, t_lm, D), jnp.int8))
 
     weight_specs = [pl.BlockSpec(memory_space=pl.ANY)] * (4 + (lm is not None))
     weights = [wqkv, wo, w13, w2] + ([lm_codes] if lm is not None else [])
@@ -678,7 +701,7 @@ def decode_stack_step(
         out_specs=tuple(out_specs),
         scratch_shapes=scratch + [
             pltpu.VMEM((B, D), jnp.float32),
-            pltpu.SemaphoreType.DMA((5, 2)),
+            pltpu.SemaphoreType.DMA((5, 3)),
         ],
     )
 
