@@ -1,4 +1,5 @@
-"""Per-layer decode megakernel: one ``pallas_call`` per decoder layer.
+"""Decode megakernels: the per-layer kernel (v1) and the whole-stack
+kernel (v2, ``decode_stack_step`` — the production path).
 
 Why: kernel microbenches (``benches/kernel_bench.py``) show the isolated
 W8A8 matmuls already stream weights at 590-740 GB/s, and one layer's
@@ -7,10 +8,14 @@ because between XLA ops the weight DMA drains (quantize / RoPE / attention
 / epilogues sit on the VPU while HBM idles).  Fusing the ENTIRE layer —
 rms_norm -> QKV (int8 MXU) -> RoPE -> cached attention -> WO -> residual
 -> ffn_norm -> ADA -> W1/W3 -> SwiGLU -> W2 -> residual — into one kernel
-with manually double-buffered weight-tile DMA keeps the HBM pipe busy
-through all of it.  This is the TPU-native replacement for the
+with rotating weight-tile DMA buffers keeps the HBM pipe busy through
+all of it, and the v2 stack kernel extends this across ALL layers plus
+the final norm + tied lm_head (grid over layers; static cross-phase
+prefetch schedule).  This is the TPU-native replacement for the
 reference's per-op WGSL kernel launches (op.rs:139-206 dispatches ~200
-q4_matmul launches per token; here a token is 26 kernels + lm_head).
+q4_matmul launches per token; here a token is ONE kernel).  Measured on
+v5e: 4.56 ms/step = 753 GB/s effective (92% of spec), vs ~11 ms for the
+unfused XLA step chain at round 1.
 
 Weight layout: the stacked per-layer int8 codes ([L, N, K], rowwise
 scales [L, N]) are fused at model-prep time into
@@ -328,8 +333,30 @@ def _stack_plan(D, nqkv, nq, hidden):
     return plan
 
 
+# Static prefetch plan: PRE[p] tiles of phase p are issued by EARLIER
+# phases' tail iterations, so p's stream starts with PRE tiles already
+# in flight and the DMA pipe stays busy through the inter-phase VPU
+# epilogues (attention needs the deepest cover, hence wo/w13 get 4).
+# Each phase's rotating buffer has PRE+2 slots: at iteration j tiles
+# j..j+PRE are outstanding (PRE+1) and the in-loop issue of tile j+PRE
+# reuses the slot whose occupant (tile j+PRE-slots = j-2) was consumed
+# two iterations ago — no write-after-read hazard.
+STACK_PRE = {"qkv": 2, "wo": 4, "w13": 4, "w2": 2}
+STACK_SLOTS = {p: STACK_PRE[p] + 2 for p in STACK_PRE}
+LM_PRE, LM_SLOTS = 2, 4
+# Tail schedule: which tiles each phase's last iterations issue.
+STACK_TAILS = {
+    "qkv": [("wo", 0), ("wo", 1), ("wo", 2), ("wo", 3),
+            ("w13", 0), ("w13", 1)],
+    "wo": [("w13", 2), ("w13", 3)],
+    "w13": [("w2", 0), ("w2", 1)],
+    # w2's tail issues the NEXT layer's qkv (or the lm_head's) tiles 0/1
+    # — built in-kernel because it needs the layer index.
+}
+
+
 def _lm_tile(V, D):
-    """Row-tile for the folded lm_head phase (own double buffer)."""
+    """Row-tile for the folded lm_head phase (own rotating buffer)."""
     t = 512
     while t >= 8 and (V % t or t * D > 2 * 2**20):
         t //= 2
@@ -384,52 +411,61 @@ def _make_stack_kernel(B, D, S, L, n_heads, n_kv, head_dim, hidden, plan,
 
         def dma(name, li, j):
             t = plan[name][0]
+            s = STACK_SLOTS[name]
             return pltpu.make_async_copy(
                 hbm[name].at[li, pl.ds(j * t, t), :],
-                bufs[name].at[j % 3],
-                sem.at[pidx[name], j % 3],
+                bufs[name].at[j % s],
+                sem.at[pidx[name], j % s],
             )
 
-        def lm_dma(j, slot):
+        def lm_dma(j):
             t = lm[1]
             return pltpu.make_async_copy(
                 lm_hbm.at[pl.ds(j * t, t), :],
-                buf_lm.at[slot],
-                sem.at[4, slot],
+                buf_lm.at[j % LM_SLOTS],
+                sem.at[4, j % LM_SLOTS],
             )
 
         @pl.when(l == 0)
         def _():
-            dma("qkv", 0, 0).start()
-            if plan["qkv"][1] > 1:
-                dma("qkv", 0, 1).start()
+            for i in range(min(STACK_PRE["qkv"], plan["qkv"][1])):
+                dma("qkv", 0, i).start()
 
         @pl.when(l < L)
         def _layer():
-            def stream(name, xq, sx, scale_ref, on_last):
+            def chain(name, idx):
+                """Tail callback: prefetch tile ``idx`` of phase
+                ``name`` of the current layer (if it exists)."""
+                def issue():
+                    if idx < plan[name][1]:
+                        dma(name, l, idx).start()
+                return issue
+
+            def stream(name, xq, sx, scale_ref, tail):
                 """y = dequant(xq @ W_l^T).
 
-                Uniform 3-slot discipline: tiles 0 and 1 were pre-issued
-                by the PREVIOUS phase's last two iterations (on_last);
-                iteration j issues tile j+2 into slot (j+2)%3 — whose
-                previous occupant, tile j-1, was consumed last iteration
-                — then waits on tile j.  The last two iterations instead
-                issue the NEXT phase's tiles 0/1 via on_last(i), so two
-                tiles of DMA cover every inter-phase epilogue."""
+                Tiles 0..PRE-1 were pre-issued by earlier phases' tails;
+                iteration j issues tile j+PRE, then waits on tile j.
+                The last len(tail) iterations additionally run the tail
+                callbacks (prefetching later phases' leading tiles), so
+                the DMA pipe stays loaded through this phase's epilogue.
+                Short phases (n_tiles < len(tail)) fire the whole tail
+                on the last iteration — correct, just less overlap."""
                 t, n_tiles, _, _ = plan[name]
+                pre = STACK_PRE[name]
                 outs = []
                 for j in range(n_tiles):
-                    if j + 2 < n_tiles:
-                        dma(name, l, j + 2).start()
-                    elif j + 2 == n_tiles:
-                        on_last(0)
-                    else:  # j == n_tiles - 1
-                        if n_tiles == 1:
-                            on_last(0)
-                        on_last(1)
+                    if j + pre < n_tiles:
+                        dma(name, l, j + pre).start()
+                    if n_tiles >= len(tail):
+                        if j >= n_tiles - len(tail):
+                            tail[j - (n_tiles - len(tail))]()
+                    elif j == n_tiles - 1:
+                        for cb in tail:
+                            cb()
                     dma(name, l, j).wait()
                     z = jax.lax.dot_general(
-                        xq, bufs[name][j % 3],
+                        xq, bufs[name][j % STACK_SLOTS[name]],
                         dimension_numbers=(((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.int32,
                     )
@@ -439,13 +475,10 @@ def _make_stack_kernel(B, D, S, L, n_heads, n_kv, head_dim, hidden, plan,
                     )
                 return jnp.concatenate(outs, axis=-1)
 
-            def chain(name):
-                """on_last target: prefetch tile i of phase ``name`` of
-                the current layer (if it exists)."""
-                def issue(i):
-                    if i < plan[name][1]:
-                        dma(name, l, i).start()
-                return issue
+            tails = {
+                name: [chain(tgt, idx) for tgt, idx in tail_spec]
+                for name, tail_spec in STACK_TAILS.items()
+            }
 
             x = jnp.where(l == 0, x_ref[:], x_s[:])  # [B, D] f32 residual
 
@@ -453,7 +486,7 @@ def _make_stack_kernel(B, D, S, L, n_heads, n_kv, head_dim, hidden, plan,
             var = jnp.mean(x * x, axis=-1, keepdims=True)
             h = x * jax.lax.rsqrt(var + eps) * attn_norm_ref[0]
             xq, sx = _quant(h)
-            qkv = stream("qkv", xq, sx, sqkv_ref, chain("wo"))
+            qkv = stream("qkv", xq, sx, sqkv_ref, tails["qkv"])
             q = qkv[:, :nq].reshape(B, n_heads, head_dim)
             k = qkv[:, nq:nq + nkv].reshape(B, n_kv, head_dim)
             v = qkv[:, nq + nkv:].reshape(B, n_kv, head_dim)
@@ -496,31 +529,34 @@ def _make_stack_kernel(B, D, S, L, n_heads, n_kv, head_dim, hidden, plan,
             attn = (ctx / denom[..., None]).reshape(B, nq)
 
             xq, sx = _quant(attn)
-            x = x + stream("wo", xq, sx, so_ref, chain("w13"))
+            x = x + stream("wo", xq, sx, so_ref, tails["wo"])
 
             # ---- FFN block -----------------------------------------------
             var = jnp.mean(x * x, axis=-1, keepdims=True)
             h = x * jax.lax.rsqrt(var + eps) * ffn_norm_ref[0]
             h = h * ada_ref[0]
             xq, sx = _quant(h)
-            up = stream("w13", xq, sx, s13_ref, chain("w2"))
+            up = stream("w13", xq, sx, s13_ref, tails["w13"])
             gate, upv = up[:, :hidden], up[:, hidden:]
             hmid = gate * jax.nn.sigmoid(gate) * upv
             xq, sx = _quant(hmid)
 
             def issue_next(i):
-                @pl.when(l + 1 < L)
-                def _():
-                    if i < plan["qkv"][1]:
-                        dma("qkv", l + 1, i).start()
-
-                if lm is not None:
-                    @pl.when(l + 1 == L)
+                def issue():
+                    @pl.when(l + 1 < L)
                     def _():
-                        if i < lm[0] // lm[1]:
-                            lm_dma(i, i % 3).start()
+                        if i < plan["qkv"][1]:
+                            dma("qkv", l + 1, i).start()
 
-            x = x + stream("w2", xq, sx, s2_ref, issue_next)
+                    if lm is not None:
+                        @pl.when(l + 1 == L)
+                        def _():
+                            if i < lm[0] // lm[1]:
+                                lm_dma(i).start()
+                return issue
+
+            w2_tail = [issue_next(i) for i in range(STACK_PRE["qkv"])]
+            x = x + stream("w2", xq, sx, s2_ref, w2_tail)
 
             x_s[:] = x
 
@@ -538,18 +574,17 @@ def _make_stack_kernel(B, D, S, L, n_heads, n_kv, head_dim, hidden, plan,
                 h = x * jax.lax.rsqrt(var + eps) * fnorm_ref[0]
                 xq, sx = _quant(h)
 
-                # Tiles 0 and 1 were pre-issued during the last layer's
-                # w2 stream (issue_next) into slots 0/1 of the 3-slot
-                # rotating buffer; issuing j+2 into slot (j+2)%3 before
-                # waiting on j never touches an in-use slot (that slot
-                # held tile j-1, consumed last iteration).
+                # Tiles 0..LM_PRE-1 were pre-issued during the last
+                # layer's w2 tail; issuing j+LM_PRE before waiting on j
+                # never touches an in-use slot of the LM_SLOTS-deep
+                # rotating buffer.
                 def body(j, _):
-                    @pl.when(j + 2 < n_tiles)
+                    @pl.when(j + LM_PRE < n_tiles)
                     def _():
-                        lm_dma(j + 2, jax.lax.rem(j + 2, 3)).start()
+                        lm_dma(j + LM_PRE).start()
 
-                    slot = jax.lax.rem(j, 3)
-                    lm_dma(j, slot).wait()
+                    slot = jax.lax.rem(j, LM_SLOTS)
+                    lm_dma(j).wait()
                     z = jax.lax.dot_general(
                         xq, buf_lm[slot],
                         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -674,7 +709,8 @@ def decode_stack_step(
         jax.ShapeDtypeStruct((L, B, n_kv, head_dim), v_cache.dtype),
     ]
     scratch = [
-        pltpu.VMEM((3, plan[name][0], plan[name][2]), jnp.int8)
+        pltpu.VMEM((STACK_SLOTS[name], plan[name][0], plan[name][2]),
+                   jnp.int8)
         for name in ("qkv", "wo", "w13", "w2")
     ]
     if lm is not None:
@@ -689,7 +725,7 @@ def decode_stack_step(
         ]
         out_specs.append(vmem((B, V), const2))      # logits
         out_shape.append(jax.ShapeDtypeStruct((B, V), jnp.float32))
-        scratch.append(pltpu.VMEM((3, t_lm, D), jnp.int8))
+        scratch.append(pltpu.VMEM((LM_SLOTS, t_lm, D), jnp.int8))
 
     weight_specs = [pl.BlockSpec(memory_space=pl.ANY)] * (4 + (lm is not None))
     weights = [wqkv, wo, w13, w2] + ([lm_codes] if lm is not None else [])
@@ -701,7 +737,8 @@ def decode_stack_step(
         out_specs=tuple(out_specs),
         scratch_shapes=scratch + [
             pltpu.VMEM((B, D), jnp.float32),
-            pltpu.SemaphoreType.DMA((5, 3)),
+            pltpu.SemaphoreType.DMA((5, max(max(STACK_SLOTS.values()),
+                                LM_SLOTS))),
         ],
     )
 
