@@ -54,6 +54,9 @@ def main() -> int:
     ap.add_argument("--seconds", type=float, default=16.0)
     ap.add_argument("--iterations", type=int, default=3)
     ap.add_argument("--delay", type=float, default=6.0)
+    ap.add_argument("--max-mel-frames", type=int, default=3000,
+                    help="chunk cap (TPU product default; the reference's "
+                    "1500 is a WebGPU shared-memory artifact)")
     ap.add_argument("--json")
     ap.add_argument("--platform", choices=["default", "cpu", "tpu"],
                     default="default")
@@ -125,7 +128,10 @@ def main() -> int:
 
     mel_x = MelSpectrogram.voxtral()
     pad_cfg = PadConfig.voxtral()
-    chunks = chunk_audio(audio.samples, ChunkConfig.voxtral())
+    chunks = chunk_audio(
+        audio.samples,
+        ChunkConfig.voxtral().with_max_frames(args.max_mel_frames),
+    )
 
     def iteration():
         stages = {"preprocess": 0.0, "encode": 0.0, "decode": 0.0}

@@ -57,15 +57,19 @@ def _quant(x):
     return xq, sx
 
 
-def _rope_pairs(v, c, s):
-    """Adjacent-pair RoPE: v [B, H, D]; c/s [1, D] pair-expanded."""
+def _rope_swap(v):
+    """Adjacent-lane swap for pair RoPE ([..., 2i] <-> [..., 2i+1])."""
     lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, v.ndim - 1)
     even = (lane % 2) == 0
     d = v.shape[-1]
     # pltpu.roll needs shift >= 0: roll by d-1 == roll by -1 (wraparound).
-    swap = jnp.where(even, pltpu.roll(v, d - 1, axis=v.ndim - 1),
+    return jnp.where(even, pltpu.roll(v, d - 1, axis=v.ndim - 1),
                      pltpu.roll(v, 1, axis=v.ndim - 1))
-    return v * c[None] + swap * s[None]
+
+
+def _rope_pairs(v, c, s):
+    """Adjacent-pair RoPE: v [B, H, D]; c/s [1, D] pair-expanded."""
+    return v * c[None] + _rope_swap(v) * s[None]
 
 
 def _phase_tiles(D, nqkv, nq, hidden):
@@ -388,24 +392,23 @@ def _make_stack_kernel(B, D, S, L, n_heads, n_kv, head_dim, hidden, plan,
     order = ("qkv", "wo", "w13", "w2")
     pidx = {name: i for i, name in enumerate(order)}
 
-    def kernel(off_ref, *refs):
+    def kernel(*refs):
         if lm is not None:
             (x_ref, attn_norm_ref, ffn_norm_ref, ada_ref,
              sqkv_ref, so_ref, s13_ref, s2_ref, cos_ref, sin_ref,
-             kc_ref, vc_ref, fnorm_ref, lms_ref,
+             offs_ref, kc_ref, vc_ref, fnorm_ref, lms_ref,
              wqkv_hbm, wo_hbm, w13_hbm, w2_hbm, lm_hbm,
              xo_ref, kn_ref, vn_ref, logits_ref,
              buf_qkv, buf_wo, buf_w13, buf_w2, buf_lm, x_s, sem) = refs
         else:
             (x_ref, attn_norm_ref, ffn_norm_ref, ada_ref,
              sqkv_ref, so_ref, s13_ref, s2_ref, cos_ref, sin_ref,
-             kc_ref, vc_ref,
+             offs_ref, kc_ref, vc_ref,
              wqkv_hbm, wo_hbm, w13_hbm, w2_hbm,
              xo_ref, kn_ref, vn_ref,
              buf_qkv, buf_wo, buf_w13, buf_w2, x_s, sem) = refs
 
         l = pl.program_id(0)
-        off = off_ref[0]
         hbm = {"qkv": wqkv_hbm, "wo": wo_hbm, "w13": w13_hbm, "w2": w2_hbm}
         bufs = {"qkv": buf_qkv, "wo": buf_wo, "w13": buf_w13, "w2": buf_w2}
 
@@ -491,9 +494,11 @@ def _make_stack_kernel(B, D, S, L, n_heads, n_kv, head_dim, hidden, plan,
             k = qkv[:, nq:nq + nkv].reshape(B, n_kv, head_dim)
             v = qkv[:, nq + nkv:].reshape(B, n_kv, head_dim)
 
-            c, s = cos_ref[:], sin_ref[:]
-            q = _rope_pairs(q, c, s)
-            k = _rope_pairs(k, c, s)
+            # Per-row RoPE vectors ([B, hd]): pooled streaming sessions
+            # sit at different absolute positions.
+            c, s = cos_ref[:][:, None, :], sin_ref[:][:, None, :]
+            q = q * c + _rope_swap(q) * s
+            k = k * c + _rope_swap(k) * s
             kn_ref[0] = k.astype(kn_ref.dtype)
             vn_ref[0] = v.astype(vn_ref.dtype)
 
@@ -511,8 +516,14 @@ def _make_stack_kernel(B, D, S, L, n_heads, n_kv, head_dim, hidden, plan,
                 dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )  # [B*Hkv, G, S]
+            # Per-row validity: row b attends to cache positions
+            # < offs[b] (mixed-progress batches each mask their own).
+            offs = offs_ref[0]  # [B] int32
+            off_e = jnp.broadcast_to(
+                offs[:, None], (B, n_kv)).reshape(B * n_kv)
             pos = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 2)
-            scores = jnp.where(pos < off, scores, -jnp.inf)
+            scores = jnp.where(pos < off_e[:, None, None], scores,
+                               -jnp.inf)
             kf = k.reshape(B * n_kv, 1, head_dim)
             self_s = jnp.sum(qg * kf, axis=-1)  # [B*Hkv, G]
 
@@ -619,10 +630,14 @@ def decode_stack_step(
     x [B, D] f32; caches PRE-TRANSPOSED [L, B, Hkv, S, hd] (head-major,
     so in-kernel attention contractions are MXU dots with no transpose);
     stacked weights wqkv [L, NQKV, D] int8 etc. with per-layer scale
-    stacks (sqkv [L, NQKV] f32, ...); norm stacks [L, D]; cos_p/sin_p
-    [hd].  Returns (x_out [B, D] f32, k_new, v_new [L, B, Hkv, hd]) —
-    the caller appends k_new/v_new at ``offset`` (axis 3) across all
-    layers at once.
+    stacks (sqkv [L, NQKV] f32, ...); norm stacks [L, D].
+
+    ``offset`` may be a scalar or a PER-ROW [B] vector, and cos_p/sin_p
+    may be [hd] or per-row [B, hd] — mixed-progress batches (pooled
+    streaming sessions) each mask their own cache validity and rotate at
+    their own absolute position.  Returns (x_out [B, D] f32, k_new,
+    v_new [L, B, Hkv, hd]) — the caller appends k_new/v_new at
+    ``offset`` (axis 3, per row) across all layers at once.
 
     When ``final_norm`` [D] + ``lm_codes`` [V, D] int8 + ``lm_scale``
     [V] are given, the final RMSNorm and tied lm_head run as one extra
@@ -653,22 +668,22 @@ def decode_stack_step(
     def vmem(shape, idx):
         return pl.BlockSpec(shape, idx, memory_space=pltpu.VMEM)
 
-    const2 = lambda l, off: (0, 0)  # noqa: E731
+    const2 = lambda l: (0, 0)  # noqa: E731
     if lm is None:
         # Per-layer vectors ride as [L, 1, dim] so the (1, 1, dim)
         # block's last two dims satisfy the TPU (8, 128)-or-full-dim
         # block rule.
-        perl3 = lambda l, off: (l, 0, 0)  # noqa: E731
-        perl5 = lambda l, off: (l, 0, 0, 0, 0)  # noqa: E731
-        perl4 = lambda l, off: (l, 0, 0, 0)  # noqa: E731
+        perl3 = lambda l: (l, 0, 0)  # noqa: E731
+        perl5 = lambda l: (l, 0, 0, 0, 0)  # noqa: E731
+        perl4 = lambda l: (l, 0, 0, 0)  # noqa: E731
     else:
         # Grid runs one step past the last layer (the lm_head step);
         # clamp so Pallas doesn't prefetch an out-of-range block (the
         # unchanged index means no refetch happens at l == L).
         clamp = lambda l: jnp.minimum(l, L - 1)  # noqa: E731
-        perl3 = lambda l, off: (clamp(l), 0, 0)  # noqa: E731
-        perl5 = lambda l, off: (clamp(l), 0, 0, 0, 0)  # noqa: E731
-        perl4 = lambda l, off: (clamp(l), 0, 0, 0)  # noqa: E731
+        perl3 = lambda l: (clamp(l), 0, 0)  # noqa: E731
+        perl5 = lambda l: (clamp(l), 0, 0, 0, 0)  # noqa: E731
+        perl4 = lambda l: (clamp(l), 0, 0, 0)  # noqa: E731
 
     in_specs = [
         vmem((B, D), const2),                       # x
@@ -679,13 +694,19 @@ def decode_stack_step(
         vmem((1, 1, D), perl3),                     # so
         vmem((1, 1, 2 * hidden), perl3),            # s13
         vmem((1, 1, D), perl3),                     # s2
-        vmem((1, head_dim), const2),                # cos
-        vmem((1, head_dim), const2),                # sin
+        vmem((B, head_dim), const2),                # cos (per-row)
+        vmem((B, head_dim), const2),                # sin
+        vmem((1, B), const2),                       # per-row offsets
         vmem((1, B, n_kv, S, head_dim), perl5),     # k cache (head-major)
         vmem((1, B, n_kv, S, head_dim), perl5),     # v cache
     ]
+    offs = jnp.broadcast_to(
+        jnp.asarray(offset, jnp.int32).reshape(-1), (B,))
+    cos_b = jnp.broadcast_to(
+        cos_p.astype(jnp.float32).reshape(-1, head_dim), (B, head_dim))
+    sin_b = jnp.broadcast_to(
+        sin_p.astype(jnp.float32).reshape(-1, head_dim), (B, head_dim))
     operands = [
-        jnp.asarray(offset, jnp.int32).reshape(1),
         x.astype(jnp.float32),
         attn_norms.astype(jnp.float32).reshape(L, 1, D),
         ffn_norms.astype(jnp.float32).reshape(L, 1, D),
@@ -694,8 +715,9 @@ def decode_stack_step(
         so.astype(jnp.float32).reshape(L, 1, D),
         s13.astype(jnp.float32).reshape(L, 1, 2 * hidden),
         s2.astype(jnp.float32).reshape(L, 1, D),
-        cos_p.astype(jnp.float32).reshape(1, head_dim),
-        sin_p.astype(jnp.float32).reshape(1, head_dim),
+        cos_b,
+        sin_b,
+        offs.reshape(1, B),
         k_cache, v_cache,
     ]
     out_specs = [
@@ -731,7 +753,7 @@ def decode_stack_step(
     weights = [wqkv, wo, w13, w2] + ([lm_codes] if lm is not None else [])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=0,
         grid=(L + 1,) if lm is not None else (L,),
         in_specs=in_specs + weight_specs,
         out_specs=tuple(out_specs),
