@@ -154,6 +154,102 @@ def test_megakernel_matches_xla_layer(setup):
         )
 
 
+def test_megakernel_sliding_window(setup):
+    """window= must reproduce the banded mask (diff <= w) of the XLA
+    layer — the lower bound binds when offset > window."""
+    params, t_embed, k_cache, v_cache, x = setup
+    lyr = params["layers"]
+    fused = fuse_decode_weights(params)
+    adav = ada_vectors(params, t_embed)
+
+    WINDOW = 4
+    assert OFFSET > WINDOW  # the lower bound must actually bind
+    spec = AttentionSpec(n_heads=N_HEADS, n_kv_heads=N_KV,
+                         head_dim=HEAD_DIM, sliding_window=WINDOW,
+                         causal=True)
+    cos, sin = rope_tables(HEAD_DIM, S, theta=1e6)
+    offset = jnp.asarray(OFFSET, jnp.int32)
+    cos_p, sin_p = rope_pair_vectors(offset, HEAD_DIM, theta=1e6)
+
+    l = 0
+    layer_params = jax.tree_util.tree_map(lambda a: a[l], lyr)
+    ref_x, _, _ = decoder_block_with_cache(
+        x[:, None, :], t_embed, layer_params, spec, cos, sin,
+        k_cache[l], v_cache[l], offset, EPS,
+    )
+    out_x, _, _ = decode_layer_step(
+        x, jnp.asarray(l, jnp.int32), offset,
+        lyr["attention_norm"][l], lyr["ffn_norm"][l], adav[l],
+        fused["sqkv"][l], fused["so"][l], fused["s13"][l], fused["s2"][l],
+        cos_p, sin_p, k_cache[l], v_cache[l],
+        fused["wqkv"], fused["wo"], fused["w13"], fused["w2"],
+        n_heads=N_HEADS, n_kv=N_KV, head_dim=HEAD_DIM, eps=EPS,
+        interpret=True, window=WINDOW,
+    )
+    np.testing.assert_allclose(np.asarray(out_x), np.asarray(ref_x[:, 0, :]),
+                               rtol=2e-3, atol=2e-3)
+    # Sanity: without the window the result must differ (the mask binds).
+    out_nw, _, _ = decode_layer_step(
+        x, jnp.asarray(l, jnp.int32), offset,
+        lyr["attention_norm"][l], lyr["ffn_norm"][l], adav[l],
+        fused["sqkv"][l], fused["so"][l], fused["s13"][l], fused["s2"][l],
+        cos_p, sin_p, k_cache[l], v_cache[l],
+        fused["wqkv"], fused["wo"], fused["w13"], fused["w2"],
+        n_heads=N_HEADS, n_kv=N_KV, head_dim=HEAD_DIM, eps=EPS,
+        interpret=True,
+    )
+    assert not np.allclose(np.asarray(out_nw), np.asarray(ref_x[:, 0, :]),
+                           rtol=2e-3, atol=2e-3)
+
+
+def test_stack_kernel_per_row_offsets(setup):
+    """Vector offsets + per-row RoPE: each batch row must behave exactly
+    as a scalar-offset call at that row's position (pooled sessions)."""
+    from voxtral_tpu.ops.decode_step_pallas import decode_stack_step
+
+    params, t_embed, k_cache, v_cache, x = setup
+    lyr = params["layers"]
+    fused = fuse_decode_weights(params)
+    adav = ada_vectors(params, t_embed)
+    assert B == 2
+
+    kt = jnp.transpose(k_cache, (0, 1, 3, 2, 4))
+    vt = jnp.transpose(v_cache, (0, 1, 3, 2, 4))
+    offs = jnp.asarray([OFFSET, 3], jnp.int32)
+    cs = [rope_pair_vectors(offs[b], HEAD_DIM, theta=1e6) for b in range(B)]
+    cos_b = jnp.stack([c for c, _ in cs])
+    sin_b = jnp.stack([s for _, s in cs])
+
+    common = dict(n_heads=N_HEADS, n_kv=N_KV, head_dim=HEAD_DIM, eps=EPS,
+                  interpret=True, window=4)
+    vec_x, vec_k, vec_v = decode_stack_step(
+        x, offs,
+        lyr["attention_norm"], lyr["ffn_norm"], adav,
+        fused["sqkv"], fused["so"], fused["s13"], fused["s2"],
+        cos_b, sin_b, kt, vt,
+        fused["wqkv"], fused["wo"], fused["w13"], fused["w2"], **common)
+
+    for b in range(B):
+        # Scalar call on a B=2 batch built from row b duplicated (the
+        # kernel's dims are batch-uniform; row b of the result is exact).
+        dup = lambda a, axis: jnp.stack([a, a], axis=axis)  # noqa: E731
+        sx, sk, sv = decode_stack_step(
+            dup(x[b], 0), offs[b],
+            lyr["attention_norm"], lyr["ffn_norm"], adav,
+            fused["sqkv"], fused["so"], fused["s13"], fused["s2"],
+            cos_b[b], sin_b[b], dup(kt[:, b], 1), dup(vt[:, b], 1),
+            fused["wqkv"], fused["wo"], fused["w13"], fused["w2"], **common)
+        np.testing.assert_allclose(np.asarray(vec_x[b]), np.asarray(sx[0]),
+                                   rtol=2e-3, atol=2e-3,
+                                   err_msg=f"row {b} hidden")
+        np.testing.assert_allclose(np.asarray(vec_k[:, b]),
+                                   np.asarray(sk[:, 0]),
+                                   rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(vec_v[:, b]),
+                                   np.asarray(sv[:, 0]),
+                                   rtol=2e-3, atol=2e-3)
+
+
 def test_stack_kernel_matches_per_layer(setup):
     """decode_stack_step (grid over layers, one pallas_call) must match
     running decode_layer_step sequentially with cache appends."""

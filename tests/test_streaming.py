@@ -222,6 +222,64 @@ def test_stream_pool_matches_solo(model):
     assert pc.tokens == solo_b.tokens
 
 
+def test_stream_pool_fused_matches_solo(monkeypatch):
+    """Pooled sessions routed through the stack kernel (per-row offsets +
+    per-row RoPE, interpret mode) must be token-identical to solo sessions
+    on the generic XLA path — including mixed-progress (staggered) pools."""
+    import dataclasses
+
+    from voxtral_tpu.streaming import StreamPool
+    from voxtral_tpu.utils.quantize import quantize_params_w8
+
+    monkeypatch.setenv("VOXTRAL_MEGAKERNEL", "force")
+    cfg = tiny_config()
+    # Vocab divisible by a >=8 power-of-two tile so the folded lm_head
+    # (final norm + tied head inside the kernel) is exercised too.
+    cfg = dataclasses.replace(
+        cfg, language_model=dataclasses.replace(
+            cfg.language_model, vocab_size=1280))
+    f32 = VoxtralModel.init_random(jax.random.PRNGKey(3), cfg,
+                                   dtype=jnp.float32)
+    w8 = quantize_params_w8(f32.params)
+    fmodel = VoxtralModel(w8, cfg)
+    assert fmodel.fused_decode is not None
+
+    rng = np.random.default_rng(21)
+    audio_a = rng.normal(size=16000 * 8).astype(np.float32) * 0.25
+    audio_b = rng.normal(size=16000 * 6).astype(np.float32) * 0.3
+
+    monkeypatch.setenv("VOXTRAL_MEGAKERNEL", "0")
+    gmodel = VoxtralModel(w8, cfg)
+    assert gmodel.fused_decode is None
+    solo_a = StreamingSession(gmodel, step_positions=8, max_duration_s=30)
+    solo_a.feed(audio_a)
+    solo_a.finish()
+    solo_b = StreamingSession(gmodel, step_positions=8, max_duration_s=30)
+    solo_b.feed(audio_b)
+    solo_b.finish()
+
+    pool = StreamPool(fmodel, max_streams=2, step_positions=8,
+                      max_duration_s=30)
+    assert pool._fused is not None and pool._fused["fold"]
+    pa = StreamingSession(fmodel, step_positions=8, pool=pool)
+    pb = StreamingSession(fmodel, step_positions=8, pool=pool)
+    # Staggered: a starts first, then both advance at different rates.
+    pieces_a = np.array_split(audio_a, 4)
+    pieces_b = np.array_split(audio_b, 3)
+    pa.feed(pieces_a[0])
+    pa.feed(pieces_a[1])
+    pb.feed(pieces_b[0])
+    pb.feed(pieces_b[1])
+    pa.feed(pieces_a[2])
+    pa.feed(pieces_a[3])
+    pa.finish()
+    pb.feed(pieces_b[2])
+    pb.finish()
+
+    assert pa.tokens == solo_a.tokens, (pa.tokens, solo_a.tokens)
+    assert pb.tokens == solo_b.tokens, (pb.tokens, solo_b.tokens)
+
+
 def test_endpoint_detection(model):
     """Endpoint fires after text followed by a run of [STREAMING_PAD]s,
     and re-arms after consume_endpoint()."""

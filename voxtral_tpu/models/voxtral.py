@@ -221,7 +221,8 @@ def transcribe_streaming_fn(
                     fused["wqkv"], fused["wo"], fused["w13"], fused["w2"],
                     n_heads=lm_cfg.n_heads, n_kv=lm_cfg.n_kv_heads,
                     head_dim=lm_cfg.head_dim, eps=lm_cfg.norm_eps,
-                    interpret=mk_interpret, **lm_kw,
+                    interpret=mk_interpret,
+                    window=lm_cfg.sliding_window, **lm_kw,
                 )
                 if fold_lm:
                     x, k_new, v_new, logits = out
@@ -253,6 +254,7 @@ def transcribe_streaming_fn(
                     n_heads=lm_cfg.n_heads, n_kv=lm_cfg.n_kv_heads,
                     head_dim=lm_cfg.head_dim, eps=lm_cfg.norm_eps,
                     interpret=mk_interpret,
+                    window=lm_cfg.sliding_window,
                 )
                 k_l, v_l = cache_update_layer(
                     k_l, v_l, k_new[:, None], v_new[:, None], offset

@@ -38,7 +38,7 @@ read-only here.
 from __future__ import annotations
 
 import functools
-from typing import Any
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -96,7 +96,8 @@ def _phase_tiles(D, nqkv, nq, hidden):
     return plan, shapes
 
 
-def _make_kernel(B, D, S, n_heads, n_kv, head_dim, hidden, plan, n_bufs, eps):
+def _make_kernel(B, D, S, n_heads, n_kv, head_dim, hidden, plan, n_bufs, eps,
+                 window):
     """Build the layer kernel for static dims.
 
     Shapes: x [B, D]; caches [B, S, Hkv, hd]; wqkv [L, NQKV, D];
@@ -182,7 +183,12 @@ def _make_kernel(B, D, S, n_heads, n_kv, head_dim, hidden, plan, n_bufs, eps):
         scores = jnp.sum(qg[:, :, :, None, :] * kct[:, :, None, :, :],
                          axis=-1)  # [B, Hkv, G, S]
         pos = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 3)
-        scores = jnp.where(pos < off, scores, -jnp.inf)
+        valid = pos < off
+        if window is not None:
+            # Sliding window (layers._band_mask_bias semantics, diff <= w):
+            # the query sits at position ``off``.
+            valid &= (off - pos) <= window
+        scores = jnp.where(valid, scores, -jnp.inf)
         self_s = jnp.sum(qg * k[:, :, None, :], axis=-1)  # [B, Hkv, G]
 
         m = jnp.maximum(jnp.max(scores, axis=-1), self_s)
@@ -214,7 +220,8 @@ def _make_kernel(B, D, S, n_heads, n_kv, head_dim, hidden, plan, n_bufs, eps):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_heads", "n_kv", "head_dim", "eps", "interpret"),
+    static_argnames=("n_heads", "n_kv", "head_dim", "eps", "interpret",
+                     "window"),
 )
 def decode_layer_step(
     x, layer, offset,
@@ -223,6 +230,7 @@ def decode_layer_step(
     k_cache, v_cache,
     wqkv, wo, w13, w2,
     n_heads=32, n_kv=8, head_dim=128, eps=1e-5, interpret=False,
+    window=None,
 ):
     """One decoder layer of a single-token decode step, fused.
 
@@ -239,7 +247,7 @@ def decode_layer_step(
     plan, buf_shapes = _phase_tiles(D, nqkv, nq, hidden)
 
     kernel = _make_kernel(B, D, S, n_heads, n_kv, head_dim, hidden,
-                          plan, len(buf_shapes), eps)
+                          plan, len(buf_shapes), eps, window)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -367,8 +375,39 @@ def _lm_tile(V, D):
     return t if t >= 8 else None
 
 
+# v5e VMEM is 128 MB; leave headroom for Mosaic's own allocations.
+STACK_VMEM_CAP = 116 * 2**20
+
+
+def stack_vmem_need(B, S, D, n_heads, n_kv, head_dim, hidden,
+                    vocab=None) -> Optional[int]:
+    """Estimated VMEM bytes for ``decode_stack_step`` at this geometry.
+
+    Dominated by (a) the per-layer weight-tile rotating buffers and
+    (b) the K/V cache blocks ([B, Hkv, S, hd] bf16 each), which Pallas
+    double-buffers across grid steps.  ``vocab`` adds the folded
+    lm_head's buffer + logits block.  Returns None if untileable.
+    Callers (e.g. the pooled streaming path) gate on
+    ``need <= STACK_VMEM_CAP`` before choosing the fused path.
+    """
+    nq = n_heads * head_dim
+    nqkv = nq + 2 * n_kv * head_dim
+    plan = _stack_plan(D, nqkv, nq, hidden)
+    if plan is None:
+        return None
+    need = sum(STACK_SLOTS[n] * plan[n][0] * plan[n][2] for n in plan)
+    need += 4 * B * n_kv * S * head_dim * 2  # k+v blocks, double-buffered
+    if vocab is not None:
+        t = _lm_tile(vocab, D)
+        if t is None:
+            return None
+        need += LM_SLOTS * t * D + 2 * B * vocab * 4  # lm buffer + logits
+    need += 8 * 2**20  # x scratch, vector blocks, margin
+    return need
+
+
 def _make_stack_kernel(B, D, S, L, n_heads, n_kv, head_dim, hidden, plan,
-                       eps, lm):
+                       eps, lm, window):
     """Kernel body for one grid step = one decoder layer.
 
     The residual stream lives in VMEM scratch across grid steps (the TPU
@@ -517,13 +556,17 @@ def _make_stack_kernel(B, D, S, L, n_heads, n_kv, head_dim, hidden, plan,
                 preferred_element_type=jnp.float32,
             )  # [B*Hkv, G, S]
             # Per-row validity: row b attends to cache positions
-            # < offs[b] (mixed-progress batches each mask their own).
+            # < offs[b] (mixed-progress batches each mask their own),
+            # bounded below by the sliding window (diff <= w, matching
+            # layers._band_mask_bias; the query sits at offs[b]).
             offs = offs_ref[0]  # [B] int32
             off_e = jnp.broadcast_to(
-                offs[:, None], (B, n_kv)).reshape(B * n_kv)
+                offs[:, None], (B, n_kv)).reshape(B * n_kv)[:, None, None]
             pos = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 2)
-            scores = jnp.where(pos < off_e[:, None, None], scores,
-                               -jnp.inf)
+            valid = pos < off_e
+            if window is not None:
+                valid &= (off_e - pos) <= window
+            scores = jnp.where(valid, scores, -jnp.inf)
             kf = k.reshape(B * n_kv, 1, head_dim)
             self_s = jnp.sum(qg * kf, axis=-1)  # [B*Hkv, G]
 
@@ -614,7 +657,8 @@ def _make_stack_kernel(B, D, S, L, n_heads, n_kv, head_dim, hidden, plan,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_heads", "n_kv", "head_dim", "eps", "interpret"),
+    static_argnames=("n_heads", "n_kv", "head_dim", "eps", "interpret",
+                     "window"),
 )
 def decode_stack_step(
     x, offset,
@@ -624,6 +668,7 @@ def decode_stack_step(
     wqkv, wo, w13, w2,
     final_norm=None, lm_codes=None, lm_scale=None,
     n_heads=32, n_kv=8, head_dim=128, eps=1e-5, interpret=False,
+    window=None,
 ):
     """All decoder layers of a single-token decode step in ONE kernel.
 
@@ -663,7 +708,7 @@ def decode_stack_step(
         lm = (V, t_lm)
 
     kernel = _make_stack_kernel(
-        B, D, S, L, n_heads, n_kv, head_dim, hidden, plan, eps, lm)
+        B, D, S, L, n_heads, n_kv, head_dim, hidden, plan, eps, lm, window)
 
     def vmem(shape, idx):
         return pl.BlockSpec(shape, idx, memory_space=pltpu.VMEM)
@@ -764,13 +809,18 @@ def decode_stack_step(
         ],
     )
 
+    # VMEM limit: the tuned 64 MB default covers transcribe shapes; big
+    # pooled caches (large B*S) raise it up to the v5e headroom cap.
+    need = stack_vmem_need(B, S, D, n_heads, n_kv, head_dim, hidden,
+                           lm[0] if lm is not None else None)
+    limit = max(64 * 2**20, min(STACK_VMEM_CAP, need))
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=tuple(out_shape),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=64 * 1024 * 1024,
+            vmem_limit_bytes=limit,
         ),
         interpret=interpret,
     )(*operands, *weights)

@@ -175,6 +175,18 @@ def _stream_step_fn(params, mel_win, prev_token, prev_audio, t_embed,
     return tokens, last, audio[:, -1:, :], enc_cache, dec_cache
 
 
+def _append_rows(cache, new, offs):
+    """Per-row cache append: write ``new`` [L, B, H, hd] at position
+    ``offs[b]`` along the S axis of ``cache`` [L, B, H, S, hd]."""
+
+    def one(c, n, o):  # c [L, H, S, hd], n [L, H, hd]
+        z = jnp.zeros((), jnp.int32)
+        return jax.lax.dynamic_update_slice(
+            c, n[:, :, None].astype(c.dtype), (z, z, o, z))
+
+    return jax.vmap(one, in_axes=(1, 1, 0), out_axes=1)(cache, new, offs)
+
+
 class StreamPool:
     """Coalesces concurrent streaming sessions into BATCHED decode steps.
 
@@ -186,6 +198,14 @@ class StreamPool:
     cache writes at a sacrificial trash slot and discarding their tokens,
     so mixed-progress pools stay correct (each slot keeps its own cache
     lengths and positions).
+
+    When the model carries fused megakernel weights (W8 on TPU) and the
+    pool geometry fits the stack kernel's VMEM budget, the decode half
+    of each pooled step runs through ``decode_stack_step`` with PER-ROW
+    cache offsets and RoPE positions — one Pallas kernel per token for
+    the whole batch, each row masking its own cache validity — instead
+    of the vmapped XLA layer chain (~2x decode-step cost).  The decoder
+    caches are then held head-major ([L, B, Hkv, S, hd]).
 
     Beyond reference parity: the reference serializes whole requests on
     one wgpu queue (serve.mjs is static-only; native CLI is 1-stream).
@@ -212,11 +232,57 @@ class StreamPool:
         s_enc = self.max_enc + 4 * self.P
         cdt = model.cache_dtype
         shape_e = (self.B, enc.n_layers, 1, s_enc, enc.n_kv_heads, enc.head_dim)
-        shape_d = (self.B, lm.n_layers, 1, s_dec, lm.n_kv_heads, lm.head_dim)
         self.enc_k = jnp.zeros(shape_e, cdt)
         self.enc_v = jnp.zeros(shape_e, cdt)
-        self.dec_k = jnp.zeros(shape_d, cdt)
-        self.dec_v = jnp.zeros(shape_d, cdt)
+
+        # Fused pooled decode: route the decode half of each pooled step
+        # through the whole-stack Pallas kernel (per-row offsets/RoPE)
+        # when the model has fused weights and the geometry fits VMEM.
+        self._fused = None
+        self._mk_interpret = getattr(model, "_mk_interpret", False)
+        if model.fused_decode is not None:
+            from voxtral_tpu.ops.decode_step_pallas import (
+                STACK_VMEM_CAP,
+                _lm_tile,
+                ada_vectors,
+                stack_vmem_need,
+                supports_stack_kernel,
+            )
+
+            emb = model.params["decoder"]["tok_embeddings"]
+            lm_w8 = emb.get("w8") if isinstance(emb, dict) else None
+            fold = (lm_w8 is not None
+                    and _lm_tile(lm_w8["codes"].shape[0], lm.dim) is not None)
+            need = stack_vmem_need(
+                self.B, s_dec, lm.dim, lm.n_heads, lm.n_kv_heads,
+                lm.head_dim, lm.hidden_dim,
+                lm_w8["codes"].shape[0] if fold else None,
+            )
+            if (supports_stack_kernel(lm) and need is not None
+                    and need <= STACK_VMEM_CAP):
+                self._fused = {
+                    "w": model.fused_decode,
+                    "ada": ada_vectors(model.params["decoder"],
+                                       model.t_embed(delay_tokens)),
+                    "fold": fold,
+                }
+
+        if self._fused is not None:
+            # Head-major stacked layout for the stack kernel.
+            shape_f = (lm.n_layers, self.B, lm.n_kv_heads, s_dec, lm.head_dim)
+            self.dec_k = jnp.zeros(shape_f, cdt)
+            self.dec_v = jnp.zeros(shape_f, cdt)
+            # Reusable zero per-slot cache for the (generic) init step.
+            shape_i = (lm.n_layers, 1, s_dec, lm.n_kv_heads, lm.head_dim)
+            self._init_dec_zero = KVCache(
+                jnp.zeros(shape_i, cdt), jnp.zeros(shape_i, cdt),
+                jnp.zeros((), jnp.int32),
+            )
+        else:
+            shape_d = (self.B, lm.n_layers, 1, s_dec,
+                       lm.n_kv_heads, lm.head_dim)
+            self.dec_k = jnp.zeros(shape_d, cdt)
+            self.dec_v = jnp.zeros(shape_d, cdt)
         self.prev_tok = jnp.zeros((self.B,), jnp.int32)
         self.prev_audio = jnp.zeros((1, 1, lm.dim), model.compute_dtype)
         self.prev_audio = jnp.tile(self.prev_audio[None], (self.B, 1, 1, 1))
@@ -250,7 +316,94 @@ class StreamPool:
             pa = jnp.where(ready[:, None, None, None], pa, prev_audio)
             return tokens, last, pa, enc_k, enc_v, dec_k, dec_v
 
-        self._pool_step_jit = jax.jit(_pool_step, donate_argnums=(5, 6, 8, 9))
+        def _pool_step_fused(params, fused_w, ada_vecs, mel_wins, prev_tok,
+                             prev_audio, ready, enc_k, enc_v, enc_len,
+                             dec_k, dec_v, dec_len):
+            """Pooled step with the decode half in ONE stack kernel per
+            token (per-row cache offsets + RoPE positions)."""
+            from voxtral_tpu.models.layers import rms_norm
+            from voxtral_tpu.ops.decode_step_pallas import (
+                decode_stack_step,
+                rope_pair_vectors,
+            )
+
+            lmc = self.cfg.language_model
+            fold = self._fused["fold"]
+
+            def enc_one(mel_win, ek, ev, el, params):
+                cache = KVCache(ek, ev, el)
+                audio, cache = _encode_window(
+                    params, mel_win, cache, self.cfg, self._enc_rope,
+                    4 * self.P, 0, None,
+                )
+                return audio[0], cache.k, cache.v
+
+            audio, enc_k, enc_v = jax.vmap(
+                enc_one, in_axes=(0, 0, 0, 0, None)
+            )(mel_wins, enc_k, enc_v, enc_len, params)  # audio [B, P, D]
+            inputs = jnp.concatenate(
+                [prev_audio[:, 0, :, :], audio[:, :-1, :]], axis=1)
+
+            lm_kw = {}
+            if fold:
+                emb_w8 = params["decoder"]["tok_embeddings"]["w8"]
+                lm_kw = dict(
+                    final_norm=params["decoder"]["norm"],
+                    lm_codes=emb_w8["codes"],
+                    lm_scale=emb_w8["scale"],
+                )
+
+            def dstep(carry, i):
+                prev, dk, dv = carry
+                offs = dec_len + i  # [B] per-row absolute positions
+                a = jax.lax.dynamic_slice_in_dim(inputs, i, 1, axis=1)[:, 0]
+                text = embed_tokens(params["decoder"], prev[:, None])[:, 0]
+                x = (a + text).astype(jnp.float32)
+                cos, sin = jax.vmap(
+                    lambda p: rope_pair_vectors(
+                        p, lmc.head_dim, lmc.rope_theta)
+                )(offs)
+                out = decode_stack_step(
+                    x, offs,
+                    fused_w["attn_norm"], fused_w["ffn_norm"], ada_vecs,
+                    fused_w["sqkv"], fused_w["so"], fused_w["s13"],
+                    fused_w["s2"], cos, sin, dk, dv,
+                    fused_w["wqkv"], fused_w["wo"], fused_w["w13"],
+                    fused_w["w2"],
+                    n_heads=lmc.n_heads, n_kv=lmc.n_kv_heads,
+                    head_dim=lmc.head_dim, eps=lmc.norm_eps,
+                    interpret=self._mk_interpret,
+                    window=lmc.sliding_window, **lm_kw,
+                )
+                if fold:
+                    _, k_new, v_new, logits = out
+                else:
+                    xo, k_new, v_new = out
+                    hidden = rms_norm(
+                        xo, params["decoder"]["norm"], lmc.norm_eps)
+                    logits = lm_head(params["decoder"], hidden)
+                token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                dk = _append_rows(dk, k_new, offs)
+                dv = _append_rows(dv, v_new, offs)
+                return (token, dk, dv), token
+
+            (last, dec_k, dec_v), toks = jax.lax.scan(
+                dstep, (prev_tok, dec_k, dec_v),
+                jnp.arange(self.P, dtype=jnp.int32))
+            tokens = toks.T  # [B, P]
+            pa = audio[:, None, -1:, :]  # [B, 1, 1, D]
+            last = jnp.where(ready, last, prev_tok)
+            pa = jnp.where(ready[:, None, None, None], pa, prev_audio)
+            return tokens, last, pa, enc_k, enc_v, dec_k, dec_v
+
+        if self._fused is not None:
+            self._pool_step_jit = None
+            self._pool_step_fused_jit = jax.jit(
+                _pool_step_fused, donate_argnums=(7, 8, 10, 11))
+        else:
+            self._pool_step_fused_jit = None
+            self._pool_step_jit = jax.jit(
+                _pool_step, donate_argnums=(5, 6, 8, 9))
         self._init_jit = jax.jit(
             partial(_init_step_fn, cfg=self.cfg,
                     enc_rope=self._enc_rope, dec_rope=self._dec_rope,
@@ -278,19 +431,29 @@ class StreamPool:
     def _slot_init(self, b: int, sess: "StreamingSession") -> None:
         need = PREFIX_LEN + self.P
         mel0 = sess._mel_window(0, 16 * need + 8)
+        dec0 = (self._init_dec_zero if self._fused is not None
+                else KVCache(self.dec_k[b], self.dec_v[b],
+                             jnp.zeros((), jnp.int32)))
         out = self._init_jit(
             self.model.params, jnp.asarray(mel0, self.model.compute_dtype),
             self._t_embed,
             enc_cache=KVCache(self.enc_k[b], self.enc_v[b],
                               jnp.zeros((), jnp.int32)),
-            dec_cache=KVCache(self.dec_k[b], self.dec_v[b],
-                              jnp.zeros((), jnp.int32)),
+            dec_cache=dec0,
         )
         tokens, last, prev_audio, enc_cache, dec_cache = out
         self.enc_k = self.enc_k.at[b].set(enc_cache.k)
         self.enc_v = self.enc_v.at[b].set(enc_cache.v)
-        self.dec_k = self.dec_k.at[b].set(dec_cache.k)
-        self.dec_v = self.dec_v.at[b].set(dec_cache.v)
+        if self._fused is not None:
+            # Head-major transpose into the fused slot ([L, 1, S, H, hd]
+            # -> [L, H, S, hd]).
+            self.dec_k = self.dec_k.at[:, b].set(
+                jnp.transpose(dec_cache.k[:, 0], (0, 2, 1, 3)))
+            self.dec_v = self.dec_v.at[:, b].set(
+                jnp.transpose(dec_cache.v[:, 0], (0, 2, 1, 3)))
+        else:
+            self.dec_k = self.dec_k.at[b].set(dec_cache.k)
+            self.dec_v = self.dec_v.at[b].set(dec_cache.v)
         self.prev_tok = self.prev_tok.at[b].set(last)
         self.prev_audio = self.prev_audio.at[b].set(prev_audio)
         sess.tokens.extend(np.asarray(tokens).tolist())
@@ -338,14 +501,23 @@ class StreamPool:
                     enc_len[b] = 4 * p0
                     dec_len[b] = p0
 
-            out = self._pool_step_jit(
-                self.model.params,
-                jnp.asarray(mel_wins, self.model.compute_dtype),
-                self.prev_tok, self.prev_audio, jnp.asarray(ready),
-                self.enc_k, self.enc_v, jnp.asarray(enc_len),
-                self.dec_k, self.dec_v, jnp.asarray(dec_len),
-                self._t_embed,
-            )
+            if self._fused is not None:
+                out = self._pool_step_fused_jit(
+                    self.model.params, self._fused["w"], self._fused["ada"],
+                    jnp.asarray(mel_wins, self.model.compute_dtype),
+                    self.prev_tok, self.prev_audio, jnp.asarray(ready),
+                    self.enc_k, self.enc_v, jnp.asarray(enc_len),
+                    self.dec_k, self.dec_v, jnp.asarray(dec_len),
+                )
+            else:
+                out = self._pool_step_jit(
+                    self.model.params,
+                    jnp.asarray(mel_wins, self.model.compute_dtype),
+                    self.prev_tok, self.prev_audio, jnp.asarray(ready),
+                    self.enc_k, self.enc_v, jnp.asarray(enc_len),
+                    self.dec_k, self.dec_v, jnp.asarray(dec_len),
+                    self._t_embed,
+                )
             tokens, self.prev_tok, self.prev_audio, \
                 self.enc_k, self.enc_v, self.dec_k, self.dec_v = out
             tokens = np.asarray(tokens)
