@@ -433,16 +433,18 @@ def _make_stack_kernel(B, D, S, L, n_heads, n_kv, head_dim, hidden, plan,
 
     def kernel(*refs):
         if lm is not None:
-            (x_ref, attn_norm_ref, ffn_norm_ref, ada_ref,
+            (offs_ref,
+             x_ref, attn_norm_ref, ffn_norm_ref, ada_ref,
              sqkv_ref, so_ref, s13_ref, s2_ref, cos_ref, sin_ref,
-             offs_ref, kc_ref, vc_ref, fnorm_ref, lms_ref,
+             kc_ref, vc_ref, fnorm_ref, lms_ref,
              wqkv_hbm, wo_hbm, w13_hbm, w2_hbm, lm_hbm,
              xo_ref, kn_ref, vn_ref, logits_ref,
              buf_qkv, buf_wo, buf_w13, buf_w2, buf_lm, x_s, sem) = refs
         else:
-            (x_ref, attn_norm_ref, ffn_norm_ref, ada_ref,
+            (offs_ref,
+             x_ref, attn_norm_ref, ffn_norm_ref, ada_ref,
              sqkv_ref, so_ref, s13_ref, s2_ref, cos_ref, sin_ref,
-             offs_ref, kc_ref, vc_ref,
+             kc_ref, vc_ref,
              wqkv_hbm, wo_hbm, w13_hbm, w2_hbm,
              xo_ref, kn_ref, vn_ref,
              buf_qkv, buf_wo, buf_w13, buf_w2, x_s, sem) = refs
@@ -533,11 +535,14 @@ def _make_stack_kernel(B, D, S, L, n_heads, n_kv, head_dim, hidden, plan,
             k = qkv[:, nq:nq + nkv].reshape(B, n_kv, head_dim)
             v = qkv[:, nq + nkv:].reshape(B, n_kv, head_dim)
 
-            # Per-row RoPE vectors ([B, hd]): pooled streaming sessions
-            # sit at different absolute positions.
-            c, s = cos_ref[:][:, None, :], sin_ref[:][:, None, :]
+            # Per-row RoPE ([B, H, hd], pre-broadcast over heads outside
+            # the kernel — pooled sessions sit at different absolute
+            # positions, and Mosaic dislikes [B, hd] -> [B, 1, hd]
+            # shape casts, so the kernel sees exact elementwise shapes).
+            c, s = cos_ref[:], sin_ref[:]
             q = q * c + _rope_swap(q) * s
-            k = k * c + _rope_swap(k) * s
+            ck, sk_ = cos_ref[:, :n_kv, :], sin_ref[:, :n_kv, :]
+            k = k * ck + _rope_swap(k) * sk_
             kn_ref[0] = k.astype(kn_ref.dtype)
             vn_ref[0] = v.astype(vn_ref.dtype)
 
@@ -559,13 +564,17 @@ def _make_stack_kernel(B, D, S, L, n_heads, n_kv, head_dim, hidden, plan,
             # < offs[b] (mixed-progress batches each mask their own),
             # bounded below by the sliding window (diff <= w, matching
             # layers._band_mask_bias; the query sits at offs[b]).
-            offs = offs_ref[0]  # [B] int32
-            off_e = jnp.broadcast_to(
-                offs[:, None], (B, n_kv)).reshape(B * n_kv)[:, None, None]
+            # offs live in SMEM (scalar prefetch); the per-row value is
+            # materialized with static-B scalar selects over a row iota
+            # — Mosaic has no layout for [B] -> [B*Hkv, 1, 1] casts.
             pos = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 2)
-            valid = pos < off_e
+            row = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
+            off3 = jnp.full(scores.shape, jnp.int32(0))
+            for b in range(B):
+                off3 = jnp.where(row // n_kv == b, offs_ref[b], off3)
+            valid = pos < off3
             if window is not None:
-                valid &= (off_e - pos) <= window
+                valid &= (off3 - pos) <= window
             scores = jnp.where(valid, scores, -jnp.inf)
             kf = k.reshape(B * n_kv, 1, head_dim)
             self_s = jnp.sum(qg * kf, axis=-1)  # [B*Hkv, G]
@@ -713,22 +722,23 @@ def decode_stack_step(
     def vmem(shape, idx):
         return pl.BlockSpec(shape, idx, memory_space=pltpu.VMEM)
 
-    const2 = lambda l: (0, 0)  # noqa: E731
+    const2 = lambda l, offs: (0, 0)  # noqa: E731
+    const3 = lambda l, offs: (0, 0, 0)  # noqa: E731
     if lm is None:
         # Per-layer vectors ride as [L, 1, dim] so the (1, 1, dim)
         # block's last two dims satisfy the TPU (8, 128)-or-full-dim
         # block rule.
-        perl3 = lambda l: (l, 0, 0)  # noqa: E731
-        perl5 = lambda l: (l, 0, 0, 0, 0)  # noqa: E731
-        perl4 = lambda l: (l, 0, 0, 0)  # noqa: E731
+        perl3 = lambda l, offs: (l, 0, 0)  # noqa: E731
+        perl5 = lambda l, offs: (l, 0, 0, 0, 0)  # noqa: E731
+        perl4 = lambda l, offs: (l, 0, 0, 0)  # noqa: E731
     else:
         # Grid runs one step past the last layer (the lm_head step);
         # clamp so Pallas doesn't prefetch an out-of-range block (the
         # unchanged index means no refetch happens at l == L).
         clamp = lambda l: jnp.minimum(l, L - 1)  # noqa: E731
-        perl3 = lambda l: (clamp(l), 0, 0)  # noqa: E731
-        perl5 = lambda l: (clamp(l), 0, 0, 0, 0)  # noqa: E731
-        perl4 = lambda l: (clamp(l), 0, 0, 0)  # noqa: E731
+        perl3 = lambda l, offs: (clamp(l), 0, 0)  # noqa: E731
+        perl5 = lambda l, offs: (clamp(l), 0, 0, 0, 0)  # noqa: E731
+        perl4 = lambda l, offs: (clamp(l), 0, 0, 0)  # noqa: E731
 
     in_specs = [
         vmem((B, D), const2),                       # x
@@ -739,18 +749,19 @@ def decode_stack_step(
         vmem((1, 1, D), perl3),                     # so
         vmem((1, 1, 2 * hidden), perl3),            # s13
         vmem((1, 1, D), perl3),                     # s2
-        vmem((B, head_dim), const2),                # cos (per-row)
-        vmem((B, head_dim), const2),                # sin
-        vmem((1, B), const2),                       # per-row offsets
+        vmem((B, n_heads, head_dim), const3),       # cos (per-row, per-head)
+        vmem((B, n_heads, head_dim), const3),       # sin
         vmem((1, B, n_kv, S, head_dim), perl5),     # k cache (head-major)
         vmem((1, B, n_kv, S, head_dim), perl5),     # v cache
     ]
     offs = jnp.broadcast_to(
         jnp.asarray(offset, jnp.int32).reshape(-1), (B,))
     cos_b = jnp.broadcast_to(
-        cos_p.astype(jnp.float32).reshape(-1, head_dim), (B, head_dim))
+        cos_p.astype(jnp.float32).reshape(-1, 1, head_dim),
+        (B, n_heads, head_dim))
     sin_b = jnp.broadcast_to(
-        sin_p.astype(jnp.float32).reshape(-1, head_dim), (B, head_dim))
+        sin_p.astype(jnp.float32).reshape(-1, 1, head_dim),
+        (B, n_heads, head_dim))
     operands = [
         x.astype(jnp.float32),
         attn_norms.astype(jnp.float32).reshape(L, 1, D),
@@ -762,7 +773,6 @@ def decode_stack_step(
         s2.astype(jnp.float32).reshape(L, 1, D),
         cos_b,
         sin_b,
-        offs.reshape(1, B),
         k_cache, v_cache,
     ]
     out_specs = [
@@ -798,7 +808,7 @@ def decode_stack_step(
     weights = [wqkv, wo, w13, w2] + ([lm_codes] if lm is not None else [])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=0,
+        num_scalar_prefetch=1,
         grid=(L + 1,) if lm is not None else (L,),
         in_specs=in_specs + weight_specs,
         out_specs=tuple(out_specs),
@@ -823,7 +833,7 @@ def decode_stack_step(
             vmem_limit_bytes=limit,
         ),
         interpret=interpret,
-    )(*operands, *weights)
+    )(offs, *operands, *weights)
     return out
 
 
