@@ -35,7 +35,13 @@ def main() -> int:
     ap.add_argument("--sessions", type=int, default=1,
                     help=">1: coalesce N lockstep sessions through a "
                     "StreamPool and report the batched step time")
+    ap.add_argument("--unbounded", action="store_true",
+                    help="solo session with head+ring KV caches "
+                    "(in-kernel eviction; sessions=1 only)")
     args = ap.parse_args()
+    if args.unbounded and args.sessions > 1:
+        print("error: --unbounded is solo-only", file=sys.stderr)
+        return 2
 
     if args.platform != "default":
         import jax
@@ -82,7 +88,8 @@ def main() -> int:
             for _ in range(args.sessions)
         ]
     else:
-        sessions = [StreamingSession(model, step_positions=args.step)]
+        sessions = [StreamingSession(model, step_positions=args.step,
+                                     unbounded=args.unbounded)]
 
     step_times = []
     fed = 0
@@ -107,8 +114,12 @@ def main() -> int:
         print("error: run too short for steady-state steps — need "
               f"> {(38 + 2 * args.step) * 0.16:.1f}s of audio", file=sys.stderr)
         return 2
+    fused = (pool._fused if args.sessions > 1
+             else sessions[0]._fused) is not None
     report = {
         "sessions": args.sessions,
+        "unbounded": args.unbounded,
+        "fused_decode": fused,
         "step_audio_ms": step_audio_ms,
         "steady_step_ms_p50": round(float(np.percentile(steady, 50)), 1),
         "steady_step_ms_p95": round(float(np.percentile(steady, 95)), 1),

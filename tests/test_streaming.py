@@ -280,6 +280,48 @@ def test_stream_pool_fused_matches_solo(monkeypatch):
     assert pb.tokens == solo_b.tokens, (pb.tokens, solo_b.tokens)
 
 
+def test_fused_solo_sessions_match_generic(monkeypatch):
+    """Solo sessions routed through the stack kernel must be
+    token-identical to the generic XLA path — bounded (contiguous mask)
+    AND unbounded (in-kernel head+ring validity mask)."""
+    import dataclasses
+
+    from voxtral_tpu.utils.quantize import quantize_params_w8
+
+    monkeypatch.setenv("VOXTRAL_MEGAKERNEL", "force")
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg, language_model=dataclasses.replace(
+            cfg.language_model, vocab_size=1280))
+    f32 = VoxtralModel.init_random(jax.random.PRNGKey(5), cfg,
+                                   dtype=jnp.float32)
+    w8 = quantize_params_w8(f32.params)
+    fmodel = VoxtralModel(w8, cfg)
+    monkeypatch.setenv("VOXTRAL_MEGAKERNEL", "0")
+    gmodel = VoxtralModel(w8, cfg)
+
+    rng = np.random.default_rng(31)
+    # Long enough that the decoder sliding window (32) binds and the
+    # unbounded ring wraps (ring size = 32 + 8 = 40 < positions used).
+    audio = rng.normal(size=16000 * 14).astype(np.float32) * 0.25
+
+    for unbounded in (False, True):
+        gsess = StreamingSession(gmodel, step_positions=8,
+                                 max_duration_s=30, unbounded=unbounded)
+        assert gsess._fused is None
+        gsess.feed(audio)
+        gsess.finish()
+
+        fsess = StreamingSession(fmodel, step_positions=8,
+                                 max_duration_s=30, unbounded=unbounded)
+        assert fsess._fused is not None and fsess._fused["fold"]
+        fsess.feed(audio)
+        fsess.finish()
+
+        assert fsess.tokens == gsess.tokens, (
+            unbounded, fsess.tokens, gsess.tokens)
+
+
 def test_endpoint_detection(model):
     """Endpoint fires after text followed by a run of [STREAMING_PAD]s,
     and re-arms after consume_endpoint()."""

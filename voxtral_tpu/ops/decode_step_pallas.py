@@ -407,7 +407,7 @@ def stack_vmem_need(B, S, D, n_heads, n_kv, head_dim, hidden,
 
 
 def _make_stack_kernel(B, D, S, L, n_heads, n_kv, head_dim, hidden, plan,
-                       eps, lm, window):
+                       eps, lm, window, ring):
     """Kernel body for one grid step = one decoder layer.
 
     The residual stream lives in VMEM scratch across grid steps (the TPU
@@ -572,9 +572,26 @@ def _make_stack_kernel(B, D, S, L, n_heads, n_kv, head_dim, hidden, plan,
             off3 = jnp.full(scores.shape, jnp.int32(0))
             for b in range(B):
                 off3 = jnp.where(row // n_kv == b, offs_ref[b], off3)
-            valid = pos < off3
+            if ring is None:
+                p_abs = pos
+                valid = pos < off3
+            else:
+                # Head+ring cache (layers.ring_k_positions semantics):
+                # slots [0, head) hold positions [0, head) permanently;
+                # ring slot r holds the largest p = head + r + size*c
+                # below offs.  All closed-form iota arithmetic.
+                head_n, size = ring
+                r = pos - head_n
+                wr = off3 - head_n
+                cycles = jnp.maximum(wr - 1 - r, 0) // size
+                in_head = pos < head_n
+                p_abs = jnp.where(in_head, pos, head_n + r + size * cycles)
+                # Pure &/| composition — Mosaic cannot lower a select
+                # with i1 operands ("unsupported bitwidth truncation").
+                valid = ((in_head & (pos < off3))
+                         | ((pos >= head_n) & (r < wr)))
             if window is not None:
-                valid &= (off3 - pos) <= window
+                valid &= (off3 - p_abs) <= window
             scores = jnp.where(valid, scores, -jnp.inf)
             kf = k.reshape(B * n_kv, 1, head_dim)
             self_s = jnp.sum(qg * kf, axis=-1)  # [B*Hkv, G]
@@ -667,7 +684,7 @@ def _make_stack_kernel(B, D, S, L, n_heads, n_kv, head_dim, hidden, plan,
 @functools.partial(
     jax.jit,
     static_argnames=("n_heads", "n_kv", "head_dim", "eps", "interpret",
-                     "window"),
+                     "window", "ring"),
 )
 def decode_stack_step(
     x, offset,
@@ -677,7 +694,7 @@ def decode_stack_step(
     wqkv, wo, w13, w2,
     final_norm=None, lm_codes=None, lm_scale=None,
     n_heads=32, n_kv=8, head_dim=128, eps=1e-5, interpret=False,
-    window=None,
+    window=None, ring=None,
 ):
     """All decoder layers of a single-token decode step in ONE kernel.
 
@@ -717,7 +734,8 @@ def decode_stack_step(
         lm = (V, t_lm)
 
     kernel = _make_stack_kernel(
-        B, D, S, L, n_heads, n_kv, head_dim, hidden, plan, eps, lm, window)
+        B, D, S, L, n_heads, n_kv, head_dim, hidden, plan, eps, lm,
+        window, ring)
 
     def vmem(shape, idx):
         return pl.BlockSpec(shape, idx, memory_space=pltpu.VMEM)

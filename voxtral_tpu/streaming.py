@@ -175,6 +175,78 @@ def _stream_step_fn(params, mel_win, prev_token, prev_audio, t_embed,
     return tokens, last, audio[:, -1:, :], enc_cache, dec_cache
 
 
+def _stream_step_fused_fn(params, fused_w, ada_vecs, mel_win, prev_token,
+                          prev_audio, enc_base, cfg, enc_rope, enc_cache,
+                          dec_cache, n_positions: int,
+                          enc_ring=None, dec_ring=None, fold=False,
+                          mk_interpret=False):
+    """Steady-state step with the decode half in the whole-stack Pallas
+    kernel (solo session, B=1).  ``dec_cache`` is HEAD-MAJOR
+    ([L, 1, Hkv, S, hd]); ``dec_ring`` selects the in-kernel head+ring
+    validity mask (layers.ring_k_positions semantics) for unbounded
+    streams.  Token-identical to the XLA path (tests/test_streaming.py)."""
+    from voxtral_tpu.models.layers import ring_slot, rms_norm
+    from voxtral_tpu.ops.decode_step_pallas import (
+        decode_stack_step,
+        rope_pair_vectors,
+    )
+
+    lmc = cfg.language_model
+    audio, enc_cache = _encode_window(
+        params, mel_win, enc_cache, cfg, enc_rope, 4 * n_positions, enc_base,
+        enc_ring,
+    )  # [1, P, D]
+    inputs = jnp.concatenate([prev_audio, audio[:, :-1, :]], axis=1)
+
+    lm_kw = {}
+    if fold:
+        emb_w8 = params["decoder"]["tok_embeddings"]["w8"]
+        lm_kw = dict(
+            final_norm=params["decoder"]["norm"],
+            lm_codes=emb_w8["codes"],
+            lm_scale=emb_w8["scale"],
+        )
+
+    def dstep(carry, i):
+        prev, dk, dv, off = carry
+        a = jax.lax.dynamic_slice_in_dim(inputs, i, 1, axis=1)[:, 0]
+        text = embed_tokens(params["decoder"], prev[None, None])[:, 0]
+        x = (a + text).astype(jnp.float32)
+        cos, sin = rope_pair_vectors(off, lmc.head_dim, lmc.rope_theta)
+        out = decode_stack_step(
+            x, off,
+            fused_w["attn_norm"], fused_w["ffn_norm"], ada_vecs,
+            fused_w["sqkv"], fused_w["so"], fused_w["s13"], fused_w["s2"],
+            cos, sin, dk, dv,
+            fused_w["wqkv"], fused_w["wo"], fused_w["w13"], fused_w["w2"],
+            n_heads=lmc.n_heads, n_kv=lmc.n_kv_heads,
+            head_dim=lmc.head_dim, eps=lmc.norm_eps,
+            interpret=mk_interpret, window=lmc.sliding_window,
+            ring=dec_ring, **lm_kw,
+        )
+        if fold:
+            _, k_new, v_new, logits = out
+        else:
+            xo, k_new, v_new = out
+            hidden = rms_norm(xo, params["decoder"]["norm"], lmc.norm_eps)
+            logits = lm_head(params["decoder"], hidden)
+        token = jnp.argmax(logits[0], axis=-1).astype(jnp.int32)
+        slot = (ring_slot(off, *dec_ring) if dec_ring is not None else off)
+        z = jnp.zeros((), jnp.int32)
+        dk = jax.lax.dynamic_update_slice(
+            dk, k_new[:, :, :, None].astype(dk.dtype), (z, z, z, slot, z))
+        dv = jax.lax.dynamic_update_slice(
+            dv, v_new[:, :, :, None].astype(dv.dtype), (z, z, z, slot, z))
+        return (token, dk, dv, off + 1), token
+
+    (last, dk, dv, off), tokens = jax.lax.scan(
+        dstep,
+        (prev_token, dec_cache.k, dec_cache.v, dec_cache.length),
+        jnp.arange(n_positions, dtype=jnp.int32))
+    dec_cache = KVCache(dk, dv, off)
+    return tokens, last, audio[:, -1:, :], enc_cache, dec_cache
+
+
 def _append_rows(cache, new, offs):
     """Per-row cache append: write ``new`` [L, B, H, hd] at position
     ``offs[b]`` along the S axis of ``cache`` [L, B, H, S, hd]."""
@@ -576,6 +648,7 @@ class StreamingSession:
             self._text = ""
             self._finished = False
             self.overrun = False
+            self._fused = None  # pooled sessions decode via the pool
             return
 
         cache_dtype = model.cache_dtype
@@ -634,6 +707,45 @@ class StreamingSession:
                     enc_ring=self._enc_ring, dec_ring=self._dec_ring),
         )
 
+        # Solo fused decode: steady-state steps run the whole-stack
+        # Pallas kernel (ring-masked in unbounded mode) when the model
+        # carries fused weights and the cache fits the VMEM budget.
+        self._fused = None
+        self._mk_interpret = getattr(model, "_mk_interpret", False)
+        if model.fused_decode is not None:
+            from voxtral_tpu.ops.decode_step_pallas import (
+                STACK_VMEM_CAP,
+                _lm_tile,
+                ada_vectors,
+                stack_vmem_need,
+                supports_stack_kernel,
+            )
+
+            emb = model.params["decoder"]["tok_embeddings"]
+            lm_w8 = emb.get("w8") if isinstance(emb, dict) else None
+            fold = (lm_w8 is not None
+                    and _lm_tile(lm_w8["codes"].shape[0], lm.dim) is not None)
+            need = stack_vmem_need(
+                1, self._max_dec, lm.dim, lm.n_heads, lm.n_kv_heads,
+                lm.head_dim, lm.hidden_dim,
+                lm_w8["codes"].shape[0] if fold else None,
+            )
+            if (supports_stack_kernel(lm) and need is not None
+                    and need <= STACK_VMEM_CAP):
+                self._fused = {
+                    "w": model.fused_decode,
+                    "ada": ada_vectors(model.params["decoder"],
+                                       self._t_embed),
+                    "fold": fold,
+                }
+                self._fstep_jit = jax.jit(
+                    partial(_stream_step_fused_fn, cfg=self.cfg,
+                            enc_rope=self._enc_rope, n_positions=self.P,
+                            enc_ring=self._enc_ring,
+                            dec_ring=self._dec_ring, fold=fold,
+                            mk_interpret=self._mk_interpret),
+                )
+
     # -- internals ----------------------------------------------------------
 
     def _mel_window(self, frame_lo: int, frame_hi: int) -> np.ndarray:
@@ -680,19 +792,37 @@ class StreamingSession:
                     enc_cache=self.enc_cache, dec_cache=self.dec_cache,
                 )
                 tokens, self._prev_token, self._prev_audio, self.enc_cache, self.dec_cache = out
+                if self._fused is not None:
+                    # One-time head-major transpose for the stack kernel
+                    # ([L, 1, S, H, hd] -> [L, 1, H, S, hd]).
+                    self.dec_cache = KVCache(
+                        jnp.transpose(self.dec_cache.k, (0, 1, 3, 2, 4)),
+                        jnp.transpose(self.dec_cache.v, (0, 1, 3, 2, 4)),
+                        self.dec_cache.length,
+                    )
                 self.tokens.extend(np.asarray(tokens).tolist())
                 self._positions_done = need
             elif avail >= self._positions_done + self.P:
                 self._maybe_shift()
                 p0 = self._positions_done
                 mel_win = self._mel_window(16 * p0 - 4, 16 * (p0 + self.P) + 4)
-                out = self._step_jit(
-                    self.model.params,
-                    jnp.asarray(mel_win, self.model.compute_dtype),
-                    self._prev_token, self._prev_audio, self._t_embed,
-                    jnp.int32(self._enc_base), jnp.int32(self._dec_base),
-                    enc_cache=self.enc_cache, dec_cache=self.dec_cache,
-                )
+                if self._fused is not None:
+                    out = self._fstep_jit(
+                        self.model.params, self._fused["w"],
+                        self._fused["ada"],
+                        jnp.asarray(mel_win, self.model.compute_dtype),
+                        self._prev_token, self._prev_audio,
+                        jnp.int32(self._enc_base),
+                        enc_cache=self.enc_cache, dec_cache=self.dec_cache,
+                    )
+                else:
+                    out = self._step_jit(
+                        self.model.params,
+                        jnp.asarray(mel_win, self.model.compute_dtype),
+                        self._prev_token, self._prev_audio, self._t_embed,
+                        jnp.int32(self._enc_base), jnp.int32(self._dec_base),
+                        enc_cache=self.enc_cache, dec_cache=self.dec_cache,
+                    )
                 tokens, self._prev_token, self._prev_audio, self.enc_cache, self.dec_cache = out
                 self.tokens.extend(np.asarray(tokens).tolist())
                 self._positions_done = p0 + self.P
