@@ -380,7 +380,7 @@ STACK_VMEM_CAP = 116 * 2**20
 
 
 def stack_vmem_need(B, S, D, n_heads, n_kv, head_dim, hidden,
-                    vocab=None) -> Optional[int]:
+                    vocab=None, cache_itemsize=2) -> Optional[int]:
     """Estimated VMEM bytes for ``decode_stack_step`` at this geometry.
 
     Dominated by (a) the per-layer weight-tile rotating buffers and
@@ -396,7 +396,8 @@ def stack_vmem_need(B, S, D, n_heads, n_kv, head_dim, hidden,
     if plan is None:
         return None
     need = sum(STACK_SLOTS[n] * plan[n][0] * plan[n][2] for n in plan)
-    need += 4 * B * n_kv * S * head_dim * 2  # k+v blocks, double-buffered
+    # k+v blocks, double-buffered across grid steps
+    need += 4 * B * n_kv * S * head_dim * cache_itemsize
     if vocab is not None:
         t = _lm_tile(vocab, D)
         if t is None:
@@ -840,7 +841,8 @@ def decode_stack_step(
     # VMEM limit: the tuned 64 MB default covers transcribe shapes; big
     # pooled caches (large B*S) raise it up to the v5e headroom cap.
     need = stack_vmem_need(B, S, D, n_heads, n_kv, head_dim, hidden,
-                           lm[0] if lm is not None else None)
+                           lm[0] if lm is not None else None,
+                           jnp.dtype(k_cache.dtype).itemsize)
     limit = max(64 * 2**20, min(STACK_VMEM_CAP, need))
     out = pl.pallas_call(
         kernel,

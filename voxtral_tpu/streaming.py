@@ -197,15 +197,7 @@ def _stream_step_fused_fn(params, fused_w, ada_vecs, mel_win, prev_token,
         enc_ring,
     )  # [1, P, D]
     inputs = jnp.concatenate([prev_audio, audio[:, :-1, :]], axis=1)
-
-    lm_kw = {}
-    if fold:
-        emb_w8 = params["decoder"]["tok_embeddings"]["w8"]
-        lm_kw = dict(
-            final_norm=params["decoder"]["norm"],
-            lm_codes=emb_w8["codes"],
-            lm_scale=emb_w8["scale"],
-        )
+    lm_kw = _fused_lm_kwargs(params, fold)
 
     def dstep(carry, i):
         prev, dk, dv, off = carry
@@ -245,6 +237,49 @@ def _stream_step_fused_fn(params, fused_w, ada_vecs, mel_win, prev_token,
         jnp.arange(n_positions, dtype=jnp.int32))
     dec_cache = KVCache(dk, dv, off)
     return tokens, last, audio[:, -1:, :], enc_cache, dec_cache
+
+
+def _fused_plan(model, batch: int, cache_s: int):
+    """Stack-kernel decode plan ({"w", "fold"}) for ``batch`` rows and a
+    ``cache_s``-position cache, or None when the model lacks fused
+    weights, the geometry doesn't tile, or the caches would blow the
+    kernel's VMEM budget.  Shared by solo sessions and StreamPool so
+    the fused-path selection can never diverge between them."""
+    if model.fused_decode is None:
+        return None
+    from voxtral_tpu.ops.decode_step_pallas import (
+        STACK_VMEM_CAP,
+        _lm_tile,
+        stack_vmem_need,
+        supports_stack_kernel,
+    )
+
+    lm = model.config.language_model
+    emb = model.params["decoder"]["tok_embeddings"]
+    lm_w8 = emb.get("w8") if isinstance(emb, dict) else None
+    fold = (lm_w8 is not None
+            and _lm_tile(lm_w8["codes"].shape[0], lm.dim) is not None)
+    need = stack_vmem_need(
+        batch, cache_s, lm.dim, lm.n_heads, lm.n_kv_heads, lm.head_dim,
+        lm.hidden_dim, lm_w8["codes"].shape[0] if fold else None,
+        jnp.dtype(model.cache_dtype).itemsize,
+    )
+    if (not supports_stack_kernel(lm) or need is None
+            or need > STACK_VMEM_CAP):
+        return None
+    return {"w": model.fused_decode, "fold": fold}
+
+
+def _fused_lm_kwargs(params, fold: bool):
+    """kwargs folding final norm + tied w8 lm_head into the kernel."""
+    if not fold:
+        return {}
+    emb_w8 = params["decoder"]["tok_embeddings"]["w8"]
+    return dict(
+        final_norm=params["decoder"]["norm"],
+        lm_codes=emb_w8["codes"],
+        lm_scale=emb_w8["scale"],
+    )
 
 
 def _append_rows(cache, new, offs):
@@ -310,34 +345,13 @@ class StreamPool:
         # Fused pooled decode: route the decode half of each pooled step
         # through the whole-stack Pallas kernel (per-row offsets/RoPE)
         # when the model has fused weights and the geometry fits VMEM.
-        self._fused = None
         self._mk_interpret = getattr(model, "_mk_interpret", False)
-        if model.fused_decode is not None:
-            from voxtral_tpu.ops.decode_step_pallas import (
-                STACK_VMEM_CAP,
-                _lm_tile,
-                ada_vectors,
-                stack_vmem_need,
-                supports_stack_kernel,
-            )
+        self._fused = _fused_plan(model, self.B, s_dec)
+        if self._fused is not None:
+            from voxtral_tpu.ops.decode_step_pallas import ada_vectors
 
-            emb = model.params["decoder"]["tok_embeddings"]
-            lm_w8 = emb.get("w8") if isinstance(emb, dict) else None
-            fold = (lm_w8 is not None
-                    and _lm_tile(lm_w8["codes"].shape[0], lm.dim) is not None)
-            need = stack_vmem_need(
-                self.B, s_dec, lm.dim, lm.n_heads, lm.n_kv_heads,
-                lm.head_dim, lm.hidden_dim,
-                lm_w8["codes"].shape[0] if fold else None,
-            )
-            if (supports_stack_kernel(lm) and need is not None
-                    and need <= STACK_VMEM_CAP):
-                self._fused = {
-                    "w": model.fused_decode,
-                    "ada": ada_vectors(model.params["decoder"],
-                                       model.t_embed(delay_tokens)),
-                    "fold": fold,
-                }
+            self._fused["ada"] = ada_vectors(
+                model.params["decoder"], model.t_embed(delay_tokens))
 
         if self._fused is not None:
             # Head-major stacked layout for the stack kernel.
@@ -415,15 +429,7 @@ class StreamPool:
             )(mel_wins, enc_k, enc_v, enc_len, params)  # audio [B, P, D]
             inputs = jnp.concatenate(
                 [prev_audio[:, 0, :, :], audio[:, :-1, :]], axis=1)
-
-            lm_kw = {}
-            if fold:
-                emb_w8 = params["decoder"]["tok_embeddings"]["w8"]
-                lm_kw = dict(
-                    final_norm=params["decoder"]["norm"],
-                    lm_codes=emb_w8["codes"],
-                    lm_scale=emb_w8["scale"],
-                )
+            lm_kw = _fused_lm_kwargs(params, fold)
 
             def dstep(carry, i):
                 prev, dk, dv = carry
@@ -710,41 +716,21 @@ class StreamingSession:
         # Solo fused decode: steady-state steps run the whole-stack
         # Pallas kernel (ring-masked in unbounded mode) when the model
         # carries fused weights and the cache fits the VMEM budget.
-        self._fused = None
         self._mk_interpret = getattr(model, "_mk_interpret", False)
-        if model.fused_decode is not None:
-            from voxtral_tpu.ops.decode_step_pallas import (
-                STACK_VMEM_CAP,
-                _lm_tile,
-                ada_vectors,
-                stack_vmem_need,
-                supports_stack_kernel,
-            )
+        self._fused = _fused_plan(model, 1, self._max_dec)
+        if self._fused is not None:
+            from voxtral_tpu.ops.decode_step_pallas import ada_vectors
 
-            emb = model.params["decoder"]["tok_embeddings"]
-            lm_w8 = emb.get("w8") if isinstance(emb, dict) else None
-            fold = (lm_w8 is not None
-                    and _lm_tile(lm_w8["codes"].shape[0], lm.dim) is not None)
-            need = stack_vmem_need(
-                1, self._max_dec, lm.dim, lm.n_heads, lm.n_kv_heads,
-                lm.head_dim, lm.hidden_dim,
-                lm_w8["codes"].shape[0] if fold else None,
+            self._fused["ada"] = ada_vectors(
+                model.params["decoder"], self._t_embed)
+            self._fstep_jit = jax.jit(
+                partial(_stream_step_fused_fn, cfg=self.cfg,
+                        enc_rope=self._enc_rope, n_positions=self.P,
+                        enc_ring=self._enc_ring,
+                        dec_ring=self._dec_ring,
+                        fold=self._fused["fold"],
+                        mk_interpret=self._mk_interpret),
             )
-            if (supports_stack_kernel(lm) and need is not None
-                    and need <= STACK_VMEM_CAP):
-                self._fused = {
-                    "w": model.fused_decode,
-                    "ada": ada_vectors(model.params["decoder"],
-                                       self._t_embed),
-                    "fold": fold,
-                }
-                self._fstep_jit = jax.jit(
-                    partial(_stream_step_fused_fn, cfg=self.cfg,
-                            enc_rope=self._enc_rope, n_positions=self.P,
-                            enc_ring=self._enc_ring,
-                            dec_ring=self._dec_ring, fold=fold,
-                            mk_interpret=self._mk_interpret),
-                )
 
     # -- internals ----------------------------------------------------------
 
