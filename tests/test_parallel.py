@@ -153,3 +153,87 @@ def test_sharded_w8_transcribe_matches_single_device():
     sharded = VoxtralModel(shard_params(w8_model.params, mesh), model.config)
     got = sharded.transcribe_streaming(mel)
     np.testing.assert_array_equal(ref, got)
+
+
+@requires_8_devices
+def test_dp_decode_stack_step_matches_unsharded():
+    """Stack-kernel decode sharded over the data axis (shard_map,
+    interpret mode) must match the single-shard kernel bitwise-closely
+    on every row — the multi-chip pooled-serving path."""
+    from tests.test_decode_megakernel import (
+        B, D, EPS, HEAD_DIM, HIDDEN, N_HEADS, N_KV, OFFSET, S,
+    )
+    from tests.test_decode_megakernel import setup as _setup_fixture  # noqa: F401
+    from voxtral_tpu.ops.decode_step_pallas import (
+        ada_vectors,
+        decode_stack_step,
+        fuse_decode_weights,
+        rope_pair_vectors,
+    )
+    from voxtral_tpu.parallel.dp_decode import dp_decode_stack_step
+
+    # Build the same tiny stacked-weight model the megakernel tests use
+    # (call the fixture's factory directly to avoid fixture plumbing).
+    import tests.test_decode_megakernel as mk
+
+    rng = np.random.default_rng(0)
+    nq, nkv = N_HEADS * HEAD_DIM, N_KV * HEAD_DIM
+    params = {
+        "layers": {
+            "ada": {
+                "w0": jnp.asarray(rng.normal(size=(mk.L, D, mk.T_COND)) * 0.05,
+                                  jnp.float32),
+                "w2": jnp.asarray(rng.normal(size=(mk.L, mk.T_COND, D)) * 0.05,
+                                  jnp.float32),
+            },
+            "attention_norm": jnp.asarray(
+                1.0 + rng.normal(size=(mk.L, D)) * 0.1, jnp.float32),
+            "attention": {
+                "wq": mk._w8_stack(rng, nq, D),
+                "wk": mk._w8_stack(rng, nkv, D),
+                "wv": mk._w8_stack(rng, nkv, D),
+                "wo": mk._w8_stack(rng, D, nq),
+            },
+            "ffn_norm": jnp.asarray(
+                1.0 + rng.normal(size=(mk.L, D)) * 0.1, jnp.float32),
+            "ffn": {
+                "w1": mk._w8_stack(rng, HIDDEN, D),
+                "w2": mk._w8_stack(rng, D, HIDDEN),
+                "w3": mk._w8_stack(rng, HIDDEN, D),
+            },
+        },
+    }
+    t_embed = jnp.asarray(rng.normal(size=(1, 1, D)) * 0.3, jnp.float32)
+    fused = fuse_decode_weights(params)
+    adav = ada_vectors(params, t_embed)
+    lyr = params["layers"]
+
+    BB = 4  # batch sharded 4-ways over data
+    kc = jnp.asarray(rng.normal(size=(mk.L, BB, N_KV, S, HEAD_DIM)) * 0.4,
+                     jnp.float32)
+    vc = jnp.asarray(rng.normal(size=(mk.L, BB, N_KV, S, HEAD_DIM)) * 0.4,
+                     jnp.float32)
+    x = jnp.asarray(rng.normal(size=(BB, D)) * 0.5, jnp.float32)
+    offs = jnp.asarray([OFFSET, 3, 9, 5], jnp.int32)
+    cs = [rope_pair_vectors(offs[b], HEAD_DIM, theta=1e6) for b in range(BB)]
+    cos_b = jnp.stack([c for c, _ in cs])
+    sin_b = jnp.stack([s for _, s in cs])
+
+    common = dict(n_heads=N_HEADS, n_kv=N_KV, head_dim=HEAD_DIM, eps=EPS,
+                  interpret=True, window=8)
+    ref = decode_stack_step(
+        x, offs, lyr["attention_norm"], lyr["ffn_norm"], adav,
+        fused["sqkv"], fused["so"], fused["s13"], fused["s2"],
+        cos_b, sin_b, kc, vc,
+        fused["wqkv"], fused["wo"], fused["w13"], fused["w2"], **common)
+
+    mesh = make_mesh(n_data=4, n_model=1)
+    out = dp_decode_stack_step(
+        mesh, x, offs, lyr["attention_norm"], lyr["ffn_norm"], adav,
+        fused["sqkv"], fused["so"], fused["s13"], fused["s2"],
+        cos_b, sin_b, kc, vc,
+        fused["wqkv"], fused["wo"], fused["w13"], fused["w2"], **common)
+
+    for r, o in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(r), np.asarray(o),
+                                   rtol=2e-3, atol=2e-3)

@@ -8,6 +8,7 @@ carries ``model_parallel: 1``).  This package is the TPU-native
 without touching model code.
 """
 
+from voxtral_tpu.parallel.dp_decode import dp_decode_stack_step
 from voxtral_tpu.parallel.mesh import (
     make_mesh,
     param_shardings,
@@ -15,4 +16,5 @@ from voxtral_tpu.parallel.mesh import (
     shard_params,
 )
 
-__all__ = ["make_mesh", "param_shardings", "replicate", "shard_params"]
+__all__ = ["dp_decode_stack_step", "make_mesh", "param_shardings",
+           "replicate", "shard_params"]
