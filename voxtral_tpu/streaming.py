@@ -50,6 +50,7 @@ from voxtral_tpu.models.encoder import create_encoder_cache, encoder_layers_with
 from voxtral_tpu.models.layers import KVCache, conv_downsample, rope_tables
 from voxtral_tpu.models.voxtral import PREFIX_LEN, VoxtralModel, make_prefix_ids
 from voxtral_tpu.tokenizer import STREAMING_PAD, VoxtralTokenizer
+from voxtral_tpu.utils.profiling import span
 
 Params = dict[str, Any]
 
@@ -570,35 +571,40 @@ class StreamPool:
             mel_wins = np.zeros((self.B, 1, n_mels, w), np.float32)
             enc_len = np.full(self.B, self.max_enc, np.int32)  # trash slot
             dec_len = np.full(self.B, self.max_dec, np.int32)
-            for b, sess in enumerate(self.sessions):
-                if ready[b]:
-                    p0 = sess._positions_done
-                    mel_wins[b] = sess._mel_window(
-                        16 * p0 - MEL_MARGIN, 16 * (p0 + self.P) + MEL_MARGIN
-                    )
-                    enc_len[b] = 4 * p0
-                    dec_len[b] = p0
+            with span("pool_mel", ready=int(ready.sum())):
+                for b, sess in enumerate(self.sessions):
+                    if ready[b]:
+                        p0 = sess._positions_done
+                        mel_wins[b] = sess._mel_window(
+                            16 * p0 - MEL_MARGIN,
+                            16 * (p0 + self.P) + MEL_MARGIN,
+                        )
+                        enc_len[b] = 4 * p0
+                        dec_len[b] = p0
 
-            if self._fused is not None:
-                out = self._pool_step_fused_jit(
-                    self.model.params, self._fused["w"], self._fused["ada"],
-                    jnp.asarray(mel_wins, self.model.compute_dtype),
-                    self.prev_tok, self.prev_audio, jnp.asarray(ready),
-                    self.enc_k, self.enc_v, jnp.asarray(enc_len),
-                    self.dec_k, self.dec_v, jnp.asarray(dec_len),
-                )
-            else:
-                out = self._pool_step_jit(
-                    self.model.params,
-                    jnp.asarray(mel_wins, self.model.compute_dtype),
-                    self.prev_tok, self.prev_audio, jnp.asarray(ready),
-                    self.enc_k, self.enc_v, jnp.asarray(enc_len),
-                    self.dec_k, self.dec_v, jnp.asarray(dec_len),
-                    self._t_embed,
-                )
-            tokens, self.prev_tok, self.prev_audio, \
-                self.enc_k, self.enc_v, self.dec_k, self.dec_v = out
-            tokens = np.asarray(tokens)
+            with span("pool_step", ready=int(ready.sum()),
+                      fused=self._fused is not None):
+                if self._fused is not None:
+                    out = self._pool_step_fused_jit(
+                        self.model.params, self._fused["w"],
+                        self._fused["ada"],
+                        jnp.asarray(mel_wins, self.model.compute_dtype),
+                        self.prev_tok, self.prev_audio, jnp.asarray(ready),
+                        self.enc_k, self.enc_v, jnp.asarray(enc_len),
+                        self.dec_k, self.dec_v, jnp.asarray(dec_len),
+                    )
+                else:
+                    out = self._pool_step_jit(
+                        self.model.params,
+                        jnp.asarray(mel_wins, self.model.compute_dtype),
+                        self.prev_tok, self.prev_audio, jnp.asarray(ready),
+                        self.enc_k, self.enc_v, jnp.asarray(enc_len),
+                        self.dec_k, self.dec_v, jnp.asarray(dec_len),
+                        self._t_embed,
+                    )
+                tokens, self.prev_tok, self.prev_audio, \
+                    self.enc_k, self.enc_v, self.dec_k, self.dec_v = out
+                tokens = np.asarray(tokens)
             for b, sess in enumerate(self.sessions):
                 if ready[b]:
                     sess.tokens.extend(tokens[b].tolist())
