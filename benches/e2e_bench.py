@@ -54,6 +54,11 @@ def main() -> int:
     ap.add_argument("--seconds", type=float, default=16.0)
     ap.add_argument("--iterations", type=int, default=3)
     ap.add_argument("--delay", type=float, default=6.0)
+    ap.add_argument("--batch", type=int, default=1,
+                    help=">1: additionally measure batched transcribe "
+                    "throughput (N files decoded in one on-device scan; "
+                    "decode weights stream once per step for the whole "
+                    "batch)")
     ap.add_argument("--max-mel-frames", type=int, default=3000,
                     help="chunk cap (TPU product default; the reference's "
                     "1500 is a WebGPU shared-memory artifact)")
@@ -201,6 +206,31 @@ def main() -> int:
         print(f"{k:<12}{mean[k]*1000:>10.1f}")
     print(f"\nRTF {rtf:.4f} | {tok_s:.1f} tok/s | {n_tokens} tokens "
           f"| peak RSS {report['peak_rss_mb']:.0f} MB")
+
+    if args.batch > 1 and len(chunks) == 1:
+        # Batched-file throughput: B copies of the mel decoded in one
+        # on-device scan — weights stream ONCE per decode step for the
+        # whole batch (the HBM-bound regime, so B rides nearly free).
+        padded = pad_audio(AudioBuffer(chunks[0].samples, sr), pad_cfg)
+        logmel = mel_x.compute_log_batch(padded.samples)
+        mel_b = jnp.tile(jnp.asarray(logmel), (args.batch, 1, 1))
+        tok_b = model.transcribe_streaming_batch(mel_b, args.delay)  # warm
+        times = []
+        for _ in range(args.iterations):
+            t0 = time.perf_counter()
+            tok_b = model.transcribe_streaming_batch(mel_b, args.delay)
+            times.append(time.perf_counter() - t0)
+        bt = float(np.median(times))
+        total_tokens = int(tok_b.shape[0] * tok_b.shape[1])
+        report.update({
+            "batch": args.batch,
+            "batch_total_ms": round(bt * 1000, 1),
+            "batch_tok_per_s": round(total_tokens / bt, 1),
+            "batch_rtf_per_file": round(bt / (args.seconds * args.batch), 4),
+        })
+        print(f"batch {args.batch}: {bt*1000:.0f} ms | "
+              f"{report['batch_tok_per_s']:.0f} tok/s aggregate | "
+              f"RTF/file {report['batch_rtf_per_file']:.4f}")
 
     if args.json:
         Path(args.json).write_text(json.dumps(report, indent=2))

@@ -42,8 +42,7 @@ def _w8_stack(rng, n, k):
     }}
 
 
-@pytest.fixture(scope="module")
-def setup():
+def build_setup():
     rng = np.random.default_rng(0)
     nq, nkv = N_HEADS * HEAD_DIM, N_KV * HEAD_DIM
     params = {
@@ -82,6 +81,11 @@ def setup():
     v_cache = v_cache * mask
     x = jnp.asarray(rng.normal(size=(B, D)) * 0.5, jnp.float32)
     return params, t_embed, k_cache, v_cache, x
+
+
+@pytest.fixture(scope="module")
+def setup():
+    return build_setup()
 
 
 def test_supports_megakernel(setup):

@@ -237,3 +237,69 @@ def test_dp_decode_stack_step_matches_unsharded():
     for r, o in zip(ref, out):
         np.testing.assert_allclose(np.asarray(r), np.asarray(o),
                                    rtol=2e-3, atol=2e-3)
+
+
+@requires_8_devices
+def test_tp_decode_step_matches_stack_kernel():
+    """Tensor-parallel half-kernels under shard_map (tp=2, interpret)
+    must match the single-chip whole-stack kernel: per-chip weight
+    traffic halves, with one psum after WO and one after W2."""
+    import tests.test_decode_megakernel as mk
+    from voxtral_tpu.ops.decode_step_pallas import (
+        ada_vectors,
+        decode_stack_step,
+        fuse_decode_weights,
+        rope_pair_vectors,
+    )
+    from voxtral_tpu.ops.decode_tp_pallas import (
+        tp_decode_step,
+        tp_shard_fused_weights,
+    )
+
+    params, t_embed, k_cache, v_cache, x = mk.build_setup()
+    lyr = params["layers"]
+    fused = fuse_decode_weights(params)
+    adav = ada_vectors(params, t_embed)
+    offs = jnp.asarray([mk.OFFSET, 5], jnp.int32)
+    cs = [rope_pair_vectors(offs[b], mk.HEAD_DIM, theta=1e6)
+          for b in range(mk.B)]
+    cos_b = jnp.stack([c for c, _ in cs])
+    sin_b = jnp.stack([s for _, s in cs])
+    kt = jnp.transpose(k_cache, (0, 1, 3, 2, 4))  # head-major
+    vt = jnp.transpose(v_cache, (0, 1, 3, 2, 4))
+
+    ref_x, ref_k, ref_v = decode_stack_step(
+        x, offs, lyr["attention_norm"], lyr["ffn_norm"], adav,
+        fused["sqkv"], fused["so"], fused["s13"], fused["s2"],
+        cos_b, sin_b, kt, vt,
+        fused["wqkv"], fused["wo"], fused["w13"], fused["w2"],
+        n_heads=mk.N_HEADS, n_kv=mk.N_KV, head_dim=mk.HEAD_DIM,
+        eps=mk.EPS, interpret=True, window=4)
+
+    tp_w = tp_shard_fused_weights(
+        fused, mk.N_HEADS, mk.N_KV, mk.HEAD_DIM, mk.HIDDEN, tp=2)
+    mesh = make_mesh(n_data=1, n_model=2)
+    out_x, kn, vn = tp_decode_step(
+        mesh, x, offs, lyr["attention_norm"], lyr["ffn_norm"], adav,
+        tp_w, cos_b, sin_b, kt, vt,
+        n_heads=mk.N_HEADS, n_kv=mk.N_KV, head_dim=mk.HEAD_DIM,
+        eps=mk.EPS, interpret=True, window=4)
+
+    # Layer 0's K/V come from a QKV matmul whose activation quant is
+    # IDENTICAL across shards (x is replicated) — tight tolerance.
+    # Deeper layers inherit the residual stream's per-shard quant drift.
+    np.testing.assert_allclose(np.asarray(kn[0]), np.asarray(ref_k[0]),
+                               rtol=3e-3, atol=3e-3)
+    np.testing.assert_allclose(np.asarray(vn[0]), np.asarray(ref_v[0]),
+                               rtol=3e-3, atol=3e-3)
+    np.testing.assert_allclose(np.asarray(kn), np.asarray(ref_k),
+                               rtol=0.05, atol=0.15)
+    np.testing.assert_allclose(np.asarray(vn), np.asarray(ref_v),
+                               rtol=0.05, atol=0.15)
+    # The residual stream accumulates per-shard activation-quant noise
+    # (each shard scales attn/hmid by its LOCAL absmax — a finer, not
+    # identical, quantization).  Bound the drift well below any
+    # wrong-slice/wrong-mask failure mode (those are O(1)).
+    np.testing.assert_allclose(np.asarray(out_x), np.asarray(ref_x),
+                               rtol=0.05, atol=0.15)
+    assert float(jnp.max(jnp.abs(out_x - ref_x))) < 0.15

@@ -1,0 +1,452 @@
+"""Tensor-parallel decode halves for the stack kernel.
+
+The whole-stack kernel (``decode_step_pallas.decode_stack_step``) cannot
+be tensor-parallelized as ONE kernel: a decoder layer has two reduction
+points (after WO and after W2) where TP shards must exchange partial
+sums, and collectives cannot run mid-kernel.  This module splits the
+layer at exactly those points into two Pallas half-kernels — each still
+streaming its weight shard through rotating DMA buffers onto the int8
+MXU — so :func:`tp_decode_step` can run them under ``shard_map`` with
+one ``psum`` per half:
+
+    attn half (per shard): rms_norm -> QKV (local heads) -> RoPE ->
+        cached GQA attention over the LOCAL KV-head shard -> WO partial
+    psum over the model axis, residual add (replicated)
+    ffn half (per shard): ffn_norm -> ADA -> W1/W3 (local F shard) ->
+        SwiGLU -> W2 partial
+    psum, residual add
+
+Per-chip weight traffic drops by 1/tp (decode is HBM-bound, so this is
+the multi-chip LATENCY axis; the zero-collective throughput axis is DP,
+``parallel/dp_decode.py``).  Megatron-style sharding: Q/K/V and W1/W3
+column-parallel (heads / F rows), WO and W2 row-parallel — the same
+layout ``parallel/mesh.py`` uses for the XLA path, here applied to the
+fused stacked arrays by :func:`tp_shard_fused_weights`.
+
+Validated against the single-chip stack kernel on a virtual CPU mesh in
+``tests/test_parallel.py`` (interpret mode, tp=2); both half-kernels
+also Mosaic-compile and run on a real v5e at production tp=2 local
+shapes (multi-chip execution needs real multi-chip hardware).  Requires
+``n_kv_heads % tp == 0`` and ``hidden % tp == 0``.  The final norm +
+tied lm_head stay outside (XLA; vocab-shardable via the mesh seam), as
+do ring caches (single-chip feature for now).
+
+Numerics: each shard quantizes its attention/SwiGLU activations with
+its LOCAL row absmax — a finer-grained (not bit-identical) W8A8 scheme
+than the single-chip kernel, so TP outputs agree to quantization noise,
+not bitwise (the QKV activations ARE identically quantized; layer-0 K/V
+match the single-chip kernel tightly).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from voxtral_tpu.ops.decode_step_pallas import _quant, _rope_swap
+
+Params = dict[str, Any]
+
+
+def _half_plan(phases: dict[str, tuple[int, int]]):
+    """{name: (n_out, k_in)} -> {name: (tile, n_tiles, k_in)} or None."""
+    plan = {}
+    for name, (n_out, k_in) in phases.items():
+        t = 512
+        while t >= 8 and (n_out % t or t * k_in > 3 * 2**19):
+            t //= 2
+        if t < 8:
+            return None
+        plan[name] = (t, n_out // t, k_in)
+    return plan
+
+
+def _stream_factory(layer, plan, bufs, sems):
+    """Double-buffered W8 row-streaming matmul over stacked HBM weights
+    (same scheme as the v1 layer kernel, one buffer per phase)."""
+
+    def stream(name, xq, sx, w_hbm, scale_ref, n_out):
+        tile_n, n_tiles, _ = plan[name]
+        buf, sem = bufs[name], sems[name]
+
+        def dma(slot, j):
+            return pltpu.make_async_copy(
+                w_hbm.at[layer, pl.ds(j * tile_n, tile_n), :],
+                buf.at[slot], sem.at[slot])
+
+        dma(0, 0).start()
+        outs = []
+        for j in range(n_tiles):
+            if j + 1 < n_tiles:
+                dma((j + 1) % 2, j + 1).start()
+            dma(j % 2, j).wait()
+            z = jax.lax.dot_general(
+                xq, buf[j % 2],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            outs.append(z.astype(jnp.float32) * sx
+                        * scale_ref[0, j * tile_n:(j + 1) * tile_n][None, :])
+        return jnp.concatenate(outs, axis=-1)
+
+    return stream
+
+
+def _make_attn_half(B, D, S, n_heads_l, n_kv_l, head_dim, plan, eps, window):
+    """Attention half on a head shard; emits the WO PARTIAL (no residual
+    add — the caller psums partials across shards first)."""
+    nq = n_heads_l * head_dim
+    nkv = n_kv_l * head_dim
+    nqkv = nq + 2 * nkv
+    groups = n_heads_l // n_kv_l
+    scale = head_dim ** -0.5
+
+    def kernel(layer_ref, offs_ref,
+               x_ref, attn_norm_ref, sqkv_ref, so_ref, cos_ref, sin_ref,
+               kc_ref, vc_ref, wqkv_hbm, wo_hbm,
+               yo_ref, kn_ref, vn_ref,
+               buf_qkv, buf_wo, sem_qkv, sem_wo):
+        layer = layer_ref[0]
+        stream = _stream_factory(layer, plan,
+                                 {"qkv": buf_qkv, "wo": buf_wo},
+                                 {"qkv": sem_qkv, "wo": sem_wo})
+
+        x = x_ref[:].astype(jnp.float32)
+        var = jnp.mean(x * x, axis=-1, keepdims=True)
+        h = x * jax.lax.rsqrt(var + eps) * attn_norm_ref[0][None, :]
+        xq, sx = _quant(h)
+        qkv = stream("qkv", xq, sx, wqkv_hbm, sqkv_ref, nqkv)
+        q = qkv[:, :nq].reshape(B, n_heads_l, head_dim)
+        k = qkv[:, nq:nq + nkv].reshape(B, n_kv_l, head_dim)
+        v = qkv[:, nq + nkv:].reshape(B, n_kv_l, head_dim)
+
+        c, s = cos_ref[:], sin_ref[:]
+        q = q * c + _rope_swap(q) * s
+        ck, sk_ = cos_ref[:, :n_kv_l, :], sin_ref[:, :n_kv_l, :]
+        k = k * ck + _rope_swap(k) * sk_
+        kn_ref[:] = k.astype(kn_ref.dtype)
+        vn_ref[:] = v.astype(vn_ref.dtype)
+
+        # Head-major local cache [B, Hkv_l, S, hd]; MXU contractions.
+        qg = q.reshape(B * n_kv_l, groups, head_dim) * scale
+        kc = kc_ref[:].reshape(B * n_kv_l, S, head_dim)
+        vc = vc_ref[:].reshape(B * n_kv_l, S, head_dim)
+        scores = jax.lax.dot_general(
+            qg.astype(kc.dtype), kc,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # [B*Hkv_l, G, S]
+        pos = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 2)
+        row = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
+        off3 = jnp.full(scores.shape, jnp.int32(0))
+        for b in range(B):
+            off3 = jnp.where(row // n_kv_l == b, offs_ref[b], off3)
+        valid = pos < off3
+        if window is not None:
+            valid &= (off3 - pos) <= window
+        scores = jnp.where(valid, scores, -jnp.inf)
+        kf = k.reshape(B * n_kv_l, 1, head_dim)
+        self_s = jnp.sum(qg * kf, axis=-1)
+
+        m = jnp.maximum(jnp.max(scores, axis=-1), self_s)
+        e_cache = jnp.exp(scores - m[..., None])
+        e_self = jnp.exp(self_s - m)
+        denom = jnp.sum(e_cache, axis=-1) + e_self
+        ctx = jax.lax.dot_general(
+            e_cache.astype(vc.dtype), vc,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        ctx = ctx + e_self[..., None] * v.reshape(B * n_kv_l, 1, head_dim)
+        attn = (ctx / denom[..., None]).reshape(B, nq)
+
+        xq, sx = _quant(attn)
+        yo_ref[:] = stream("wo", xq, sx, wo_hbm, so_ref, D)
+
+    return kernel
+
+
+def _make_ffn_half(B, D, hidden_l, plan, eps):
+    """FFN half on an F shard; emits the W2 PARTIAL."""
+
+    def kernel(layer_ref,
+               x_ref, ffn_norm_ref, ada_ref, s13_ref, s2_ref,
+               w13_hbm, w2_hbm,
+               zo_ref,
+               buf_13, buf_2, sem_13, sem_2):
+        layer = layer_ref[0]
+        stream = _stream_factory(layer, plan,
+                                 {"w13": buf_13, "w2": buf_2},
+                                 {"w13": sem_13, "w2": sem_2})
+
+        x = x_ref[:].astype(jnp.float32)
+        var = jnp.mean(x * x, axis=-1, keepdims=True)
+        h = x * jax.lax.rsqrt(var + eps) * ffn_norm_ref[0][None, :]
+        h = h * ada_ref[0][None, :]
+        xq, sx = _quant(h)
+        up = stream("w13", xq, sx, w13_hbm, s13_ref, 2 * hidden_l)
+        gate, upv = up[:, :hidden_l], up[:, hidden_l:]
+        hmid = gate * jax.nn.sigmoid(gate) * upv
+        xq, sx = _quant(hmid)
+        zo_ref[:] = stream("w2", xq, sx, w2_hbm, s2_ref, D)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_heads_l", "n_kv_l", "head_dim", "eps", "interpret",
+                     "window"),
+)
+def attn_half_step(
+    x, layer, offsets, attn_norm, sqkv, so, cos_b, sin_b,
+    k_cache_l, v_cache_l, wqkv, wo,
+    n_heads_l=16, n_kv_l=4, head_dim=128, eps=1e-5, interpret=False,
+    window=None,
+):
+    """One layer's attention half on this shard's heads.
+
+    x [B, D]; per-layer vectors attn_norm [D], sqkv [nqkv_l], so [D];
+    per-layer LOCAL head-major caches [B, Hkv_l, S, hd]; stacked local
+    weights wqkv [L, nqkv_l, D] int8, wo [L, D, nq_l]; cos_b/sin_b [hd]
+    or per-row [B, hd].  offsets scalar or per-row [B].
+    Returns (wo_partial [B, D], k_new, v_new [B, Hkv_l, hd]).
+    """
+    B, D = x.shape
+    S = k_cache_l.shape[2]
+    nq = n_heads_l * head_dim
+    nqkv = nq + 2 * n_kv_l * head_dim
+    plan = _half_plan({"qkv": (nqkv, D), "wo": (D, nq)})
+    if plan is None:
+        raise ValueError("attn_half_step: dims not tileable")
+    kernel = _make_attn_half(B, D, S, n_heads_l, n_kv_l, head_dim, plan,
+                             eps, window)
+
+    offs = jnp.broadcast_to(jnp.asarray(offsets, jnp.int32).reshape(-1), (B,))
+    cos3 = jnp.broadcast_to(
+        jnp.asarray(cos_b, jnp.float32).reshape(-1, 1, head_dim),
+        (B, n_heads_l, head_dim))
+    sin3 = jnp.broadcast_to(
+        jnp.asarray(sin_b, jnp.float32).reshape(-1, 1, head_dim),
+        (B, n_heads_l, head_dim))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 8
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 3,
+        scratch_shapes=[
+            pltpu.VMEM((2, plan["qkv"][0], D), jnp.int8),
+            pltpu.VMEM((2, plan["wo"][0], nq), jnp.int8),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, n_kv_l, head_dim), k_cache_l.dtype),
+            jax.ShapeDtypeStruct((B, n_kv_l, head_dim), v_cache_l.dtype),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(
+        jnp.asarray(layer, jnp.int32).reshape(1), offs,
+        x.astype(jnp.float32),
+        attn_norm.astype(jnp.float32).reshape(1, D),
+        sqkv.astype(jnp.float32).reshape(1, nqkv),
+        so.astype(jnp.float32).reshape(1, D),
+        cos3, sin3,
+        k_cache_l, v_cache_l,
+        wqkv, wo,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("eps", "interpret"),
+)
+def ffn_half_step(
+    x, layer, ffn_norm, ada_vec, s13, s2, w13, w2,
+    eps=1e-5, interpret=False,
+):
+    """One layer's FFN half on this shard's F rows.
+
+    x [B, D] (post-psum attention residual); per-layer vectors
+    ffn_norm/ada_vec [D], s13 [2F_l], s2 [D]; stacked local weights
+    w13 [L, 2F_l, D] int8, w2 [L, D, F_l].  Returns w2_partial [B, D].
+    """
+    B, D = x.shape
+    hidden_l = w2.shape[2]
+    plan = _half_plan({"w13": (2 * hidden_l, D), "w2": (D, hidden_l)})
+    if plan is None:
+        raise ValueError("ffn_half_step: dims not tileable")
+    kernel = _make_ffn_half(B, D, hidden_l, plan, eps)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),),
+        scratch_shapes=[
+            pltpu.VMEM((2, plan["w13"][0], D), jnp.int8),
+            pltpu.VMEM((2, plan["w2"][0], hidden_l), jnp.int8),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    (out,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((B, D), jnp.float32),),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(
+        jnp.asarray(layer, jnp.int32).reshape(1),
+        x.astype(jnp.float32),
+        ffn_norm.astype(jnp.float32).reshape(1, D),
+        ada_vec.astype(jnp.float32).reshape(1, D),
+        s13.astype(jnp.float32).reshape(1, 2 * hidden_l),
+        s2.astype(jnp.float32).reshape(1, D),
+        w13, w2,
+    )
+    return out
+
+
+def tp_shard_fused_weights(fused: Params, n_heads: int, n_kv: int,
+                           head_dim: int, hidden: int, tp: int) -> Params:
+    """Reshard the fused stacked decode weights for ``tp`` shards.
+
+    Returns arrays with a LEADING shard axis (shard_map slices it via
+    ``P('model', ...)``): wqkv [tp, L, nqkv_l, D] (the q/k/v segments of
+    each shard re-concatenated), wo [tp, L, D, nq_l], w13
+    [tp, L, 2*F_l, D] (w1/w3 halves re-concatenated), w2
+    [tp, L, D, F_l], plus matching scale stacks.
+    """
+    if n_kv % tp or hidden % tp:
+        raise ValueError(f"tp={tp} must divide n_kv={n_kv} and "
+                         f"hidden={hidden}")
+    nq, nkv = n_heads * head_dim, n_kv * head_dim
+    nq_l, nkv_l = nq // tp, nkv // tp
+    f = hidden
+
+    def seg3(a, starts_sizes):
+        # Slice segments along axis 1 of [L, N, ...] and re-concat.
+        return jnp.concatenate(
+            [jax.lax.slice_in_dim(a, s, s + n, axis=1)
+             for s, n in starts_sizes], axis=1)
+
+    def shard_qkv(a, i):
+        return seg3(a, [(i * nq_l, nq_l),
+                        (nq + i * nkv_l, nkv_l),
+                        (nq + nkv + i * nkv_l, nkv_l)])
+
+    def shard_13(a, i):
+        fl = f // tp
+        return seg3(a, [(i * fl, fl), (f + i * fl, fl)])
+
+    out = {
+        "wqkv": jnp.stack([shard_qkv(fused["wqkv"], i) for i in range(tp)]),
+        "sqkv": jnp.stack([shard_qkv(fused["sqkv"][:, :, None], i)[:, :, 0]
+                           if fused["sqkv"].ndim == 2
+                           else shard_qkv(fused["sqkv"], i)
+                           for i in range(tp)]),
+        "wo": jnp.stack([fused["wo"][:, :, i * nq_l:(i + 1) * nq_l]
+                         for i in range(tp)]),
+        "so": jnp.stack([fused["so"]] * tp),  # full-D rows, replicated
+        "w13": jnp.stack([shard_13(fused["w13"], i) for i in range(tp)]),
+        "s13": jnp.stack([shard_13(fused["s13"][:, :, None], i)[:, :, 0]
+                          if fused["s13"].ndim == 2
+                          else shard_13(fused["s13"], i)
+                          for i in range(tp)]),
+        "w2": jnp.stack([fused["w2"][:, :, i * (f // tp):(i + 1) * (f // tp)]
+                         for i in range(tp)]),
+        "s2": jnp.stack([fused["s2"]] * tp),
+    }
+    return out
+
+
+def tp_decode_step(
+    mesh, x, offsets,
+    attn_norms, ffn_norms, ada_vecs, tp_w,
+    cos_b, sin_b, k_cache, v_cache,
+    n_heads=32, n_kv=8, head_dim=128, eps=1e-5, interpret=False,
+    window=None, model_axis="model",
+):
+    """All decoder layers of one decode token, tensor-parallel.
+
+    ``tp_w`` from :func:`tp_shard_fused_weights` (leading shard axis);
+    caches head-major [L, B, Hkv, S, hd] sharded on the KV-head axis;
+    x/norms replicated.  Runs the attn/ffn half-kernels per layer under
+    ``shard_map`` with a psum at each reduction point.  Returns
+    (x_out [B, D], k_new, v_new [L, B, Hkv, hd]) like the single-chip
+    stack kernel (final norm / lm_head are the caller's, as in the
+    unfused path).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    tp = mesh.shape[model_axis]
+    n_heads_l, n_kv_l = n_heads // tp, n_kv // tp
+    L = attn_norms.shape[0]
+    offs = jnp.broadcast_to(
+        jnp.asarray(offsets, jnp.int32).reshape(-1), (x.shape[0],))
+    cos2 = jnp.broadcast_to(
+        jnp.asarray(cos_b, jnp.float32).reshape(-1, head_dim),
+        (x.shape[0], head_dim))
+    sin2 = jnp.broadcast_to(
+        jnp.asarray(sin_b, jnp.float32).reshape(-1, head_dim),
+        (x.shape[0], head_dim))
+
+    rep = P()
+    shard0 = P(model_axis)          # leading shard axis (squeezed inside)
+    cache_spec = P(None, None, model_axis, None, None)
+
+    def shard_fn(x, offs, cos2, sin2, an, fn, ad,
+                 wqkv, sqkv, wo, so, w13, s13, w2, s2, kc, vc):
+        wqkv, sqkv, wo, so = wqkv[0], sqkv[0], wo[0], so[0]
+        w13, s13, w2, s2 = w13[0], s13[0], w2[0], s2[0]
+
+        def layer_body(xc, inp):
+            (l, an_l, fn_l, ad_l, sq_l, so_l, s13_l, s2_l,
+             k_l, v_l) = inp
+            y, k_new, v_new = attn_half_step(
+                xc, l, offs, an_l, sq_l, so_l, cos2, sin2, k_l, v_l,
+                wqkv, wo, n_heads_l=n_heads_l, n_kv_l=n_kv_l,
+                head_dim=head_dim, eps=eps, interpret=interpret,
+                window=window)
+            xc = xc + jax.lax.psum(y, model_axis)
+            z = ffn_half_step(
+                xc, l, fn_l, ad_l, s13_l, s2_l, w13, w2,
+                eps=eps, interpret=interpret)
+            xc = xc + jax.lax.psum(z, model_axis)
+            return xc, (k_new, v_new)
+
+        xs = (jnp.arange(L, dtype=jnp.int32), an, fn, ad,
+              sqkv, so, s13, s2, kc, vc)
+        x_out, (kn, vn) = jax.lax.scan(layer_body, x, xs)
+        return x_out, kn, vn
+
+    return jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(rep, rep, rep, rep, rep, rep, rep,
+                  shard0, shard0, shard0, shard0,
+                  shard0, shard0, shard0, shard0,
+                  cache_spec, cache_spec),
+        out_specs=(rep,
+                   P(None, None, model_axis, None),
+                   P(None, None, model_axis, None)),
+        check_vma=False,
+    )(x, offs, cos2, sin2,
+      attn_norms.astype(jnp.float32), ffn_norms.astype(jnp.float32),
+      ada_vecs.astype(jnp.float32),
+      tp_w["wqkv"], tp_w["sqkv"], tp_w["wo"], tp_w["so"],
+      tp_w["w13"], tp_w["s13"], tp_w["w2"], tp_w["s2"],
+      k_cache, v_cache)
