@@ -337,6 +337,10 @@ def _stack_plan(D, nqkv, nq, hidden):
     plan = {}
     for name, (n_out, k_in) in phases.items():
         t = 512
+        # The 1.5 MB tile budget is LOAD-BEARING: raising it to 2 MB
+        # (wo -> 512x4096 tiles) hard-faults the TPU worker ("kernel
+        # fault", r2 tuning experiment) — do not bump without a
+        # fault-isolated bisect.  Measured healthy: 4.57 ms/step.
         while t >= 8 and (n_out % t or t * k_in > 3 * 2**19):
             t //= 2
         if t < 8:
