@@ -219,24 +219,40 @@ def test_dp_decode_stack_step_matches_unsharded():
     cos_b = jnp.stack([c for c, _ in cs])
     sin_b = jnp.stack([s for _, s in cs])
 
+    # Folded final-norm + tied w8 lm_head (the production configuration).
+    from voxtral_tpu.ops.w8 import quantize_w8_rowwise
+
+    V = 1024
+    lm_w8 = quantize_w8_rowwise(
+        (rng.normal(size=(V, D)) * 0.05).astype(np.float32))["w8"]
+    lm_kw = dict(final_norm=jnp.ones((D,), jnp.float32),
+                 lm_codes=jnp.asarray(lm_w8["codes"]),
+                 lm_scale=jnp.asarray(lm_w8["scale"]))
+
     common = dict(n_heads=N_HEADS, n_kv=N_KV, head_dim=HEAD_DIM, eps=EPS,
                   interpret=True, window=8)
     ref = decode_stack_step(
         x, offs, lyr["attention_norm"], lyr["ffn_norm"], adav,
         fused["sqkv"], fused["so"], fused["s13"], fused["s2"],
         cos_b, sin_b, kc, vc,
-        fused["wqkv"], fused["wo"], fused["w13"], fused["w2"], **common)
+        fused["wqkv"], fused["wo"], fused["w13"], fused["w2"],
+        **lm_kw, **common)
 
     mesh = make_mesh(n_data=4, n_model=1)
     out = dp_decode_stack_step(
         mesh, x, offs, lyr["attention_norm"], lyr["ffn_norm"], adav,
         fused["sqkv"], fused["so"], fused["s13"], fused["s2"],
         cos_b, sin_b, kc, vc,
-        fused["wqkv"], fused["wo"], fused["w13"], fused["w2"], **common)
+        fused["wqkv"], fused["wo"], fused["w13"], fused["w2"],
+        **lm_kw, **common)
 
+    assert len(out) == 4  # x, k_new, v_new, logits
     for r, o in zip(ref, out):
         np.testing.assert_allclose(np.asarray(r), np.asarray(o),
                                    rtol=2e-3, atol=2e-3)
+    # Per-row argmax identity — the decision that reaches users.
+    assert (np.argmax(np.asarray(ref[3]), -1)
+            == np.argmax(np.asarray(out[3]), -1)).all()
 
 
 @requires_8_devices
