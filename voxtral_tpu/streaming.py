@@ -240,6 +240,43 @@ def _stream_step_fused_fn(params, fused_w, ada_vecs, mel_win, prev_token,
     return tokens, last, audio[:, -1:, :], enc_cache, dec_cache
 
 
+_STEP_JIT_CACHE: dict = {}
+
+
+def _session_jits(cfg: VoxtralConfig, P: int, enc_ring, dec_ring,
+                  rope_positions: int, fold: bool, mk_interpret: bool):
+    """Jitted (init, step, fused_step) + rope tables for a session
+    geometry, shared ACROSS sessions.
+
+    A fresh ``jax.jit(partial(...))`` per session would re-trace and
+    re-hit the compile cache on every session construction (seconds per
+    session on TPU); everything these programs close over is
+    weight-independent (config + rope tables), so sessions with the
+    same geometry share one set of compiled programs — weights/caches
+    are ordinary call arguments."""
+    key = (dataclasses.astuple(cfg), P, enc_ring, dec_ring,
+           rope_positions, fold, mk_interpret)
+    hit = _STEP_JIT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    enc, lm = cfg.audio_encoder, cfg.language_model
+    enc_rope = rope_tables(enc.head_dim, 4 * rope_positions, enc.rope_theta)
+    dec_rope = rope_tables(lm.head_dim, rope_positions, lm.rope_theta)
+    init = jax.jit(partial(_init_step_fn, cfg=cfg, enc_rope=enc_rope,
+                           dec_rope=dec_rope, n_positions=PREFIX_LEN + P,
+                           enc_ring=enc_ring, dec_ring=dec_ring))
+    step = jax.jit(partial(_stream_step_fn, cfg=cfg, enc_rope=enc_rope,
+                           dec_rope=dec_rope, n_positions=P,
+                           enc_ring=enc_ring, dec_ring=dec_ring))
+    fstep = jax.jit(partial(_stream_step_fused_fn, cfg=cfg,
+                            enc_rope=enc_rope, n_positions=P,
+                            enc_ring=enc_ring, dec_ring=dec_ring,
+                            fold=fold, mk_interpret=mk_interpret))
+    out = (init, step, fstep, enc_rope, dec_rope)
+    _STEP_JIT_CACHE[key] = out
+    return out
+
+
 def _fused_plan(model, batch: int, cache_s: int):
     """Stack-kernel decode plan ({"w", "fold"}) for ``batch`` rows and a
     ``cache_s``-position cache, or None when the model lacks fused
@@ -483,11 +520,13 @@ class StreamPool:
             self._pool_step_fused_jit = None
             self._pool_step_jit = jax.jit(
                 _pool_step, donate_argnums=(5, 6, 8, 9))
-        self._init_jit = jax.jit(
-            partial(_init_step_fn, cfg=self.cfg,
-                    enc_rope=self._enc_rope, dec_rope=self._dec_rope,
-                    n_positions=PREFIX_LEN + self.P),
-        )
+        # The init step is identical to a solo session's (ring-free, same
+        # rope geometry) — share the jitted program via the session cache.
+        self._init_jit = _session_jits(
+            self.cfg, self.P, None, None, self.max_dec,
+            bool(self._fused and self._fused["fold"]),
+            self._mk_interpret,
+        )[0]
 
     # -- slots ---------------------------------------------------------------
 
@@ -540,8 +579,23 @@ class StreamPool:
 
     def pump(self) -> None:
         """Run every step that has audio available, batching across ready
-        sessions; loops until no session can advance."""
+        sessions; loops until no session can advance.
+
+        Token fetches are DEFERRED to pump exit: the next step's inputs
+        live on device (prev_tok/prev_audio/caches), so back-to-back
+        catch-up steps dispatch without paying a host roundtrip each —
+        on a tunneled chip that roundtrip dominates the step."""
         lm = self.cfg.language_model
+        pending: list[tuple] = []  # (tokens_dev, ready) in step order
+
+        def flush():
+            for toks_dev, rdy in pending:
+                toks = np.asarray(toks_dev)
+                for b, sess in enumerate(self.sessions):
+                    if rdy[b] and sess is not None:
+                        sess.tokens.extend(toks[b].tolist())
+            pending.clear()
+
         while True:
             progressed = False
             for b, sess in enumerate(self.sessions):
@@ -563,6 +617,7 @@ class StreamPool:
                     ready[b] = True
             if not ready.any():
                 if not progressed:
+                    flush()
                     return
                 continue
 
@@ -604,10 +659,9 @@ class StreamPool:
                     )
                 tokens, self.prev_tok, self.prev_audio, \
                     self.enc_k, self.enc_v, self.dec_k, self.dec_v = out
-                tokens = np.asarray(tokens)
+            pending.append((tokens, ready))
             for b, sess in enumerate(self.sessions):
                 if ready[b]:
-                    sess.tokens.extend(tokens[b].tolist())
                     sess._positions_done += self.P
 
 
@@ -685,8 +739,7 @@ class StreamingSession:
             rope_positions = self._max_dec
         self.enc_cache = create_encoder_cache(enc, 1, self._max_enc, cache_dtype)
         self.dec_cache = create_cache(lm, 1, self._max_dec, cache_dtype)
-        self._enc_rope = rope_tables(enc.head_dim, 4 * rope_positions, enc.rope_theta)
-        self._dec_rope = rope_tables(lm.head_dim, rope_positions, lm.rope_theta)
+        self._rope_positions = rope_positions
         self._t_embed = model.t_embed(delay_tokens)
         self._enc_base = 0
         self._dec_base = 0
@@ -706,19 +759,6 @@ class StreamingSession:
         self._finished = False
         self.overrun = False  # pooled mode: stream exceeded max_duration_s
 
-        self._init_jit = jax.jit(
-            partial(_init_step_fn, cfg=self.cfg,
-                    enc_rope=self._enc_rope, dec_rope=self._dec_rope,
-                    n_positions=PREFIX_LEN + self.P,
-                    enc_ring=self._enc_ring, dec_ring=self._dec_ring),
-        )
-        self._step_jit = jax.jit(
-            partial(_stream_step_fn, cfg=self.cfg,
-                    enc_rope=self._enc_rope, dec_rope=self._dec_rope,
-                    n_positions=self.P,
-                    enc_ring=self._enc_ring, dec_ring=self._dec_ring),
-        )
-
         # Solo fused decode: steady-state steps run the whole-stack
         # Pallas kernel (ring-masked in unbounded mode) when the model
         # carries fused weights and the cache fits the VMEM budget.
@@ -729,14 +769,17 @@ class StreamingSession:
 
             self._fused["ada"] = ada_vectors(
                 model.params["decoder"], self._t_embed)
-            self._fstep_jit = jax.jit(
-                partial(_stream_step_fused_fn, cfg=self.cfg,
-                        enc_rope=self._enc_rope, n_positions=self.P,
-                        enc_ring=self._enc_ring,
-                        dec_ring=self._dec_ring,
-                        fold=self._fused["fold"],
-                        mk_interpret=self._mk_interpret),
-            )
+
+        # Jitted step programs + rope tables are shared across sessions
+        # of the same geometry (fresh per-session jits would re-trace
+        # and re-hit the compile cache on every construction).
+        (self._init_jit, self._step_jit, self._fstep_jit,
+         self._enc_rope, self._dec_rope) = _session_jits(
+            self.cfg, self.P, self._enc_ring, self._dec_ring,
+            rope_positions,
+            bool(self._fused and self._fused["fold"]),
+            self._mk_interpret,
+        )
 
     # -- internals ----------------------------------------------------------
 
@@ -770,11 +813,22 @@ class StreamingSession:
         if self._pool is not None:
             self._pool.pump()
             return
+        # Deferred token fetches: a backlogged session dispatches its
+        # catch-up steps back-to-back (device-resident carries) and pays
+        # ONE host sync at the end instead of a roundtrip per step.
+        pending: list = []
+
+        def flush():
+            for toks_dev in pending:
+                self.tokens.extend(np.asarray(toks_dev).tolist())
+            pending.clear()
+
         while True:
             avail = self._available_positions()
             if self._positions_done == 0:
                 need = PREFIX_LEN + self.P
                 if avail < need:
+                    flush()
                     return
                 mel0 = self._mel_window(0, 16 * need + 8)
                 out = self._init_jit(
@@ -816,9 +870,10 @@ class StreamingSession:
                         enc_cache=self.enc_cache, dec_cache=self.dec_cache,
                     )
                 tokens, self._prev_token, self._prev_audio, self.enc_cache, self.dec_cache = out
-                self.tokens.extend(np.asarray(tokens).tolist())
+                pending.append(tokens)
                 self._positions_done = p0 + self.P
             else:
+                flush()
                 return
 
     def _maybe_shift(self) -> None:
