@@ -240,7 +240,15 @@ def _stream_step_fused_fn(params, fused_w, ada_vecs, mel_win, prev_token,
     return tokens, last, audio[:, -1:, :], enc_cache, dec_cache
 
 
-_STEP_JIT_CACHE: dict = {}
+_STEP_JIT_CACHE: "dict" = {}
+_STEP_JIT_CACHE_MAX = 16  # FIFO-evicted; live sessions keep their refs
+
+
+def _jit_cache_put(key, value):
+    if len(_STEP_JIT_CACHE) >= _STEP_JIT_CACHE_MAX:
+        _STEP_JIT_CACHE.pop(next(iter(_STEP_JIT_CACHE)))
+    _STEP_JIT_CACHE[key] = value
+    return value
 
 
 def _session_jits(cfg: VoxtralConfig, P: int, enc_ring, dec_ring,
@@ -253,28 +261,42 @@ def _session_jits(cfg: VoxtralConfig, P: int, enc_ring, dec_ring,
     session on TPU); everything these programs close over is
     weight-independent (config + rope tables), so sessions with the
     same geometry share one set of compiled programs — weights/caches
-    are ordinary call arguments."""
-    key = (dataclasses.astuple(cfg), P, enc_ring, dec_ring,
-           rope_positions, fold, mk_interpret)
-    hit = _STEP_JIT_CACHE.get(key)
-    if hit is not None:
-        return hit
-    enc, lm = cfg.audio_encoder, cfg.language_model
-    enc_rope = rope_tables(enc.head_dim, 4 * rope_positions, enc.rope_theta)
-    dec_rope = rope_tables(lm.head_dim, rope_positions, lm.rope_theta)
-    init = jax.jit(partial(_init_step_fn, cfg=cfg, enc_rope=enc_rope,
-                           dec_rope=dec_rope, n_positions=PREFIX_LEN + P,
-                           enc_ring=enc_ring, dec_ring=dec_ring))
-    step = jax.jit(partial(_stream_step_fn, cfg=cfg, enc_rope=enc_rope,
-                           dec_rope=dec_rope, n_positions=P,
-                           enc_ring=enc_ring, dec_ring=dec_ring))
-    fstep = jax.jit(partial(_stream_step_fused_fn, cfg=cfg,
-                            enc_rope=enc_rope, n_positions=P,
-                            enc_ring=enc_ring, dec_ring=dec_ring,
-                            fold=fold, mk_interpret=mk_interpret))
-    out = (init, step, fstep, enc_rope, dec_rope)
-    _STEP_JIT_CACHE[key] = out
-    return out
+    are ordinary call arguments.  The step programs DONATE their cache
+    arguments: a backlogged pump enqueues many steps without a host
+    sync, and donation keeps the in-flight cache generations bounded
+    (the init program is shared with StreamPool, which reuses a zero
+    cache across slot inits — it must NOT donate).  fold/mk_interpret
+    only affect the fused step, so init/step sharing is keyed without
+    them (a pool and solo sessions that disagree on fold still share)."""
+    base_key = (dataclasses.astuple(cfg), P, enc_ring, dec_ring,
+                rope_positions)
+    base = _STEP_JIT_CACHE.get(("base", base_key))
+    if base is None:
+        enc, lm = cfg.audio_encoder, cfg.language_model
+        enc_rope = rope_tables(enc.head_dim, 4 * rope_positions,
+                               enc.rope_theta)
+        dec_rope = rope_tables(lm.head_dim, rope_positions, lm.rope_theta)
+        init = jax.jit(partial(_init_step_fn, cfg=cfg, enc_rope=enc_rope,
+                               dec_rope=dec_rope, n_positions=PREFIX_LEN + P,
+                               enc_ring=enc_ring, dec_ring=dec_ring))
+        step = jax.jit(partial(_stream_step_fn, cfg=cfg, enc_rope=enc_rope,
+                               dec_rope=dec_rope, n_positions=P,
+                               enc_ring=enc_ring, dec_ring=dec_ring),
+                       donate_argnames=("enc_cache", "dec_cache"))
+        base = _jit_cache_put(("base", base_key),
+                              (init, step, enc_rope, dec_rope))
+    init, step, enc_rope, dec_rope = base
+
+    fkey = ("fstep", base_key, fold, mk_interpret)
+    fstep = _STEP_JIT_CACHE.get(fkey)
+    if fstep is None:
+        fstep = _jit_cache_put(fkey, jax.jit(
+            partial(_stream_step_fused_fn, cfg=cfg,
+                    enc_rope=enc_rope, n_positions=P,
+                    enc_ring=enc_ring, dec_ring=dec_ring,
+                    fold=fold, mk_interpret=mk_interpret),
+            donate_argnames=("enc_cache", "dec_cache")))
+    return init, step, fstep, enc_rope, dec_rope
 
 
 def _fused_plan(model, batch: int, cache_s: int):
@@ -585,7 +607,6 @@ class StreamPool:
         live on device (prev_tok/prev_audio/caches), so back-to-back
         catch-up steps dispatch without paying a host roundtrip each —
         on a tunneled chip that roundtrip dominates the step."""
-        lm = self.cfg.language_model
         pending: list[tuple] = []  # (tokens_dev, ready) in step order
 
         def flush():
@@ -596,6 +617,15 @@ class StreamPool:
                         sess.tokens.extend(toks[b].tolist())
             pending.clear()
 
+        try:
+            self._pump_loop(pending)
+        finally:
+            # Tokens from completed steps survive any mid-pump error
+            # (positions already advanced; dropping them would leave
+            # permanent transcript gaps).
+            flush()
+
+    def _pump_loop(self, pending: list) -> None:
         while True:
             progressed = False
             for b, sess in enumerate(self.sessions):
@@ -617,7 +647,6 @@ class StreamPool:
                     ready[b] = True
             if not ready.any():
                 if not progressed:
-                    flush()
                     return
                 continue
 
@@ -739,7 +768,6 @@ class StreamingSession:
             rope_positions = self._max_dec
         self.enc_cache = create_encoder_cache(enc, 1, self._max_enc, cache_dtype)
         self.dec_cache = create_cache(lm, 1, self._max_dec, cache_dtype)
-        self._rope_positions = rope_positions
         self._t_embed = model.t_embed(delay_tokens)
         self._enc_base = 0
         self._dec_base = 0
@@ -817,18 +845,22 @@ class StreamingSession:
         # catch-up steps back-to-back (device-resident carries) and pays
         # ONE host sync at the end instead of a roundtrip per step.
         pending: list = []
-
-        def flush():
+        try:
+            self._step_loop(pending)
+        finally:
+            # Completed steps' tokens survive mid-loop errors (e.g. the
+            # max_duration / RoPE-bound RuntimeErrors) — positions have
+            # already advanced, so dropping them would leave gaps.
             for toks_dev in pending:
                 self.tokens.extend(np.asarray(toks_dev).tolist())
             pending.clear()
 
+    def _step_loop(self, pending: list) -> None:
         while True:
             avail = self._available_positions()
             if self._positions_done == 0:
                 need = PREFIX_LEN + self.P
                 if avail < need:
-                    flush()
                     return
                 mel0 = self._mel_window(0, 16 * need + 8)
                 out = self._init_jit(
@@ -873,7 +905,6 @@ class StreamingSession:
                 pending.append(tokens)
                 self._positions_done = p0 + self.P
             else:
-                flush()
                 return
 
     def _maybe_shift(self) -> None:
