@@ -322,6 +322,31 @@ def test_fused_solo_sessions_match_generic(monkeypatch):
             unbounded, fsess.tokens, gsess.tokens)
 
 
+def test_tokens_survive_mid_pump_error(model):
+    """Deferred token fetches must flush on ERROR paths too: when a
+    bounded session exceeds max_duration_s mid-pump, every step decoded
+    before the limit must still reach session.tokens (dropping them
+    would leave permanent transcript gaps — positions have advanced)."""
+    rng = np.random.default_rng(41)
+    short = StreamingSession(model, step_positions=8, max_duration_s=10)
+    # ~10 s limit -> max_dec = 62+38+16; feed 30 s in ONE call so the
+    # backlogged pump decodes several steps and then hits the limit.
+    audio = rng.normal(size=16000 * 30).astype(np.float32) * 0.25
+    with pytest.raises(RuntimeError, match="max_duration"):
+        short.feed(audio)
+    decoded_positions = short.positions_done
+    assert decoded_positions > 0
+    assert len(short.tokens) == decoded_positions - PREFIX_LEN, (
+        len(short.tokens), decoded_positions)
+
+    # The successfully decoded prefix must equal an unconstrained
+    # session's tokens over the same audio.
+    ok = StreamingSession(model, step_positions=8, max_duration_s=60)
+    ok.feed(audio)
+    n = len(short.tokens)
+    assert short.tokens == ok.tokens[:n]
+
+
 def test_endpoint_detection(model):
     """Endpoint fires after text followed by a run of [STREAMING_PAD]s,
     and re-arms after consume_endpoint()."""
