@@ -316,11 +316,12 @@ def suite_step(batches, seq=160, short=8, long=40):
 
 
 def suite_step_fused(batches, seq=160, short=8, long=40):
-    """Same full decode step as ``suite_step`` but through the per-layer
-    Pallas megakernel (``ops/decode_step_pallas.py``): 26 fused kernels +
-    lm_head + argmax + embed feedback per step.  The delta vs
-    ``decode_step`` is exactly the inter-op DMA-drain overhead the
-    megakernel exists to remove."""
+    """Same full decode step as ``suite_step`` but through the WHOLE-STACK
+    Pallas kernel (``ops/decode_step_pallas.py::decode_stack_step``): the
+    26 layers plus the folded final-norm + tied w8 lm_head run as ONE
+    pallas_call per token (argmax + embed feedback stay XLA).  The delta
+    vs ``decode_step`` is exactly the inter-op DMA-drain overhead the
+    stack kernel exists to remove."""
     import jax
     import jax.numpy as jnp
 

@@ -89,6 +89,21 @@ def main() -> int:
     ap.add_argument("--platform", default="default")
     ap.add_argument("--workdir", default="wer_eval_work")
     ap.add_argument("--output", default="wer_report.json")
+    ap.add_argument("--batch", type=int, default=8,
+                    help="in-process batched eval: decode up to N "
+                    "same-length utterances in one on-device scan "
+                    "(~Nx faster; 0 = shell the CLI per-list, the "
+                    "reference contract)")
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=["bfloat16", "float32", "w8"],
+                    help="SafeTensors weights (in-process mode)")
+    ap.add_argument("--weight-format", default="w8", choices=["q4", "w8"],
+                    help="GGUF weight handling (in-process mode)")
+    ap.add_argument("--dp", type=int, default=1,
+                    help="data-parallel ways: shard eval batch rows over "
+                    "the mesh's data axis (in-process mode)")
+    ap.add_argument("--tp", type=int, default=1,
+                    help="tensor-parallel ways (in-process mode)")
     args = ap.parse_args()
 
     workdir = Path(args.workdir)
@@ -109,6 +124,125 @@ def main() -> int:
     audio_list = workdir / "audio_list.txt"
     audio_list.write_text("\n".join(str(p) for p, _ in pairs) + "\n")
 
+    def wav_duration_s(path: Path) -> float:
+        """Header-only duration for PCM WAVs; full decode as fallback
+        (float/24-bit formats, nonstandard chunks)."""
+        import wave
+
+        try:
+            with wave.open(str(path), "rb") as w:
+                return w.getnframes() / w.getframerate()
+        except Exception:
+            from voxtral_tpu.audio import load_wav
+
+            return load_wav(path).duration_secs
+
+    total_audio_s = sum(wav_duration_s(p) for p, _ in pairs)
+
+    if args.batch > 0:
+        hyps, elapsed = run_batched(args, pairs)
+        if hyps is None:
+            return 2
+    else:
+        out = run_cli_subprocess(args, audio_list, total_audio_s)
+        if isinstance(out, int):
+            return out
+        hyps, elapsed = out
+        if len(hyps) != len(pairs):
+            print(
+                f"error: expected {len(pairs)} output lines, got {len(hyps)}",
+                file=sys.stderr,
+            )
+            return 1
+
+    refs = [text for _, text in pairs]
+    result = aggregate_wer(refs, hyps)
+    rtf = elapsed / max(total_audio_s, 1e-9)
+
+    report = {
+        "wer": round(result["wer"], 4),
+        "cer": round(result["cer"], 4),
+        "utterances": result["utterances"],
+        "word_errors": result["word_errors"],
+        "words": result["words"],
+        "audio_seconds": round(total_audio_s, 1),
+        "wall_seconds": round(elapsed, 1),
+        "rtf": round(rtf, 4),
+        "delay": args.delay,
+        "batch": args.batch,
+        "per_utterance": [
+            {"path": str(p), "ref": r, "hyp": h, **m}
+            for (p, r), h, m in zip(pairs, hyps, result["per_utterance"])
+        ],
+    }
+    Path(args.output).write_text(json.dumps(report, indent=2))
+    print(
+        f"WER {result['wer']*100:.2f}% | CER {result['cer']*100:.2f}% | "
+        f"{result['utterances']} utts | RTF {rtf:.3f} | report -> {args.output}"
+    )
+    return 0
+
+
+def run_batched(args, pairs):
+    """In-process batched eval through TranscribePipeline (the SURVEY §2.6
+    "DP (batch WER eval)" seam): model loads once, same-length utterances
+    decode in one scan, optional --dp/--tp mesh."""
+    if args.platform != "default":
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    from voxtral_tpu.pipeline import PipelineConfig, TranscribePipeline
+    from voxtral_tpu.utils.compilation_cache import enable as enable_cache
+
+    enable_cache()
+    mesh = None
+    if args.tp * args.dp > 1:
+        from voxtral_tpu.parallel import make_mesh
+
+        mesh = make_mesh(n_data=args.dp, n_model=args.tp)
+
+    pcfg = PipelineConfig(delay_tokens=args.delay,
+                          max_mel_frames=args.max_mel_frames)
+    if args.gguf:
+        if not args.tokenizer:
+            print("error: --gguf requires --tokenizer", file=sys.stderr)
+            return None, 0.0
+        pipeline = TranscribePipeline.from_gguf(
+            args.gguf, args.tokenizer, pcfg,
+            weight_format=args.weight_format, mesh=mesh)
+    elif args.model:
+        pipeline = TranscribePipeline.from_model_dir(
+            args.model, args.dtype, pcfg, mesh=mesh)
+    elif args.random_weights:
+        import jax
+        import jax.numpy as jnp
+
+        from voxtral_tpu.config import VoxtralConfig
+        from voxtral_tpu.models.voxtral import VoxtralModel
+        from voxtral_tpu.tokenizer import VoxtralTokenizer
+
+        cfg = (VoxtralConfig.from_file(args.params) if args.params
+               else VoxtralConfig.voxtral())
+        model = VoxtralModel.init_random(
+            jax.random.PRNGKey(0), cfg,
+            jnp.float32 if args.dtype == "float32" else jnp.bfloat16,
+            mesh=mesh)
+        pipeline = TranscribePipeline(
+            model, VoxtralTokenizer([None] * 131072, {}, 131072), pcfg)
+    else:
+        print("error: need --model, --gguf or --random-weights",
+              file=sys.stderr)
+        return None, 0.0
+
+    t0 = time.time()
+    hyps = pipeline.transcribe_files_batched(
+        [p for p, _ in pairs], batch_size=args.batch)
+    return hyps, time.time() - t0
+
+
+def run_cli_subprocess(args, audio_list, total_audio_s):
+    """Reference-contract mode: shell the CLI once over the list
+    (one stdout line per file — eval_wer.py:183-204)."""
     cmd = [
         sys.executable, "-m", "voxtral_tpu.cli",
         "--audio-list", str(audio_list),
@@ -131,20 +265,6 @@ def main() -> int:
         print("error: need --model, --gguf or --random-weights", file=sys.stderr)
         return 2
 
-    def wav_duration_s(path: Path) -> float:
-        """Header-only duration for PCM WAVs; full decode as fallback
-        (float/24-bit formats, nonstandard chunks)."""
-        import wave
-
-        try:
-            with wave.open(str(path), "rb") as w:
-                return w.getnframes() / w.getframerate()
-        except Exception:
-            from voxtral_tpu.audio import load_wav
-
-            return load_wav(path).duration_secs
-
-    total_audio_s = sum(wav_duration_s(p) for p, _ in pairs)
     # Timeout scaled to audio duration (reference eval_wer.py:193-204).
     timeout = max(600, int(total_audio_s * 4) + 300)
 
@@ -157,40 +277,7 @@ def main() -> int:
     if proc.returncode != 0:
         print(proc.stderr[-3000:], file=sys.stderr)
         return proc.returncode
-
-    hyps = proc.stdout.splitlines()
-    if len(hyps) != len(pairs):
-        print(
-            f"error: expected {len(pairs)} output lines, got {len(hyps)}",
-            file=sys.stderr,
-        )
-        return 1
-
-    refs = [text for _, text in pairs]
-    result = aggregate_wer(refs, hyps)
-    rtf = elapsed / max(total_audio_s, 1e-9)
-
-    report = {
-        "wer": round(result["wer"], 4),
-        "cer": round(result["cer"], 4),
-        "utterances": result["utterances"],
-        "word_errors": result["word_errors"],
-        "words": result["words"],
-        "audio_seconds": round(total_audio_s, 1),
-        "wall_seconds": round(elapsed, 1),
-        "rtf": round(rtf, 4),
-        "delay": args.delay,
-        "per_utterance": [
-            {"path": str(p), "ref": r, "hyp": h, **m}
-            for (p, r), h, m in zip(pairs, hyps, result["per_utterance"])
-        ],
-    }
-    Path(args.output).write_text(json.dumps(report, indent=2))
-    print(
-        f"WER {result['wer']*100:.2f}% | CER {result['cer']*100:.2f}% | "
-        f"{result['utterances']} utts | RTF {rtf:.3f} | report -> {args.output}"
-    )
-    return 0
+    return proc.stdout.splitlines(), elapsed
 
 
 if __name__ == "__main__":

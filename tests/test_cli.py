@@ -99,3 +99,46 @@ def test_audio_list(wav, tmp_path):
     )
     assert code == 0
     assert len(out.splitlines()) == 2
+
+
+@pytest.fixture(scope="module")
+def tiny_params_file():
+    return str(FIXTURES / "params_tiny.json")
+
+
+def test_cli_tp_matches_single_device(wav, tiny_params_file):
+    """``--tp 2`` on the virtual mesh must run end-to-end and produce
+    byte-identical stdout to the single-device run (token-level identity
+    is pinned in tests/test_parallel.py; this covers the flag surface:
+    mesh construction -> shard_params -> sharded transcribe)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    base = ["--audio", wav, "--random-weights",
+            "--params", tiny_params_file, "--dtype", "float32"]
+    code_ref, out_ref, _ = run_cli(*base)
+    assert code_ref == 0
+    code_tp, out_tp, _ = run_cli(*base, "--tp", "2")
+    assert code_tp == 0
+    assert out_tp == out_ref
+    code_dp, out_dp, _ = run_cli(*base, "--dp", "4")
+    assert code_dp == 0
+    assert out_dp == out_ref
+
+
+def test_cli_tp_too_many_devices(wav, tiny_params_file):
+    code, out, err = run_cli(
+        "--audio", wav, "--random-weights", "--params", tiny_params_file,
+        "--tp", "64",
+    )
+    assert code == 2
+    assert "devices" in err
+
+
+def test_cli_tp_invalid(wav, tiny_params_file):
+    code, out, err = run_cli(
+        "--audio", wav, "--random-weights", "--params", tiny_params_file,
+        "--tp", "0",
+    )
+    assert code == 2

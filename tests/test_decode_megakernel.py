@@ -401,3 +401,40 @@ def test_fused_transcribe_matches_xla_path(monkeypatch):
 
     assert mk_tokens.tolist() == ref_tokens.tolist(), (
         mk_tokens.tolist(), ref_tokens.tolist())
+
+
+def test_fused_transcribe_vmem_gate_falls_back(monkeypatch):
+    """When the batch geometry exceeds the stack kernel's VMEM budget
+    (e.g. the pipeline merged many chunks into one batch), transcribe
+    must drop the lm fold / whole-stack kernel and still produce the
+    same tokens through the per-layer fused path."""
+    from tests.test_golden_full_model import golden_cfg, golden_mel
+    from tests.test_safetensors_loader import synth_checkpoint
+    from safetensors.numpy import save_file
+    from voxtral_tpu.loaders.safetensors_loader import load_voxtral_params
+    from voxtral_tpu.models.voxtral import VoxtralModel
+    from voxtral_tpu.utils.quantize import quantize_params_w8
+    import voxtral_tpu.ops.decode_step_pallas as dsp
+    import tempfile
+
+    cfg = golden_cfg()
+    tensors = synth_checkpoint(cfg, np.random.default_rng(42))
+    tensors = {k: (v * 0.25).astype(np.float32) for k, v in tensors.items()}
+    d = tempfile.mkdtemp()
+    path = f"{d}/consolidated.safetensors"
+    save_file(tensors, path)
+    mel = golden_mel()
+
+    def build():
+        dense = load_voxtral_params(path, cfg, dtype="float32",
+                                    to_device=False)
+        return VoxtralModel(quantize_params_w8(dense), cfg)
+
+    monkeypatch.setenv("VOXTRAL_MEGAKERNEL", "force")
+    ref_tokens = build().transcribe_streaming(mel)
+
+    # Gate the whole stack kernel off: the per-layer fused fallback must
+    # produce identical tokens (fresh model instance = fresh jit cache).
+    monkeypatch.setattr(dsp, "STACK_VMEM_CAP", 1)
+    gated_tokens = build().transcribe_streaming(mel)
+    assert gated_tokens.tolist() == ref_tokens.tolist()

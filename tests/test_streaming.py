@@ -361,3 +361,113 @@ def test_endpoint_detection(model):
     assert not session.endpoint(min_pad_run=4)     # consumed
     session.tokens += [1502] + [32] * 4            # next utterance
     assert session.endpoint(min_pad_run=4)
+
+
+def test_stream_pool_unbounded_matches_solo_ring(model):
+    """Pooled sessions with head+ring caches must be token-identical to
+    solo unbounded sessions — including PAST the length where a bounded
+    pool of the same window would overrun (the serving gap VERDICT r2
+    missing #5: pooled /stream died at max_duration_s)."""
+    from voxtral_tpu.streaming import StreamPool
+
+    rng = np.random.default_rng(17)
+    # tiny lm window=32, P=8 -> dec ring = 40, cache = 78 positions
+    # (~12.5 s).  20 s of audio (125 positions) forces ring wraparound.
+    audio_a = rng.normal(size=16000 * 20).astype(np.float32) * 0.25
+    audio_b = rng.normal(size=16000 * 16).astype(np.float32) * 0.3
+
+    solo_a = StreamingSession(model, step_positions=8, unbounded=True)
+    solo_a.feed(audio_a)
+    solo_a.finish()
+    solo_b = StreamingSession(model, step_positions=8, unbounded=True)
+    solo_b.feed(audio_b)
+    solo_b.finish()
+
+    pool = StreamPool(model, max_streams=2, step_positions=8, unbounded=True)
+    assert pool.sessions == [None, None]
+    pa = StreamingSession(model, step_positions=8, pool=pool)
+    pb = StreamingSession(model, step_positions=8, pool=pool)
+    assert pa.unbounded and pb.unbounded
+    pieces_a = np.array_split(audio_a, 5)
+    pieces_b = np.array_split(audio_b, 4)
+    pa.feed(pieces_a[0])
+    pa.feed(pieces_a[1])
+    pb.feed(pieces_b[0])
+    pa.feed(pieces_a[2])
+    pb.feed(pieces_b[1])
+    pb.feed(pieces_b[2])
+    pa.feed(pieces_a[3])
+    pa.feed(pieces_a[4])
+    pa.finish()
+    pb.feed(pieces_b[3])
+    pb.finish()
+
+    assert not pa.overrun and not pb.overrun
+    # Streams really exceeded the ring capacity (eviction happened).
+    assert pa.positions_done > 78
+    assert pa.tokens == solo_a.tokens, (pa.tokens[:20], solo_a.tokens[:20])
+    assert pb.tokens == solo_b.tokens
+
+
+def test_stream_pool_unbounded_fused_matches_solo(monkeypatch):
+    """Unbounded pool through the stack kernel: per-row offsets + the
+    in-kernel head+ring validity mask + per-row ring-slot appends,
+    token-identical to the solo unbounded XLA path past wraparound."""
+    import dataclasses
+
+    from voxtral_tpu.streaming import StreamPool
+    from voxtral_tpu.utils.quantize import quantize_params_w8
+
+    monkeypatch.setenv("VOXTRAL_MEGAKERNEL", "force")
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg, language_model=dataclasses.replace(
+            cfg.language_model, vocab_size=1280))
+    f32 = VoxtralModel.init_random(jax.random.PRNGKey(3), cfg,
+                                   dtype=jnp.float32)
+    w8 = quantize_params_w8(f32.params)
+    fmodel = VoxtralModel(w8, cfg)
+    assert fmodel.fused_decode is not None
+
+    rng = np.random.default_rng(23)
+    audio_a = rng.normal(size=16000 * 18).astype(np.float32) * 0.25
+    audio_b = rng.normal(size=16000 * 14).astype(np.float32) * 0.3
+
+    monkeypatch.setenv("VOXTRAL_MEGAKERNEL", "0")
+    gmodel = VoxtralModel(w8, cfg)
+    solo_a = StreamingSession(gmodel, step_positions=8, unbounded=True)
+    solo_a.feed(audio_a)
+    solo_a.finish()
+    solo_b = StreamingSession(gmodel, step_positions=8, unbounded=True)
+    solo_b.feed(audio_b)
+    solo_b.finish()
+
+    pool = StreamPool(fmodel, max_streams=2, step_positions=8,
+                      unbounded=True)
+    assert pool._fused is not None and pool._fused["fold"]
+    pa = StreamingSession(fmodel, step_positions=8, pool=pool)
+    pb = StreamingSession(fmodel, step_positions=8, pool=pool)
+    pieces_a = np.array_split(audio_a, 4)
+    pieces_b = np.array_split(audio_b, 3)
+    pa.feed(pieces_a[0])
+    pa.feed(pieces_a[1])
+    pb.feed(pieces_b[0])
+    pb.feed(pieces_b[1])
+    pa.feed(pieces_a[2])
+    pa.feed(pieces_a[3])
+    pa.finish()
+    pb.feed(pieces_b[2])
+    pb.finish()
+
+    assert not pa.overrun and not pb.overrun
+    assert pa.positions_done > 78  # past ring wraparound
+    assert pa.tokens == solo_a.tokens, (pa.tokens[:20], solo_a.tokens[:20])
+    assert pb.tokens == solo_b.tokens
+
+
+def test_unbounded_session_rejects_bounded_pool(model):
+    from voxtral_tpu.streaming import StreamPool
+
+    pool = StreamPool(model, max_streams=2, step_positions=8)
+    with pytest.raises(ValueError, match="unbounded"):
+        StreamingSession(model, step_positions=8, pool=pool, unbounded=True)

@@ -76,3 +76,41 @@ def test_eval_harness_end_to_end(tmp_path):
     assert 0.0 <= report["wer"] <= 1.0 or report["wer"] >= 1.0  # random weights
     assert len(report["per_utterance"]) == 2
     assert "rtf" in report
+
+
+def test_transcribe_files_batched_matches_per_file(tmp_path):
+    """Batched multi-file eval (the WER harness's batch seam) must produce
+    the same per-utterance tokens/text as one-file-at-a-time transcription,
+    across mixed lengths (grouped + batch-sliced dispatch)."""
+    from tests.test_pipeline_device_mel import _golden_model
+    from voxtral_tpu.audio import AudioBuffer, save_wav
+    from voxtral_tpu.pipeline import PipelineConfig, TranscribePipeline
+    from voxtral_tpu.tokenizer import VoxtralTokenizer
+
+    model = _golden_model(tmp_path)
+    tok = VoxtralTokenizer([b"x "] * 1280, {}, 1280)
+    pipeline = TranscribePipeline(model, tok, PipelineConfig())
+
+    paths = []
+    for i, secs in enumerate((1.5, 1.5, 2.5)):
+        t = np.arange(int(secs * 16000)) / 16000.0
+        sig = (0.4 * np.sin(2 * np.pi * (300 + 100 * i) * t)).astype(np.float32)
+        p = tmp_path / f"u{i}.wav"
+        save_wav(AudioBuffer(sig, 16000), p)
+        paths.append(str(p))
+
+    captured = []
+    orig = pipeline.decode_tokens
+    pipeline.decode_tokens = (
+        lambda toks: (captured.append(tuple(np.asarray(toks).tolist())), orig(toks))[1]
+    )
+
+    batched = pipeline.transcribe_files_batched(paths, batch_size=2)
+    batch_tokens = set(captured)
+    captured.clear()
+    per_file = [pipeline.transcribe_file(p) for p in paths]
+    solo_tokens = set(captured)
+
+    assert batched == per_file
+    assert batch_tokens == solo_tokens
+    assert len(batch_tokens) >= 2  # mixed lengths actually decoded

@@ -219,27 +219,60 @@ class MelSpectrogram:
     def compute_log_jax(self, samples):
         """On-device equivalent of :meth:`compute_log` (returns jnp array).
 
-        Used by the serving pipeline to keep the frontend on TPU; framing is
-        expressed as a strided gather + rFFT that XLA fuses with the mel
-        projection matmul.
+        Wired into the transcribe pipeline (``mel_device``): the frontend
+        joins encode+decode in ONE jitted program, so a transcription is a
+        single dispatch with one host fetch.  Framing is a strided gather
+        + rFFT that XLA fuses with the mel projection matmul.
         """
         import jax.numpy as jnp
 
-        c = self.config
-        pad = c.n_fft // 2
-        x = jnp.pad(samples.astype(jnp.float32), pad, mode="reflect")
-        n_frames = (x.shape[0] - c.n_fft) // c.hop_length
-        idx = (
-            jnp.arange(n_frames)[:, None] * c.hop_length
-            + jnp.arange(c.n_fft)[None, :]
-        )
-        frames = x[idx] * jnp.asarray(self.window)[None, :]
-        spec = jnp.fft.rfft(frames, axis=-1)
-        power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
-        mel = power @ jnp.asarray(self.mel_basis).T
-        log_mel = jnp.log10(jnp.maximum(mel, 1e-10))
-        log_max = (
-            c.log_mel_max if c.log_mel_max > 0.0 else jnp.max(log_mel)
-        )
-        log_mel = jnp.maximum(log_mel, log_max - 8.0)
-        return (log_mel + 4.0) / 4.0
+        out = mel_log_jax_batch(
+            jnp.asarray(samples, jnp.float32)[None, :],
+            jnp.asarray(self.window), jnp.asarray(self.mel_basis),
+            n_fft=self.config.n_fft, hop=self.config.hop_length,
+            log_mel_max=self.config.log_mel_max,
+        )  # [1, n_mels, T]
+        return out[0].T  # [T, n_mels], compute_log layout
+
+    def device_arrays(self):
+        """(window, mel_basis) as device arrays for the jitted frontend."""
+        import jax.numpy as jnp
+
+        if not hasattr(self, "_device_arrays"):
+            self._device_arrays = (
+                jnp.asarray(self.window), jnp.asarray(self.mel_basis)
+            )
+        return self._device_arrays
+
+
+def mel_log_jax_batch(samples, window, mel_basis, *, n_fft=400, hop=160,
+                      log_mel_max=1.5):
+    """Batched on-device log-mel: [B, N] f32 samples -> [B, n_mels, T].
+
+    Bit-for-bit the same pipeline as :meth:`MelSpectrogram.compute_log`
+    (reflect pad n_fft/2, periodic Hann, dropped last frame, Slaney
+    filterbank via ``mel_basis``, vLLM normalization — mel.rs:128-165)
+    expressed as XLA ops, so the transcribe path can fuse
+    mel -> encoder -> decode into one compiled program.  Static shapes:
+    T = (N + 2*(n_fft//2) - n_fft) // hop.
+    """
+    import jax.numpy as jnp
+
+    pad = n_fft // 2
+    x = jnp.pad(samples.astype(jnp.float32), ((0, 0), (pad, pad)),
+                mode="reflect")
+    n_frames = (x.shape[-1] - n_fft) // hop
+    idx = (
+        jnp.arange(n_frames)[:, None] * hop + jnp.arange(n_fft)[None, :]
+    )
+    frames = x[:, idx] * window[None, None, :]
+    spec = jnp.fft.rfft(frames, axis=-1)
+    power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+    mel = power @ mel_basis.T  # [B, T, n_mels]
+    log_mel = jnp.log10(jnp.maximum(mel, 1e-10))
+    log_max = (
+        log_mel_max if log_mel_max > 0.0
+        else jnp.max(log_mel, axis=(1, 2), keepdims=True)
+    )
+    log_mel = jnp.maximum(log_mel, log_max - 8.0)
+    return jnp.swapaxes((log_mel + 4.0) / 4.0, 1, 2)

@@ -77,6 +77,17 @@ def build_parser() -> argparse.ArgumentParser:
         help="Force the JAX platform (the JAX_PLATFORMS env var is "
         "unreliable when a TPU plugin is installed)",
     )
+    p.add_argument(
+        "--tp", type=int, default=1,
+        help="Tensor-parallel ways (shards attention heads / FFN / the "
+        "131k-vocab lm_head over the mesh's model axis; needs tp*dp "
+        "devices).  Beyond reference parity — it is single-device only",
+    )
+    p.add_argument(
+        "--dp", type=int, default=1,
+        help="Data-parallel ways (shards batched chunk rows over the "
+        "mesh's data axis; the WER harness's batch eval axis)",
+    )
     p.add_argument("-v", "--verbose", action="store_true")
     return p
 
@@ -132,6 +143,27 @@ def main(argv: list[str] | None = None) -> int:
         delay_tokens=args.delay, max_mel_frames=args.max_mel_frames
     )
 
+    mesh = None
+    if args.tp < 1 or args.dp < 1:
+        print("error: --tp/--dp must be >= 1", file=sys.stderr)
+        return 2
+    if args.tp * args.dp > 1:
+        import jax
+
+        from voxtral_tpu.parallel import make_mesh
+
+        n_dev = len(jax.devices())
+        if args.tp * args.dp > n_dev:
+            print(
+                f"error: --tp {args.tp} x --dp {args.dp} needs "
+                f"{args.tp * args.dp} devices, found {n_dev}",
+                file=sys.stderr,
+            )
+            return 2
+        mesh = make_mesh(n_data=args.dp, n_model=args.tp)
+        log.info("mesh: %d data x %d model over %d devices",
+                 args.dp, args.tp, args.dp * args.tp)
+
     if args.random_weights:
         import jax
         import jax.numpy as jnp
@@ -146,11 +178,18 @@ def main(argv: list[str] | None = None) -> int:
             if args.params
             else VoxtralConfig.voxtral()
         )
-        model = VoxtralModel.init_random(
-            jax.random.PRNGKey(0),
-            cfg,
-            dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
-        )
+        if args.dtype == "w8":
+            from voxtral_tpu.utils.quantize import random_w8_params
+
+            model = VoxtralModel(random_w8_params(cfg), cfg, mesh=mesh)
+        else:
+            model = VoxtralModel.init_random(
+                jax.random.PRNGKey(0),
+                cfg,
+                dtype=jnp.bfloat16 if args.dtype == "bfloat16"
+                else jnp.float32,
+                mesh=mesh,
+            )
         if args.tokenizer:
             tokenizer = VoxtralTokenizer.from_file(args.tokenizer)
         else:
@@ -168,7 +207,7 @@ def main(argv: list[str] | None = None) -> int:
         try:
             pipeline = TranscribePipeline.from_gguf(
                 args.gguf, args.tokenizer, pcfg, config=cfg,
-                weight_format=args.weight_format,
+                weight_format=args.weight_format, mesh=mesh,
             )
         except (ValueError, EOFError, KeyError) as e:
             print(f"error: failed to load GGUF model: {e}", file=sys.stderr)
@@ -182,7 +221,8 @@ def main(argv: list[str] | None = None) -> int:
                 file=sys.stderr,
             )
             return 2
-        pipeline = TranscribePipeline.from_model_dir(model_dir, args.dtype, pcfg)
+        pipeline = TranscribePipeline.from_model_dir(
+            model_dir, args.dtype, pcfg, mesh=mesh)
 
     status = 0
     for path in audio_paths:

@@ -246,7 +246,8 @@ class Q4ModelLoader:
 
 
 def load_q4_model(path: str | Path, cfg: Optional[VoxtralConfig] = None,
-                  pack_nibbles: bool = True, weight_format: str = "q4"):
+                  pack_nibbles: bool = True, weight_format: str = "q4",
+                  mesh=None):
     """GGUF file -> VoxtralModel with Q4 (or load-time-W8) weights."""
     from voxtral_tpu.models.voxtral import VoxtralModel
 
@@ -254,4 +255,4 @@ def load_q4_model(path: str | Path, cfg: Optional[VoxtralConfig] = None,
         path, cfg=cfg, pack_nibbles=pack_nibbles, weight_format=weight_format
     )
     params = loader.load()
-    return VoxtralModel(params, loader.cfg)
+    return VoxtralModel(params, loader.cfg, mesh=mesh)

@@ -126,6 +126,7 @@ def transcribe_streaming_fn(
     temperature: float = 0.0,
     top_k: int = 0,
     seed: int = 0,
+    parallel=None,
 ) -> jax.Array:
     """Greedy streaming transcription, fully on device, batched.
 
@@ -141,6 +142,15 @@ def transcribe_streaming_fn(
     (ops.decode_step_pallas.fuse_decode_weights) — when given, each decode
     step runs 26 fused per-layer Pallas kernels instead of ~200 XLA ops,
     keeping the weight DMA pipelined through the attention/VPU work.
+
+    ``parallel``: a :class:`voxtral_tpu.parallel.ParallelPlan` (closed
+    over, never traced).  With ``tp > 1`` the fused decode step runs the
+    tensor-parallel half-kernels (``fused`` must then be the model's
+    ``fused_tp`` dict with a leading shard axis); with ``dp > 1`` the
+    whole-stack kernel runs under a batch-sharded ``shard_map``.  The XLA
+    (non-fused) paths need no routing — they partition automatically from
+    the parameter shardings (reference has no distributed runtime at all,
+    SURVEY.md §2.6).
     """
     lm_cfg = cfg.language_model
 
@@ -175,10 +185,23 @@ def transcribe_streaming_fn(
 
         ada_vecs = ada_vectors(params["decoder"], t_embed)  # [L, D]
         n_layers = lm_cfg.n_layers
-        use_stack = supports_stack_kernel(lm_cfg)
+        # Parallel routing (trace-time statics).  TP replaces the stack
+        # kernel with the attn/ffn half-kernels (+psum at the layer's two
+        # reduction points); DP wraps the stack kernel in a batch-sharded
+        # shard_map.  tp takes precedence on a combined mesh (dp x tp
+        # fused composition rides the XLA path).
+        use_tp = (parallel is not None and parallel.tp > 1
+                  and fused["wqkv"].ndim == 4)
+        use_dp = (parallel is not None and not use_tp and parallel.dp > 1
+                  and batch % parallel.dp == 0)
+        use_stack = not use_tp and supports_stack_kernel(lm_cfg)
         # Fold final norm + tied lm_head into the stack kernel when the
         # embedding table is w8 and the vocab tiles cleanly.
-        from voxtral_tpu.ops.decode_step_pallas import _lm_tile
+        from voxtral_tpu.ops.decode_step_pallas import (
+            STACK_VMEM_CAP,
+            _lm_tile,
+            stack_vmem_need,
+        )
 
         emb = params["decoder"]["tok_embeddings"]
         lm_w8 = emb.get("w8") if isinstance(emb, dict) else None
@@ -187,7 +210,40 @@ def transcribe_streaming_fn(
             and lm_w8 is not None
             and _lm_tile(lm_w8["codes"].shape[0], lm_cfg.dim) is not None
         )
+        # VMEM gate (same rule as streaming._fused_plan): the pipeline can
+        # merge many chunks into one batch, and per-row cache + logits VMEM
+        # grows with B — an oversized geometry would hard-fail the Mosaic
+        # compile at runtime.  Drop the lm fold first (its buffers + [B, V]
+        # logits block are the biggest optional term), then the stack
+        # kernel entirely, falling back to the per-layer fused path.
+        if use_stack:
+            itemsize = jnp.dtype(cache_dtype).itemsize
+            # Under DP each shard sees batch/dp rows.
+            gate_batch = batch // parallel.dp if use_dp else batch
 
+            def _need(vocab):
+                return stack_vmem_need(
+                    gate_batch, seq_len, lm_cfg.dim, lm_cfg.n_heads,
+                    lm_cfg.n_kv_heads, lm_cfg.head_dim, lm_cfg.hidden_dim,
+                    vocab, itemsize,
+                )
+
+            if fold_lm:
+                need = _need(lm_w8["codes"].shape[0])
+                if need is None or need > STACK_VMEM_CAP:
+                    fold_lm = False
+            if not fold_lm:
+                need = _need(None)
+                if need is None or need > STACK_VMEM_CAP:
+                    use_stack = False
+        use_dp = use_dp and use_stack
+        if parallel is not None and not (use_tp or use_stack):
+            # A sharded model must never hit the per-layer Pallas fallback
+            # (pallas_call cannot be auto-partitioned); the XLA step path
+            # below partitions automatically from the parameter shardings.
+            fused = None
+
+    if fused is not None:
         def step(carry, i):
             prev_token, cache, key = carry
             key, kstep = jax.random.split(key)
@@ -201,6 +257,37 @@ def transcribe_streaming_fn(
                 offset, lm_cfg.head_dim, lm_cfg.rope_theta
             )
 
+            def append(cache, k_new, v_new):
+                # k_new/v_new [L, B, Hkv, hd] -> head-major cache slot
+                # ``offset`` along S for every layer at once.
+                zero = jnp.zeros((), jnp.int32)
+                start = (zero, zero, zero, offset, zero)
+                k_c = jax.lax.dynamic_update_slice(
+                    cache.k, k_new[:, :, :, None].astype(cache.k.dtype),
+                    start)
+                v_c = jax.lax.dynamic_update_slice(
+                    cache.v, v_new[:, :, :, None].astype(cache.v.dtype),
+                    start)
+                return KVCache(k_c, v_c, offset + 1)
+
+            if use_tp:
+                from voxtral_tpu.ops.decode_tp_pallas import tp_decode_step
+
+                xo, k_new, v_new = tp_decode_step(
+                    parallel.mesh, x, offset,
+                    fused["attn_norm"], fused["ffn_norm"], ada_vecs,
+                    fused, cos_p, sin_p, cache.k, cache.v,
+                    n_heads=lm_cfg.n_heads, n_kv=lm_cfg.n_kv_heads,
+                    head_dim=lm_cfg.head_dim, eps=lm_cfg.norm_eps,
+                    interpret=mk_interpret, window=lm_cfg.sliding_window,
+                )
+                cache = append(cache, k_new, v_new)
+                hidden = rms_norm(
+                    xo, params["decoder"]["norm"], lm_cfg.norm_eps)
+                logits = lm_head(params["decoder"], hidden)
+                token = select_token(logits, kstep, temperature, top_k)
+                return (token, cache, key), token
+
             if use_stack:
                 # Whole stack in one kernel: weight DMA never drains
                 # across phase or layer boundaries.  The fused path
@@ -213,30 +300,40 @@ def transcribe_streaming_fn(
                         lm_codes=lm_w8["codes"],
                         lm_scale=lm_w8["scale"],
                     )
-                out = decode_stack_step(
-                    x, offset,
-                    fused["attn_norm"], fused["ffn_norm"], ada_vecs,
-                    fused["sqkv"], fused["so"], fused["s13"], fused["s2"],
-                    cos_p, sin_p, cache.k, cache.v,
-                    fused["wqkv"], fused["wo"], fused["w13"], fused["w2"],
+                kernel_kw = dict(
                     n_heads=lm_cfg.n_heads, n_kv=lm_cfg.n_kv_heads,
                     head_dim=lm_cfg.head_dim, eps=lm_cfg.norm_eps,
                     interpret=mk_interpret,
-                    window=lm_cfg.sliding_window, **lm_kw,
+                    window=lm_cfg.sliding_window,
                 )
+                if use_dp:
+                    from voxtral_tpu.parallel.dp_decode import (
+                        dp_decode_stack_step,
+                    )
+
+                    out = dp_decode_stack_step(
+                        parallel.mesh, x,
+                        jnp.full((batch,), offset, jnp.int32),
+                        fused["attn_norm"], fused["ffn_norm"], ada_vecs,
+                        fused["sqkv"], fused["so"], fused["s13"],
+                        fused["s2"], cos_p, sin_p, cache.k, cache.v,
+                        fused["wqkv"], fused["wo"], fused["w13"],
+                        fused["w2"], **lm_kw, **kernel_kw,
+                    )
+                else:
+                    out = decode_stack_step(
+                        x, offset,
+                        fused["attn_norm"], fused["ffn_norm"], ada_vecs,
+                        fused["sqkv"], fused["so"], fused["s13"],
+                        fused["s2"], cos_p, sin_p, cache.k, cache.v,
+                        fused["wqkv"], fused["wo"], fused["w13"],
+                        fused["w2"], **lm_kw, **kernel_kw,
+                    )
                 if fold_lm:
                     x, k_new, v_new, logits = out
                 else:
                     x, k_new, v_new = out
-                zero = jnp.zeros((), jnp.int32)
-                start = (zero, zero, zero, offset, zero)
-                k_c = jax.lax.dynamic_update_slice(
-                    cache.k, k_new[:, :, :, None].astype(cache.k.dtype),
-                    start)
-                v_c = jax.lax.dynamic_update_slice(
-                    cache.v, v_new[:, :, :, None].astype(cache.v.dtype),
-                    start)
-                cache = KVCache(k_c, v_c, offset + 1)
+                cache = append(cache, k_new, v_new)
                 if not fold_lm:
                     hidden = rms_norm(
                         x, params["decoder"]["norm"], lm_cfg.norm_eps)
@@ -290,9 +387,9 @@ def transcribe_streaming_fn(
             token = select_token(logits, kstep, temperature, top_k)
             return (token, cache, key), token
 
-    if fused is not None and use_stack:
+    if fused is not None and (use_stack or use_tp):
         # One-time head-major transpose of the prefilled cache for the
-        # stack kernel ([L, B, S, Hkv, hd] -> [L, B, Hkv, S, hd]).
+        # stack / TP half kernels ([L, B, S, Hkv, hd] -> [L, B, Hkv, S, hd]).
         cache = KVCache(
             jnp.transpose(cache.k, (0, 1, 3, 2, 4)),
             jnp.transpose(cache.v, (0, 1, 3, 2, 4)),
@@ -304,6 +401,36 @@ def transcribe_streaming_fn(
         step, (first_token, cache, key), jnp.arange(n_steps, dtype=jnp.int32)
     )  # rest: [n_steps, B]
     return jnp.concatenate([first_token[None, :], rest]).T  # [B, S-PREFIX]
+
+
+def transcribe_from_samples_fn(
+    params: Params,
+    samples: jax.Array,
+    mel_window: jax.Array,
+    mel_basis: jax.Array,
+    t_embed: jax.Array,
+    cfg: VoxtralConfig,
+    n_fft: int = 400,
+    hop: int = 160,
+    log_mel_max: float = 1.5,
+    compute_dtype=jnp.bfloat16,
+    **kw,
+) -> jax.Array:
+    """Fused frontend: padded samples [B, N] -> greedy tokens, ONE program.
+
+    Folds the log-mel frontend (``audio.mel.mel_log_jax_batch``) into the
+    same jitted program as encode + decode, so a transcription is a single
+    dispatch with one host fetch — the reference pays a CPU mel stage + a
+    GPU upload per chunk (transcribe.rs:279-306) and the round-2 pipeline
+    paid a host mel + an extra transfer + dispatch.
+    """
+    from voxtral_tpu.audio.mel import mel_log_jax_batch
+
+    mel = mel_log_jax_batch(
+        samples, mel_window, mel_basis,
+        n_fft=n_fft, hop=hop, log_mel_max=log_mel_max,
+    ).astype(compute_dtype)
+    return transcribe_streaming_fn(params, mel, t_embed, cfg, **kw)
 
 
 # ---------------------------------------------------------------------------
@@ -320,7 +447,13 @@ class VoxtralModel:
     """
 
     def __init__(self, params: Params, config: Optional[VoxtralConfig] = None,
-                 cache_dtype=None, compute_dtype=None):
+                 cache_dtype=None, compute_dtype=None, mesh=None):
+        """``mesh``: optional ``jax.sharding.Mesh`` with ("data", "model")
+        axes (see :func:`voxtral_tpu.parallel.make_mesh`).  When given,
+        the parameters are TP/DP-sharded onto it and the transcribe path
+        routes fused decode through the TP half-kernels (tp > 1) or the
+        batch-sharded DP shard_map (dp > 1).  Beyond reference parity —
+        the reference is single-device only (SURVEY.md §2.6)."""
         self.params = params
         self.config = config or VoxtralConfig.voxtral()
         # Activation dtype: follows the dense weights, bf16 on the Q4 path.
@@ -358,6 +491,54 @@ class VoxtralModel:
             self.fused_decode = fuse_decode_weights(params["decoder"])
             self._mk_interpret = not on_tpu
 
+        # Multi-chip surface: shard the params onto the mesh and prepare
+        # the TP-resharded fused stacks (built from the fused weights
+        # BEFORE sharding, then placed with a leading model-axis shard).
+        self.parallel = None
+        self.fused_tp = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from voxtral_tpu.parallel import (
+                MODEL_AXIS,
+                ParallelPlan,
+                shard_params,
+            )
+
+            plan = ParallelPlan.from_mesh(mesh)
+            self.parallel = plan
+            if plan.tp > 1 and self.fused_decode is not None:
+                if (lm.n_kv_heads % plan.tp == 0
+                        and lm.hidden_dim % plan.tp == 0):
+                    from voxtral_tpu.ops.decode_tp_pallas import (
+                        tp_shard_fused_weights,
+                    )
+
+                    tp_w = tp_shard_fused_weights(
+                        self.fused_decode, lm.n_heads, lm.n_kv_heads,
+                        lm.head_dim, lm.hidden_dim, plan.tp)
+                    rep = NamedSharding(mesh, P())
+
+                    def put(a):
+                        spec = P(MODEL_AXIS, *([None] * (a.ndim - 1)))
+                        return jax.device_put(a, NamedSharding(mesh, spec))
+
+                    self.fused_tp = {k: put(v) for k, v in tp_w.items()}
+                    for name in ("attn_norm", "ffn_norm"):
+                        self.fused_tp[name] = jax.device_put(
+                            self.fused_decode[name], rep)
+                # TP sessions/pools would feed decode_stack_step sharded
+                # caches; drop the single-chip fused stacks so streaming
+                # rides the auto-partitioned XLA path instead.
+                self.fused_decode = None
+            elif plan.dp > 1 and self.fused_decode is not None:
+                rep = NamedSharding(mesh, P())
+                self.fused_decode = {
+                    k: jax.device_put(v, rep)
+                    for k, v in self.fused_decode.items()
+                }
+            self.params = shard_params(params, mesh)
+
         self._encode = jax.jit(partial(encode_audio_fn, cfg=cfg))
         self._forward = jax.jit(partial(forward_fn, cfg=cfg))
         self._forward_streaming = jax.jit(partial(forward_streaming_fn, cfg=cfg))
@@ -372,9 +553,16 @@ class VoxtralModel:
                 partial(transcribe_streaming_fn, cfg=self.config,
                         cache_dtype=self.cache_dtype,
                         mk_interpret=self._mk_interpret,
-                        temperature=float(temperature), top_k=int(top_k))
+                        temperature=float(temperature), top_k=int(top_k),
+                        parallel=self.parallel)
             )
         return self._transcribe_jits[key]
+
+    @property
+    def _transcribe_fused(self):
+        """Fused weights for the transcribe path: the TP-resharded stacks
+        under a tp mesh, the single-chip stacks otherwise."""
+        return self.fused_tp if self.fused_tp is not None else self.fused_decode
 
     # -- constructors -------------------------------------------------------
 
@@ -385,6 +573,7 @@ class VoxtralModel:
         config: Optional[VoxtralConfig] = None,
         dtype=jnp.bfloat16,
         vocab_size: Optional[int] = None,
+        mesh=None,
     ) -> "VoxtralModel":
         """Random production-shape weights (tests / benchmarks)."""
         from voxtral_tpu.models.adapter import init_adapter_params
@@ -410,7 +599,7 @@ class VoxtralModel:
                 dtype,
             ),
         }
-        return cls(params, config)
+        return cls(params, config, mesh=mesh)
 
     # -- API ----------------------------------------------------------------
 
@@ -420,6 +609,25 @@ class VoxtralModel:
 
     def _cast_mel(self, mel) -> jax.Array:
         return jnp.asarray(mel).astype(self.compute_dtype)
+
+    def _pad_dp_rows(self, mel_batch):
+        """Pad the batch with silence rows to a multiple of the mesh's
+        data axis (the DP shard_map needs B % dp == 0); the padded rows'
+        tokens are trimmed by the caller.  Returns (mel, real_batch)."""
+        b = mel_batch.shape[0]
+        if self.parallel is None or self.parallel.dp <= 1:
+            return mel_batch, b
+        pad = (-b) % self.parallel.dp
+        if pad == 0:
+            return mel_batch, b
+        return (
+            jnp.concatenate(
+                [mel_batch,
+                 jnp.zeros((pad, *mel_batch.shape[1:]), mel_batch.dtype)],
+                axis=0,
+            ),
+            b,
+        )
 
     def encode_audio(self, mel: jax.Array) -> jax.Array:
         with span("encode_audio", mel_frames=int(mel.shape[-1])):
@@ -513,10 +721,12 @@ class VoxtralModel:
             return np.zeros((0,), dtype=np.int32)
         t_embed = self.t_embed(delay_tokens)
         fn = self._get_transcribe(temperature, top_k)
+        mel, real_b = self._pad_dp_rows(mel)
         with span("transcribe_streaming", mel_frames=int(mel.shape[-1]),
                   tokens=seq - PREFIX_LEN):
             tokens = fn(
-                self.params, mel, t_embed, fused=self.fused_decode, seed=seed
+                self.params, mel, t_embed, fused=self._transcribe_fused,
+                seed=seed,
             )
             return np.asarray(jax.device_get(tokens))[0]
 
@@ -533,9 +743,54 @@ class VoxtralModel:
         if self.decoder_seq_len(mel_batch.shape[-1]) < PREFIX_LEN + 1:
             return np.zeros((mel_batch.shape[0], 0), dtype=np.int32)
         t_embed = self.t_embed(delay_tokens)
-        return self._transcribe(
-            self.params, mel_batch, t_embed, fused=self.fused_decode
+        mel_batch, real_b = self._pad_dp_rows(mel_batch)
+        tokens = self._transcribe(
+            self.params, mel_batch, t_embed, fused=self._transcribe_fused
         )
+        return tokens[:real_b] if real_b != tokens.shape[0] else tokens
+
+    def _get_transcribe_samples(self, mel_cfg, temperature: float = 0.0,
+                                top_k: int = 0):
+        """Jitted fused-frontend transcribe (samples -> tokens), cached."""
+        key = ("samples", mel_cfg.n_fft, mel_cfg.hop_length,
+               mel_cfg.log_mel_max, float(temperature), int(top_k))
+        if key not in self._transcribe_jits:
+            self._transcribe_jits[key] = jax.jit(
+                partial(transcribe_from_samples_fn, cfg=self.config,
+                        n_fft=mel_cfg.n_fft, hop=mel_cfg.hop_length,
+                        log_mel_max=mel_cfg.log_mel_max,
+                        compute_dtype=self.compute_dtype,
+                        cache_dtype=self.cache_dtype,
+                        mk_interpret=self._mk_interpret,
+                        temperature=float(temperature), top_k=int(top_k),
+                        parallel=self.parallel)
+            )
+        return self._transcribe_jits[key]
+
+    def transcribe_streaming_batch_samples_async(
+        self, samples: jax.Array, mel_spec, delay_tokens: float = 6.0
+    ):
+        """Fused-frontend batched transcription dispatch (no fetch).
+
+        ``samples`` [B, N] f32, already reference-padded (76 left /
+        align+17 right) and bucketed; ``mel_spec`` a
+        :class:`~voxtral_tpu.audio.MelSpectrogram`.  The log-mel frontend
+        runs INSIDE the jitted program (one dispatch, one fetch) — see
+        :func:`transcribe_from_samples_fn`.
+        """
+        samples = jnp.asarray(samples, jnp.float32)
+        t = mel_spec.num_frames(samples.shape[-1])
+        if self.decoder_seq_len(t) < PREFIX_LEN + 1:
+            return np.zeros((samples.shape[0], 0), dtype=np.int32)
+        t_embed = self.t_embed(delay_tokens)
+        window, basis = mel_spec.device_arrays()
+        samples, real_b = self._pad_dp_rows(samples)
+        fn = self._get_transcribe_samples(mel_spec.config)
+        tokens = fn(
+            self.params, samples, window, basis, t_embed,
+            fused=self._transcribe_fused,
+        )
+        return tokens[:real_b] if real_b != tokens.shape[0] else tokens
 
     def transcribe_streaming_batch(
         self, mel_batch: jax.Array, delay_tokens: float = 6.0

@@ -10,11 +10,14 @@ without touching model code.
 
 from voxtral_tpu.parallel.dp_decode import dp_decode_stack_step
 from voxtral_tpu.parallel.mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    ParallelPlan,
     make_mesh,
     param_shardings,
     replicate,
     shard_params,
 )
 
-__all__ = ["dp_decode_stack_step", "make_mesh", "param_shardings",
-           "replicate", "shard_params"]
+__all__ = ["DATA_AXIS", "MODEL_AXIS", "ParallelPlan", "dp_decode_stack_step",
+           "make_mesh", "param_shardings", "replicate", "shard_params"]

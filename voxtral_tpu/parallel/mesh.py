@@ -16,6 +16,7 @@ Data parallelism: batch axis on ``data`` (used by the WER eval harness).
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Any, Optional
 
 import jax
@@ -26,6 +27,26 @@ Params = dict[str, Any]
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+
+
+@dataclasses.dataclass(frozen=True)
+class ParallelPlan:
+    """User-surface description of a multi-chip run (CLI ``--dp/--tp``).
+
+    Carried by :class:`~voxtral_tpu.models.voxtral.VoxtralModel` when a
+    mesh is attached; the transcribe path routes its fused decode steps
+    through the DP shard_map (``parallel/dp_decode.py``) or the TP
+    half-kernels (``ops/decode_tp_pallas.py``) accordingly, and the XLA
+    paths partition automatically from the parameter shardings.
+    """
+
+    mesh: Mesh
+    dp: int = 1
+    tp: int = 1
+
+    @classmethod
+    def from_mesh(cls, mesh: Mesh) -> "ParallelPlan":
+        return cls(mesh, dp=mesh.shape[DATA_AXIS], tp=mesh.shape[MODEL_AXIS])
 
 
 def make_mesh(

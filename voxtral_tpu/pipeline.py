@@ -52,6 +52,10 @@ SAMPLES_PER_POSITION = 2560  # one decoder position = 2560 samples (160 ms)
 # Measured: B=1: 4.60, B=2: 4.61, B=4: 4.62, B=8: 5.06 ms/step.
 STEP_COST_C0_MS = 4.55
 STEP_COST_C1_MS = 0.07
+# Encoder cost per padded-in decoder position (merging pads short chunks
+# with silence that still gets encoded: 7.88 ms / 2344 mel frames measured
+# on v5e = ~3.4 us per mel frame = ~0.054 ms per 16-frame position).
+ENC_COST_PER_POS_MS = 0.06
 
 
 @dataclasses.dataclass
@@ -68,6 +72,12 @@ class PipelineConfig:
     # of each file; 8 positions (1.28 s) balances compile count vs waste.
     bucket_positions: int = 8
     peak_normalize: Optional[float] = 0.95
+    # On-device mel frontend: fold log-mel into the jitted encode+decode
+    # program (one dispatch, one fetch per chunk group).  None = auto
+    # (on for TPU backends; CPU keeps the host numpy mel, whose pocketfft
+    # beats XLA CPU).  Tokens are identical up to f32 FFT rounding;
+    # parity is pinned in tests/test_pipeline_device_mel.py.
+    mel_device: Optional[bool] = None
 
 
 class TranscribePipeline:
@@ -96,10 +106,12 @@ class TranscribePipeline:
         model_dir: str | Path,
         dtype: str = "bfloat16",
         pipeline_config: Optional[PipelineConfig] = None,
+        mesh=None,
     ) -> "TranscribePipeline":
         """SafeTensors path: dir with consolidated.safetensors, params.json,
         tekken.json.  dtype: "bfloat16" | "float32" | "w8" (rowwise-int8
-        requantized at load — the fast decode path without a GGUF step)."""
+        requantized at load — the fast decode path without a GGUF step).
+        ``mesh``: optional device mesh for TP/DP (CLI ``--tp/--dp``)."""
         from voxtral_tpu.loaders.safetensors_loader import load_voxtral_params
 
         model_dir = Path(model_dir)
@@ -120,7 +132,8 @@ class TranscribePipeline:
         log.info("loaded safetensors weights (%s) in %.1fs", dtype,
                  time.time() - t0)
         tokenizer = VoxtralTokenizer.from_model_dir(model_dir)
-        return cls(VoxtralModel(params, cfg), tokenizer, pipeline_config)
+        return cls(VoxtralModel(params, cfg, mesh=mesh), tokenizer,
+                   pipeline_config)
 
     @classmethod
     def from_gguf(
@@ -130,6 +143,7 @@ class TranscribePipeline:
         pipeline_config: Optional[PipelineConfig] = None,
         config: Optional[VoxtralConfig] = None,
         weight_format: str = "q4",
+        mesh=None,
     ) -> "TranscribePipeline":
         """Q4_0 GGUF path.
 
@@ -146,7 +160,8 @@ class TranscribePipeline:
                 config = VoxtralConfig.from_file(sidecar)
                 log.info("using architecture config from %s", sidecar)
         t0 = time.time()
-        model = load_q4_model(gguf_path, config, weight_format=weight_format)
+        model = load_q4_model(gguf_path, config, weight_format=weight_format,
+                              mesh=mesh)
         log.info("loaded GGUF Q4 weights in %.1fs", time.time() - t0)
         tokenizer = VoxtralTokenizer.from_file(tokenizer_path)
         return cls(model, tokenizer, pipeline_config)
@@ -205,7 +220,14 @@ class TranscribePipeline:
                 max(tok_counts[i] for i in idxs) * step_cost(len(idxs))
                 for idxs in groups.values()
             )
-            merged_cost = max(tok_counts) * step_cost(len(padded))
+            # Merging pads every short chunk to the longest: those silent
+            # positions are still encoded, so charge the encoder for them
+            # (decode cost alone would over-merge very unequal groups).
+            extra_positions = sum(max(tok_counts) - tc for tc in tok_counts)
+            merged_cost = (
+                max(tok_counts) * step_cost(len(padded))
+                + ENC_COST_PER_POS_MS * extra_positions
+            )
             if merged_cost < grouped_cost:
                 target = max(len(p.samples) for p in padded)
                 padded = [
@@ -227,21 +249,14 @@ class TranscribePipeline:
         chunk_tokens: list[np.ndarray] = [None] * len(padded)  # type: ignore
         pending = []
         for length, idxs in groups.items():
-            with span("mel", chunks=len(idxs), samples=length):
-                mels = np.concatenate(
-                    [self.mel.compute_log_batch(padded[i].samples) for i in idxs],
-                    axis=0,
-                )
             if len(idxs) > 1:
                 log.info(
                     "decoding %d equal-length chunks in one batched scan",
                     len(idxs),
                 )
-            with span("transcribe_dispatch", batch=len(idxs),
-                      mel_frames=mels.shape[-1]):
-                pending.append((idxs, self.model.transcribe_streaming_batch_async(
-                    mels, delay_tokens=self.pcfg.delay_tokens
-                )))
+            pending.append((idxs, self._dispatch_batch(
+                [padded[i].samples for i in idxs]
+            )))
         with span("transcribe_fetch", groups=len(pending)):
             for idxs, dev_tokens in pending:
                 for i, toks in zip(idxs, np.asarray(dev_tokens)):
@@ -255,9 +270,92 @@ class TranscribePipeline:
                     texts.append(text.strip())
         return " ".join(texts)
 
+    def _device_mel(self) -> bool:
+        if self.pcfg.mel_device is not None:
+            return self.pcfg.mel_device
+        import jax
+
+        return jax.default_backend() == "tpu"
+
+    def _dispatch_batch(self, sample_rows: list[np.ndarray]):
+        """Dispatch one equal-length batch of padded sample rows (async).
+
+        Fused frontend (``mel_device``): raw samples in, tokens out, one
+        jitted program; otherwise host numpy mel + batched decode.
+        """
+        n = len(sample_rows)
+        if self._device_mel():
+            batch = np.stack(sample_rows)
+            with span("transcribe_dispatch", batch=n,
+                      samples=batch.shape[-1], device_mel=True):
+                return self.model.transcribe_streaming_batch_samples_async(
+                    batch, self.mel, delay_tokens=self.pcfg.delay_tokens
+                )
+        with span("mel", chunks=n, samples=len(sample_rows[0])):
+            mels = np.concatenate(
+                [self.mel.compute_log_batch(s) for s in sample_rows], axis=0
+            )
+        with span("transcribe_dispatch", batch=n,
+                  mel_frames=mels.shape[-1]):
+            return self.model.transcribe_streaming_batch_async(
+                mels, delay_tokens=self.pcfg.delay_tokens
+            )
+
     def transcribe_file(self, path: str | Path) -> str:
         audio = load_wav(path)
         return self.transcribe_samples(audio.samples, audio.sample_rate)
+
+    def transcribe_files_batched(
+        self, paths: list, batch_size: int = 8
+    ) -> list[str]:
+        """Batched multi-file transcription — the WER harness's batch/DP
+        seam (SURVEY.md §2.6 "DP (batch WER eval)").
+
+        Decode streams the same weights regardless of batch, so grouping
+        same-padded-length utterances from DIFFERENT files into one
+        on-device scan cuts eval wall-time nearly ``batch_size``-fold
+        (measured 1304 tok/s aggregate at B=8 vs 220 solo).  Files longer
+        than one chunk fall back to :meth:`transcribe_samples`.  Under a
+        ``--dp`` mesh the batch rows shard over the data axis.
+        """
+        results: list[Optional[str]] = [None] * len(paths)
+        singles: list[tuple[int, AudioBuffer]] = []
+        for i, p in enumerate(paths):
+            audio = load_wav(p)
+            if audio.sample_rate != 16000:
+                audio = resample_to_16k(audio)
+            if self.pcfg.peak_normalize is not None:
+                audio.peak_normalize(self.pcfg.peak_normalize)
+            chunks = chunk_audio(audio.samples, self.chunk_config)
+            if len(chunks) > 1:
+                results[i] = self.transcribe_samples(audio.samples, 16000)
+                continue
+            singles.append(
+                (i, self._bucketed_pad(AudioBuffer(chunks[0].samples, 16000)))
+            )
+
+        groups: dict[int, list[int]] = {}
+        padded = {i: buf for i, buf in singles}
+        for i, buf in singles:
+            groups.setdefault(len(buf.samples), []).append(i)
+
+        pending = []
+        for length, idxs in groups.items():
+            for lo in range(0, len(idxs), batch_size):
+                part = idxs[lo:lo + batch_size]
+                pending.append((part, self._dispatch_batch(
+                    [padded[i].samples for i in part]
+                )))
+        with span("transcribe_fetch", groups=len(pending)):
+            for idxs, dev_tokens in pending:
+                for i, toks in zip(idxs, np.asarray(dev_tokens)):
+                    n_tok = (
+                        self.model.decoder_seq_len(
+                            self.mel.num_frames(len(padded[i].samples)))
+                        - PREFIX_LEN
+                    )
+                    results[i] = self.decode_tokens(toks[:n_tok]).strip()
+        return [r if r is not None else "" for r in results]
 
     def decode_tokens(self, tokens: np.ndarray) -> str:
         """Filter control tokens (<1000) and decode (transcribe.rs:309-318)."""

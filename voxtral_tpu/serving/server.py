@@ -44,7 +44,7 @@ class _State:
     COALESCE_S = 0.02  # batching window for concurrent /stream feeds
 
     def __init__(self, pipeline: TranscribePipeline, step_positions: int = 8,
-                 pool_streams: int = 0):
+                 pool_streams: int = 0, pool_unbounded: bool = False):
         self.pipeline = pipeline
         self.step_positions = step_positions
         self.lock = threading.Lock()
@@ -65,6 +65,7 @@ class _State:
                 pipeline.model, max_streams=pool_streams,
                 step_positions=step_positions,
                 delay_tokens=pipeline.pcfg.delay_tokens,
+                unbounded=pool_unbounded,
             )
             threading.Thread(target=self._pump_loop, daemon=True).start()
 
@@ -312,9 +313,11 @@ def make_server(
     port: int = 8080,
     step_positions: int = 8,
     pool_streams: int = 0,
+    pool_unbounded: bool = False,
 ) -> VoxtralHTTPServer:
     return VoxtralHTTPServer(
-        (host, port), _State(pipeline, step_positions, pool_streams)
+        (host, port),
+        _State(pipeline, step_positions, pool_streams, pool_unbounded),
     )
 
 
@@ -334,6 +337,14 @@ def main(argv: Optional[list[str]] = None) -> int:
     ap.add_argument("--pool-streams", type=int, default=4,
                     help="coalesce up to N concurrent /stream sessions into "
                     "batched decode steps (0 disables pooling)")
+    ap.add_argument("--pool-unbounded", action="store_true",
+                    help="pooled sessions use in-kernel head+ring KV "
+                    "caches: streams never hit a max duration (bounded "
+                    "only by the ~43 min RoPE tables)")
+    ap.add_argument("--tp", type=int, default=1,
+                    help="tensor-parallel ways (mesh model axis)")
+    ap.add_argument("--dp", type=int, default=1,
+                    help="data-parallel ways (mesh data axis)")
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO, stream=sys.stderr)
@@ -345,6 +356,12 @@ def main(argv: Optional[list[str]] = None) -> int:
     from voxtral_tpu.utils.compilation_cache import enable as enable_cache
 
     enable_cache()
+
+    mesh = None
+    if args.tp * args.dp > 1:
+        from voxtral_tpu.parallel import make_mesh
+
+        mesh = make_mesh(n_data=args.dp, n_model=args.tp)
 
     if args.random_weights:
         import jax
@@ -359,22 +376,25 @@ def main(argv: Optional[list[str]] = None) -> int:
             if args.params
             else VoxtralConfig.voxtral()
         )
-        model = VoxtralModel.init_random(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+        model = VoxtralModel.init_random(jax.random.PRNGKey(0), cfg,
+                                         jnp.bfloat16, mesh=mesh)
         tokenizer = VoxtralTokenizer([None] * 131072, {}, 131072)
         pipeline = TranscribePipeline(model, tokenizer)
     elif args.gguf:
         if not args.tokenizer:
             print("error: --gguf requires --tokenizer", file=sys.stderr)
             return 2
-        pipeline = TranscribePipeline.from_gguf(args.gguf, args.tokenizer)
+        pipeline = TranscribePipeline.from_gguf(args.gguf, args.tokenizer,
+                                                mesh=mesh)
     elif args.model:
-        pipeline = TranscribePipeline.from_model_dir(args.model)
+        pipeline = TranscribePipeline.from_model_dir(args.model, mesh=mesh)
     else:
         print("error: need --model, --gguf or --random-weights", file=sys.stderr)
         return 2
 
     server = make_server(pipeline, args.host, args.port,
-                         pool_streams=args.pool_streams)
+                         pool_streams=args.pool_streams,
+                         pool_unbounded=args.pool_unbounded)
     log.info("serving on http://%s:%d", args.host, args.port)
     try:
         server.serve_forever()

@@ -307,6 +307,12 @@ def _fused_plan(model, batch: int, cache_s: int):
     the fused-path selection can never diverge between them."""
     if model.fused_decode is None:
         return None
+    if getattr(model, "parallel", None) is not None:
+        # Meshed models keep their fused stacks device-placed for the
+        # transcribe path; session caches are single-device, and mixing
+        # placements inside one jit fails at dispatch.  Streaming on a
+        # mesh rides the auto-partitioned XLA path instead.
+        return None
     from voxtral_tpu.ops.decode_step_pallas import (
         STACK_VMEM_CAP,
         _lm_tile,
@@ -385,18 +391,44 @@ class StreamPool:
         step_positions: int = 8,
         max_duration_s: float = 120.0,
         delay_tokens: float = 6.0,
+        unbounded: bool = False,
     ):
+        """``unbounded=True`` lays every slot's KV caches out as head+ring
+        buffers (same in-kernel eviction as unbounded solo sessions), so
+        pooled streams never hit ``max_duration_s`` — step time stays flat
+        and a slot is bounded only by the RoPE tables (~43 min).  Masked
+        (not-ready) slots then write their garbage K/V at their OWN next
+        append position instead of a trash slot: that slot is either
+        not-yet-valid (bounded semantics) or holds a position already
+        outside the sliding window (ring size = window + granule), and the
+        next real step overwrites it — so no sacrificial slots are needed
+        and correctness is unchanged.  Closes the reference gap where its
+        dynamic eviction (kv_cache.rs:176-203) never stops a stream."""
         self.model = model
         self.cfg = model.config
         self.B = max_streams
         self.P = step_positions
         self.max_duration_s = max_duration_s
+        self.unbounded = unbounded
         lm, enc = self.cfg.language_model, self.cfg.audio_encoder
-        self.max_dec = int(max_duration_s * 6.25) + PREFIX_LEN + 2 * self.P
+        if unbounded:
+            gran = 4 * self.P
+            dec_ring_sz = lm.sliding_window + self.P
+            enc_ring_sz = -(-(enc.sliding_window + gran) // gran) * gran
+            self._dec_ring = (PREFIX_LEN, dec_ring_sz)
+            self._enc_ring = (4 * PREFIX_LEN, enc_ring_sz)
+            self.max_dec = DECODER_ROPE_MAX_SEQ  # RoPE-table bound
+            s_dec = PREFIX_LEN + dec_ring_sz
+            s_enc = 4 * PREFIX_LEN + enc_ring_sz
+            rope_positions = DECODER_ROPE_MAX_SEQ
+        else:
+            self._dec_ring = self._enc_ring = None
+            self.max_dec = int(max_duration_s * 6.25) + PREFIX_LEN + 2 * self.P
+            # +1 write granule of sacrificial slots for masked steps.
+            s_dec = self.max_dec + self.P
+            s_enc = 4 * self.max_dec + 4 * self.P
+            rope_positions = self.max_dec
         self.max_enc = 4 * self.max_dec
-        # +1 write granule of sacrificial slots for masked (not-ready) steps.
-        s_dec = self.max_dec + self.P
-        s_enc = self.max_enc + 4 * self.P
         cdt = model.cache_dtype
         shape_e = (self.B, enc.n_layers, 1, s_enc, enc.n_kv_heads, enc.head_dim)
         self.enc_k = jnp.zeros(shape_e, cdt)
@@ -446,6 +478,7 @@ class StreamPool:
                 params, mel_win, prev_token, prev_audio, t_embed,
                 jnp.int32(0), jnp.int32(0), self.cfg,
                 self._enc_rope, self._dec_rope, enc_cache, dec_cache, self.P,
+                enc_ring=self._enc_ring, dec_ring=self._dec_ring,
             )
             return tokens, last, pa, enc_cache.k, enc_cache.v, dec_cache.k, dec_cache.v
 
@@ -480,7 +513,7 @@ class StreamPool:
                 cache = KVCache(ek, ev, el)
                 audio, cache = _encode_window(
                     params, mel_win, cache, self.cfg, self._enc_rope,
-                    4 * self.P, 0, None,
+                    4 * self.P, 0, self._enc_ring,
                 )
                 return audio[0], cache.k, cache.v
 
@@ -511,7 +544,8 @@ class StreamPool:
                     n_heads=lmc.n_heads, n_kv=lmc.n_kv_heads,
                     head_dim=lmc.head_dim, eps=lmc.norm_eps,
                     interpret=self._mk_interpret,
-                    window=lmc.sliding_window, **lm_kw,
+                    window=lmc.sliding_window, ring=self._dec_ring,
+                    **lm_kw,
                 )
                 if fold:
                     _, k_new, v_new, logits = out
@@ -521,8 +555,15 @@ class StreamPool:
                         xo, params["decoder"]["norm"], lmc.norm_eps)
                     logits = lm_head(params["decoder"], hidden)
                 token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-                dk = _append_rows(dk, k_new, offs)
-                dv = _append_rows(dv, v_new, offs)
+                if self._dec_ring is not None:
+                    from voxtral_tpu.models.layers import ring_slot
+
+                    slots = jax.vmap(
+                        lambda o: ring_slot(o, *self._dec_ring))(offs)
+                else:
+                    slots = offs
+                dk = _append_rows(dk, k_new, slots)
+                dv = _append_rows(dv, v_new, slots)
                 return (token, dk, dv), token
 
             (last, dec_k, dec_v), toks = jax.lax.scan(
@@ -542,10 +583,10 @@ class StreamPool:
             self._pool_step_fused_jit = None
             self._pool_step_jit = jax.jit(
                 _pool_step, donate_argnums=(5, 6, 8, 9))
-        # The init step is identical to a solo session's (ring-free, same
+        # The init step is identical to a solo session's (same ring and
         # rope geometry) — share the jitted program via the session cache.
         self._init_jit = _session_jits(
-            self.cfg, self.P, None, None, self.max_dec,
+            self.cfg, self.P, self._enc_ring, self._dec_ring, self.max_dec,
             bool(self._fused and self._fused["fold"]),
             self._mk_interpret,
         )[0]
@@ -640,7 +681,8 @@ class StreamPool:
                     continue
                 if sess._positions_done + self.P > self.max_dec:
                     # Mark instead of raising: one overlong stream must not
-                    # stall the other pooled sessions.
+                    # stall the other pooled sessions.  (Unbounded pools
+                    # only hit this at the RoPE-table bound, ~43 min.)
                     sess.overrun = True
                     continue
                 if sess._available_positions() >= sess._positions_done + self.P:
@@ -653,8 +695,20 @@ class StreamPool:
             n_mels = self.cfg.audio.num_mel_bins
             w = 16 * self.P + 8
             mel_wins = np.zeros((self.B, 1, n_mels, w), np.float32)
-            enc_len = np.full(self.B, self.max_enc, np.int32)  # trash slot
-            dec_len = np.full(self.B, self.max_dec, np.int32)
+            if self.unbounded:
+                # Ring mode has no trash slots: masked rows write their
+                # garbage K/V at their OWN next append slot — not yet
+                # valid / already outside the window, and overwritten by
+                # their next real step (see __init__ docstring).
+                enc_len = np.zeros(self.B, np.int32)
+                dec_len = np.zeros(self.B, np.int32)
+                for b, sess in enumerate(self.sessions):
+                    if sess is not None and sess._positions_done > 0:
+                        enc_len[b] = 4 * sess._positions_done
+                        dec_len[b] = sess._positions_done
+            else:
+                enc_len = np.full(self.B, self.max_enc, np.int32)  # trash
+                dec_len = np.full(self.B, self.max_dec, np.int32)
             with span("pool_mel", ready=int(ready.sum())):
                 for b, sess in enumerate(self.sessions):
                     if ready[b]:
@@ -692,6 +746,8 @@ class StreamPool:
             for b, sess in enumerate(self.sessions):
                 if ready[b]:
                     sess._positions_done += self.P
+                    if self.unbounded:
+                        sess._trim_samples()
 
 
 class StreamingSession:
@@ -728,9 +784,12 @@ class StreamingSession:
         self._slot: Optional[int] = None
 
         if pool is not None:
-            if unbounded:
-                raise ValueError("pooled sessions are bounded "
-                                 "(pool caches are preallocated)")
+            if unbounded and not pool.unbounded:
+                raise ValueError(
+                    "unbounded pooled sessions need an unbounded pool "
+                    "(StreamPool(unbounded=True))"
+                )
+            self.unbounded = pool.unbounded
             self.P = pool.P
             self._max_dec = pool.max_dec
             self._slot = pool.attach(self)
@@ -922,8 +981,12 @@ class StreamingSession:
                 f"stream exceeded {DECODER_ROPE_MAX_SEQ} decoder positions "
                 "(~43 min) — the current RoPE table bound"
             )
-        # Trim the host audio buffer: future mel windows start at frame
-        # 16*p0 - MEL_MARGIN at the earliest.
+        self._trim_samples()
+
+    def _trim_samples(self) -> None:
+        """Trim the host audio buffer: future mel windows start at frame
+        16*p0 - MEL_MARGIN at the earliest.  Called by unbounded solo
+        steps and by the pool pump for unbounded pooled sessions."""
         keep_from = max(
             0, MEL_HOP * (16 * self._positions_done - 2 * MEL_MARGIN) - 400
         )
