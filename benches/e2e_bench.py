@@ -43,6 +43,9 @@ def peak_rss_mb() -> float:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--model")
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=["bfloat16", "float32", "w8"],
+                    help="weights for --model (w8 = fast decode path)")
     ap.add_argument("--gguf")
     ap.add_argument("--tokenizer")
     ap.add_argument("--random-weights", action="store_true")
@@ -93,9 +96,9 @@ def main() -> int:
     if args.model:
         from voxtral_tpu.pipeline import TranscribePipeline
 
-        pipe = TranscribePipeline.from_model_dir(args.model)
+        pipe = TranscribePipeline.from_model_dir(args.model, args.dtype)
         model = pipe.model
-        mode = "f32"
+        mode = args.dtype
     elif args.gguf:
         from voxtral_tpu.loaders.gguf_loader import load_q4_model
 

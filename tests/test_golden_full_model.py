@@ -135,3 +135,48 @@ if __name__ == "__main__":  # fixture regeneration helper
     mel = golden_mel()
     for fmt in ("f32", "bf16", "w8", "q4"):
         print(fmt, _model(p, cfg, fmt).transcribe_streaming(mel).tolist())
+
+
+# Streaming-session golden (same checkpoint + dual-tone, fed through
+# StreamingSession in 3 pieces then finish()): the batch w8 pin plus the
+# finish() right-pad rounded up to the 8-position step grid (6 more
+# silence positions decoding [STREAMING_PAD]-adjacent text token 231).
+STREAM_GOLDEN = GOLDEN["w8"] + [231] * 6
+
+
+@pytest.mark.parametrize(
+    "route", ["solo_xla", "pool_xla", "solo_ring", "solo_fused",
+              "pool_fused", "pool_fused_ring"])
+def test_streaming_routes_golden_tokens(golden_env, monkeypatch, route):
+    """Pin the exact greedy tokens of EVERY streaming decode route on the
+    synthetic checkpoint: solo/pooled, XLA/whole-stack-kernel,
+    bounded/head+ring caches.  Token identity across routes is asserted
+    pairwise elsewhere; this pins the actual sequences (VERDICT r2 #4a)."""
+    from voxtral_tpu.streaming import StreamingSession, StreamPool
+
+    cfg, path, _ = golden_env
+    fused = route in ("solo_fused", "pool_fused", "pool_fused_ring")
+    monkeypatch.setenv("VOXTRAL_MEGAKERNEL", "force" if fused else "0")
+    model = _model(path, cfg, "w8")
+    assert (model.fused_decode is not None) == fused
+
+    sr = 16000
+    t = np.arange(int(1.5 * sr)) / sr
+    sig = (0.4 * np.sin(2 * np.pi * 440 * t)
+           + 0.2 * np.sin(2 * np.pi * 1320 * t)).astype(np.float32)
+    sig = sig / np.abs(sig).max() * 0.95
+
+    pool = None
+    unbounded = route == "solo_ring"
+    if route.startswith("pool"):
+        pool = StreamPool(model, max_streams=2, step_positions=8,
+                          max_duration_s=30,
+                          unbounded=route.endswith("ring"))
+        if fused:
+            assert pool._fused is not None
+    session = StreamingSession(model, step_positions=8, pool=pool,
+                               unbounded=unbounded, max_duration_s=30)
+    for piece in np.array_split(sig, 3):
+        session.feed(piece)
+    session.finish()
+    assert session.tokens == STREAM_GOLDEN, (route, session.tokens)
