@@ -4,14 +4,20 @@ The reference drives its demo in headless Chromium via Playwright
 (``tests/e2e_browser.spec.ts:38-116``).  This image has no browser and no
 JS engine (zero egress), so the strategy is:
 
-1. structural checks that the page ships the anti-aliased streaming
+1. REAL-JS execution when a runtime exists: ``tests/test_demo_e2e_js.py``
+   runs the shipped ``<script>`` verbatim under Node/deno against a live
+   server (skips in this image, which has neither);
+2. a sha256 source tripwire on the shipped ``StreamResampler``
+   (``test_demo_e2e_js.py``): any JS edit fails tests until the mirror
+   below is re-synced — the mirror can no longer silently drift;
+3. structural checks that the page ships the anti-aliased streaming
    resampler + AudioWorklet capture + the ``window.__voxtral`` test hooks
    (and NOT the naive nearest-sample decimation);
-2. a line-for-line Python mirror of the page's ``StreamResampler``
+4. a line-for-line Python mirror of the page's ``StreamResampler``
    asserted for DSP quality (passband fidelity, alias rejection,
    chunk-size invariance) — the constants and control flow are kept
    identical so the JS inherits the guarantees;
-3. the /stream protocol the page's driveSynthetic() hook uses is covered
+5. the /stream protocol the page's driveSynthetic() hook uses is covered
    against a live server in tests/test_serving.py.
 
 Manual browser run (documented for environments with Chrome):
