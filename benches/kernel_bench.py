@@ -417,6 +417,110 @@ def suite_step_fused(batches, seq=160, short=8, long=40):
     return results
 
 
+def suite_step_int8kv(batches, seq=160, short=8, long=40):
+    """Whole-stack decode step with the int8 KV cache (per-vector scales,
+    both attention contractions on the int8 MXU, quantize-at-append).
+    Same protocol as ``suite_step_fused`` so the delta is exactly the
+    int8-cache cost/benefit; also proves large-pool geometries (e.g.
+    B=16 bounded) that the bf16 cache cannot fit in VMEM."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from voxtral_tpu.config import VoxtralConfig
+    from voxtral_tpu.models.decoder import create_cache, embed_tokens
+    from voxtral_tpu.models.layers import KVCache
+    from voxtral_tpu.ops.decode_step_pallas import (
+        decode_stack_step,
+        fuse_decode_weights,
+        quantize_kv,
+        rope_pair_vectors,
+    )
+    from voxtral_tpu.utils.quantize import random_w8_params
+
+    cfg = VoxtralConfig.voxtral()
+    lm_cfg = cfg.language_model
+    params = random_w8_params(cfg)["decoder"]
+    fused = fuse_decode_weights(params)
+    ada_vecs = jnp.ones((lm_cfg.n_layers, lm_cfg.dim), jnp.float32)
+
+    results = []
+    for b in batches:
+        audio = jnp.asarray(
+            np.random.RandomState(0).randn(b, seq, lm_cfg.dim) * 0.05,
+            jnp.bfloat16,
+        )
+        cache0 = create_cache(lm_cfg, b, seq, dtype=jnp.bfloat16)
+        ck0, ks0 = quantize_kv(jnp.transpose(cache0.k, (0, 1, 3, 2, 4)))
+        cv0, vs0 = quantize_kv(jnp.transpose(cache0.v, (0, 1, 3, 2, 4)))
+
+        def run(params, fused, ada_vecs, audio, ck, cv, ks, vs, length, b):
+            tok0 = jnp.full((b,), 32, jnp.int32)
+
+            def step(carry, i):
+                prev, ck, cv, ks, vs, offset = carry
+                apos = jax.lax.dynamic_slice_in_dim(audio, 38, 1, axis=1)
+                text = embed_tokens(params, prev[:, None])
+                x = (apos + text)[:, 0, :].astype(jnp.float32)
+                cos_p, sin_p = rope_pair_vectors(
+                    offset, lm_cfg.head_dim, lm_cfg.rope_theta)
+
+                emb = params["tok_embeddings"]["w8"]
+                x, k_new, v_new, logits = decode_stack_step(
+                    x, offset,
+                    fused["attn_norm"], fused["ffn_norm"], ada_vecs,
+                    fused["sqkv"], fused["so"], fused["s13"], fused["s2"],
+                    cos_p, sin_p, ck, cv,
+                    fused["wqkv"], fused["wo"], fused["w13"], fused["w2"],
+                    final_norm=params["norm"], lm_codes=emb["codes"],
+                    lm_scale=emb["scale"], k_scales=ks, v_scales=vs,
+                    n_heads=lm_cfg.n_heads, n_kv=lm_cfg.n_kv_heads,
+                    head_dim=lm_cfg.head_dim, eps=lm_cfg.norm_eps,
+                )
+                kq, ksc = quantize_kv(k_new)
+                vq, vsc = quantize_kv(v_new)
+                zero = jnp.zeros((), jnp.int32)
+                start = (zero, zero, zero, offset, zero)
+                ck = jax.lax.dynamic_update_slice(
+                    ck, kq[:, :, :, None], start)
+                cv = jax.lax.dynamic_update_slice(
+                    cv, vq[:, :, :, None], start)
+                start3 = (zero, zero, zero, offset)
+                ks = jax.lax.dynamic_update_slice(
+                    ks, ksc[:, :, :, None], start3)
+                vs = jax.lax.dynamic_update_slice(
+                    vs, vsc[:, :, :, None], start3)
+                token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                return (token, ck, cv, ks, vs, offset + 1), token
+
+            carry0 = (tok0, ck, cv, ks, vs, jnp.asarray(38, jnp.int32))
+            _, toks = jax.lax.scan(
+                step, carry0, jnp.arange(length, dtype=jnp.int32))
+            return toks[-1, 0]
+
+        @functools.lru_cache(maxsize=None)
+        def _jitted(length, b):
+            return jax.jit(functools.partial(run, length=length, b=b))
+
+        def runner(length, b=b):
+            return _jitted(length, b)(
+                params, fused, ada_vecs, audio, ck0, cv0, ks0, vs0)
+
+        per_step = _timed_slope(runner, short, long)
+        layer_bytes = sum(n * k + 4 * n for n, k in LAYER_SHAPES)
+        step_bytes = 26 * layer_bytes + 131072 * 3072 + 4 * 131072
+        r = {
+            "bench": "decode_step_int8kv", "batch": b, "seq": seq,
+            "ms_per_step": round(per_step * 1e3, 3),
+            "eff_gbps": round(step_bytes / per_step / 1e9, 1),
+            "tok_s_equiv": round(b / per_step, 1),
+        }
+        results.append(r)
+        print(json.dumps(r), flush=True)
+    return results
+
+
 def suite_encode(mel_frames=(2344,), short=4, long=12):
     """Full audio-encode stage (conv + 32 layers + reshape + adapter) via
     the chained-slope method — the e2e bench's per-stage sync over the
@@ -470,9 +574,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--suite", default="all",
                     choices=["all", "matmul", "step", "step-fused",
-                             "encode"])
+                             "step-int8kv", "encode"])
     ap.add_argument("--m", default="1,2,8")
     ap.add_argument("--batch", default="1,2,4")
+    ap.add_argument("--seq", type=int, default=160,
+                    help="cache positions for the step suites")
     ap.add_argument("--q4", action="store_true",
                     help="include packed-q4 kernels in the matmul suite")
     ap.add_argument("--platform", default=None,
@@ -496,7 +602,11 @@ def main():
     if args.suite in ("all", "step"):
         suite_step([int(x) for x in args.batch.split(",")])
     if args.suite == "step-fused":
-        suite_step_fused([int(x) for x in args.batch.split(",")])
+        suite_step_fused([int(x) for x in args.batch.split(",")],
+                         seq=args.seq)
+    if args.suite == "step-int8kv":
+        suite_step_int8kv([int(x) for x in args.batch.split(",")],
+                          seq=args.seq)
     if args.suite == "encode":
         suite_encode()
 

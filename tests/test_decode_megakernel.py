@@ -438,3 +438,64 @@ def test_fused_transcribe_vmem_gate_falls_back(monkeypatch):
     monkeypatch.setattr(dsp, "STACK_VMEM_CAP", 1)
     gated_tokens = build().transcribe_streaming(mel)
     assert gated_tokens.tolist() == ref_tokens.tolist()
+
+
+def test_stack_kernel_int8_cache_matches_bf16(setup):
+    """int8 KV cache (per-vector scales; both attention dots on the int8
+    MXU) must track the float-cache stack kernel within quantization
+    noise and agree on the folded-lm_head argmax."""
+    from voxtral_tpu.ops.decode_step_pallas import (
+        decode_stack_step,
+        quantize_kv,
+    )
+
+    params, t_embed, k_cache, v_cache, x = setup
+    lyr = params["layers"]
+    fused = fuse_decode_weights(params)
+    adav = ada_vectors(params, t_embed)
+    offs = jnp.asarray([OFFSET, 5], jnp.int32)
+    cs = [rope_pair_vectors(offs[b], HEAD_DIM, theta=1e6) for b in range(B)]
+    cos_b = jnp.stack([c for c, _ in cs])
+    sin_b = jnp.stack([s for _, s in cs])
+    kt = jnp.transpose(k_cache, (0, 1, 3, 2, 4))  # head-major
+    vt = jnp.transpose(v_cache, (0, 1, 3, 2, 4))
+
+    rng = np.random.default_rng(9)
+    V = 1024
+    lm_w8 = quantize_w8_rowwise(
+        (rng.normal(size=(V, D)) * 0.05).astype(np.float32))["w8"]
+    lm_kw = dict(final_norm=jnp.ones((D,), jnp.float32),
+                 lm_codes=jnp.asarray(lm_w8["codes"]),
+                 lm_scale=jnp.asarray(lm_w8["scale"]))
+    common = dict(n_heads=N_HEADS, n_kv=N_KV, head_dim=HEAD_DIM, eps=EPS,
+                  interpret=True, window=8)
+
+    args = (x, offs, lyr["attention_norm"], lyr["ffn_norm"], adav,
+            fused["sqkv"], fused["so"], fused["s13"], fused["s2"],
+            cos_b, sin_b)
+    weights = (fused["wqkv"], fused["wo"], fused["w13"], fused["w2"])
+    ref_x, ref_k, ref_v, ref_logits = decode_stack_step(
+        *args, kt, vt, *weights, **lm_kw, **common)
+
+    kq, ks = quantize_kv(kt)
+    vq, vs = quantize_kv(vt)
+    out_x, kn, vn, logits = decode_stack_step(
+        *args, kq, vq, *weights, **lm_kw,
+        k_scales=ks, v_scales=vs, **common)
+
+    assert kn.dtype == jnp.bfloat16  # caller quantizes the appends
+    # Layer 0's fresh K comes from the SAME pre-cache QKV matmul — only
+    # bf16 output rounding separates it from the f32-cache reference.
+    np.testing.assert_allclose(np.asarray(kn[0], np.float32),
+                               np.asarray(ref_k[0], np.float32),
+                               rtol=1e-2, atol=1e-2)
+    # Deeper layers inherit the residual stream's cache-quant noise
+    # (int8 per-vector K/V: ~0.5%/layer; wrong-mask/slot bugs are O(1)).
+    np.testing.assert_allclose(np.asarray(kn, np.float32),
+                               np.asarray(ref_k, np.float32),
+                               rtol=0.1, atol=0.1)
+    np.testing.assert_allclose(np.asarray(out_x), np.asarray(ref_x),
+                               rtol=0.1, atol=0.12)
+    assert float(np.abs(np.asarray(out_x) - np.asarray(ref_x)).max()) < 0.12
+    assert (np.argmax(np.asarray(logits), -1)
+            == np.argmax(np.asarray(ref_logits), -1)).all()

@@ -471,3 +471,81 @@ def test_unbounded_session_rejects_bounded_pool(model):
     pool = StreamPool(model, max_streams=2, step_positions=8)
     with pytest.raises(ValueError, match="unbounded"):
         StreamingSession(model, step_positions=8, pool=pool, unbounded=True)
+
+
+def test_stream_pool_int8_kv_matches_solo(monkeypatch):
+    """Pooled decode with the int8 KV cache (per-vector scales, both
+    attention dots on the int8 MXU) must track the solo generic path —
+    cache quantization can flip only near-tie argmaxes, so the seed is
+    fixed; structural bugs (slot/scale misalignment) break everything."""
+    import dataclasses
+
+    from voxtral_tpu.streaming import StreamPool
+    from voxtral_tpu.utils.quantize import quantize_params_w8
+
+    monkeypatch.setenv("VOXTRAL_MEGAKERNEL", "force")
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg, language_model=dataclasses.replace(
+            cfg.language_model, vocab_size=1280))
+    f32 = VoxtralModel.init_random(jax.random.PRNGKey(3), cfg,
+                                   dtype=jnp.float32)
+    w8 = quantize_params_w8(f32.params)
+    fmodel = VoxtralModel(w8, cfg)
+
+    rng = np.random.default_rng(29)
+    audio = rng.normal(size=16000 * 8).astype(np.float32) * 0.25
+
+    monkeypatch.setenv("VOXTRAL_MEGAKERNEL", "0")
+    gmodel = VoxtralModel(w8, cfg)
+    solo = StreamingSession(gmodel, step_positions=8, max_duration_s=30)
+    solo.feed(audio)
+    solo.finish()
+
+    pool = StreamPool(fmodel, max_streams=2, step_positions=8,
+                      max_duration_s=30, kv_dtype="int8")
+    assert pool._fused is not None and pool.cache_int8
+    assert pool.dec_k.dtype == jnp.int8
+    ps = StreamingSession(fmodel, step_positions=8, pool=pool)
+    for piece in np.array_split(audio, 3):
+        ps.feed(piece)
+    ps.finish()
+    assert ps.tokens == solo.tokens, (ps.tokens, solo.tokens)
+
+
+def test_stream_pool_int8_ring_matches_solo(monkeypatch):
+    """int8 KV composes with the unbounded head+ring pool (scales ride
+    the same per-row ring slots)."""
+    import dataclasses
+
+    from voxtral_tpu.streaming import StreamPool
+    from voxtral_tpu.utils.quantize import quantize_params_w8
+
+    monkeypatch.setenv("VOXTRAL_MEGAKERNEL", "force")
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg, language_model=dataclasses.replace(
+            cfg.language_model, vocab_size=1280))
+    f32 = VoxtralModel.init_random(jax.random.PRNGKey(7), cfg,
+                                   dtype=jnp.float32)
+    w8 = quantize_params_w8(f32.params)
+    fmodel = VoxtralModel(w8, cfg)
+
+    rng = np.random.default_rng(31)
+    audio = rng.normal(size=16000 * 15).astype(np.float32) * 0.25
+
+    monkeypatch.setenv("VOXTRAL_MEGAKERNEL", "0")
+    gmodel = VoxtralModel(w8, cfg)
+    solo = StreamingSession(gmodel, step_positions=8, unbounded=True)
+    solo.feed(audio)
+    solo.finish()
+
+    pool = StreamPool(fmodel, max_streams=2, step_positions=8,
+                      unbounded=True, kv_dtype="int8")
+    assert pool.cache_int8
+    ps = StreamingSession(fmodel, step_positions=8, pool=pool)
+    for piece in np.array_split(audio, 3):
+        ps.feed(piece)
+    ps.finish()
+    assert ps.positions_done > 78  # past ring wraparound
+    assert ps.tokens == solo.tokens, (ps.tokens[:20], solo.tokens[:20])

@@ -318,15 +318,13 @@ def decode_layer_step(
 def _stack_plan(D, nqkv, nq, hidden):
     """Per-phase weight-tile plan for the stacked kernel.
 
-    Each phase (qkv, wo, w13, w2) gets its OWN 3-slot rotating buffer
-    (slot = tile % 3): two tiles stay in flight at all times, and the
-    next phase's tiles 0/1 prefetch during the current phase's last two
+    Each phase (qkv, wo, w13, w2) gets its OWN rotating buffer
+    (STACK_SLOTS[p] deep): PRE tiles stay in flight at all times, and the
+    next phases' leading tiles prefetch during the current phase's last
     iterations — so the DMA pipe stays busy through the inter-phase
     epilogues (attention / SwiGLU VPU work) and across layer boundaries.
-    Three slots (not two) let tile j+2 issue while j and j+1 are still
-    outstanding without a write-after-read hazard on the slot being
-    consumed.  Returns {phase: (tile, n_tiles, K, N)} or None if any
-    phase can't tile.
+    Returns {phase: (tile, n_tiles, K, N)} or None if any phase can't
+    tile.
     """
     phases = {
         "qkv": (nqkv, D),
@@ -339,9 +337,10 @@ def _stack_plan(D, nqkv, nq, hidden):
         t = 512
         # The 1.5 MB tile budget is LOAD-BEARING: raising it to 2 MB
         # (wo -> 512x4096 tiles) hard-faults the TPU worker ("kernel
-        # fault", r2 tuning experiment) — do not bump without a
-        # fault-isolated bisect.  Measured healthy: 4.57 ms/step.
-        while t >= 8 and (n_out % t or t * k_in > 3 * 2**19):
+        # fault", r2 + r3 tuning experiments) — do not bump without a
+        # fault-isolated bisect.  VOXTRAL_STACK_TILE_KB overrides for
+        # such experiments only.  Measured healthy: 4.48 ms/step.
+        while t >= 8 and (n_out % t or t * k_in > _TILE_BUDGET):
             t //= 2
         if t < 8:
             return None
@@ -349,26 +348,61 @@ def _stack_plan(D, nqkv, nq, hidden):
     return plan
 
 
-# Static prefetch plan: PRE[p] tiles of phase p are issued by EARLIER
-# phases' tail iterations, so p's stream starts with PRE tiles already
-# in flight and the DMA pipe stays busy through the inter-phase VPU
-# epilogues (attention needs the deepest cover, hence wo/w13 get 4).
-# Each phase's rotating buffer has PRE+2 slots: at iteration j tiles
-# j..j+PRE are outstanding (PRE+1) and the in-loop issue of tile j+PRE
-# reuses the slot whose occupant (tile j+PRE-slots = j-2) was consumed
-# two iterations ago — no write-after-read hazard.
-STACK_PRE = {"qkv": 2, "wo": 4, "w13": 4, "w2": 2}
+def _env_int(name, default):
+    import os
+
+    v = os.environ.get(name)
+    return int(v) if v else default
+
+
+_TILE_BUDGET = _env_int("VOXTRAL_STACK_TILE_KB", 1536) * 1024
+
+
+def _build_schedule(pre):
+    """Prefetch schedule from per-phase PRE depths.
+
+    PRE[p] tiles of phase p are issued by EARLIER phases' tail
+    iterations, so p's stream starts with PRE tiles already in flight
+    and the DMA pipe stays busy through the inter-phase VPU epilogues
+    (attention needs the deepest cover, hence wo/w13 default to 4).
+    Each phase's rotating buffer has PRE+2 slots: at iteration j tiles
+    j..j+PRE are outstanding (PRE+1) and the in-loop issue of tile j+PRE
+    reuses the slot whose occupant (tile j+PRE-slots = j-2) was consumed
+    two iterations ago — no write-after-read hazard.
+
+    Tail distribution: qkv's tail issues ALL of wo's pre tiles plus the
+    first half of w13's (issue order matters — tiles queue on one DMA
+    engine, so later phases' tiles go as late as correctness allows);
+    wo's tail issues the rest of w13's; w13's tail issues w2's.  w2's
+    tail issues the NEXT layer's qkv (or the lm_head's) leading tiles —
+    built in-kernel because it needs the layer index.
+    """
+    spill = pre["w13"] // 2
+    tails = {
+        "qkv": [("wo", i) for i in range(pre["wo"])]
+        + [("w13", i) for i in range(spill)],
+        "wo": [("w13", i) for i in range(spill, pre["w13"])],
+        "w13": [("w2", i) for i in range(pre["w2"])],
+    }
+    return tails
+
+
+# Overridable for on-TPU schedule sweeps: VOXTRAL_STACK_PRE="2,4,4,2"
+# (qkv,wo,w13,w2 depths).  Defaults are the tuned production schedule.
+def _env_pre():
+    import os
+
+    v = os.environ.get("VOXTRAL_STACK_PRE")
+    if not v:
+        return {"qkv": 2, "wo": 4, "w13": 4, "w2": 2}
+    q, wo, w13, w2 = (int(x) for x in v.split(","))
+    return {"qkv": q, "wo": wo, "w13": w13, "w2": w2}
+
+
+STACK_PRE = _env_pre()
 STACK_SLOTS = {p: STACK_PRE[p] + 2 for p in STACK_PRE}
-LM_PRE, LM_SLOTS = 2, 4
-# Tail schedule: which tiles each phase's last iterations issue.
-STACK_TAILS = {
-    "qkv": [("wo", 0), ("wo", 1), ("wo", 2), ("wo", 3),
-            ("w13", 0), ("w13", 1)],
-    "wo": [("w13", 2), ("w13", 3)],
-    "w13": [("w2", 0), ("w2", 1)],
-    # w2's tail issues the NEXT layer's qkv (or the lm_head's) tiles 0/1
-    # — built in-kernel because it needs the layer index.
-}
+LM_PRE, LM_SLOTS = _env_int("VOXTRAL_LM_PRE", 2), _env_int("VOXTRAL_LM_PRE", 2) + 2
+STACK_TAILS = _build_schedule(STACK_PRE)
 
 
 def _lm_tile(V, D):
@@ -402,6 +436,9 @@ def stack_vmem_need(B, S, D, n_heads, n_kv, head_dim, hidden,
     need = sum(STACK_SLOTS[n] * plan[n][0] * plan[n][2] for n in plan)
     # k+v blocks, double-buffered across grid steps
     need += 4 * B * n_kv * S * head_dim * cache_itemsize
+    if cache_itemsize == 1:
+        # int8 cache carries per-position f32 scale blocks.
+        need += 4 * B * n_kv * S * 4
     if vocab is not None:
         t = _lm_tile(vocab, D)
         if t is None:
@@ -412,7 +449,7 @@ def stack_vmem_need(B, S, D, n_heads, n_kv, head_dim, hidden,
 
 
 def _make_stack_kernel(B, D, S, L, n_heads, n_kv, head_dim, hidden, plan,
-                       eps, lm, window, ring):
+                       eps, lm, window, ring, cache_q=False):
     """Kernel body for one grid step = one decoder layer.
 
     The residual stream lives in VMEM scratch across grid steps (the TPU
@@ -437,22 +474,28 @@ def _make_stack_kernel(B, D, S, L, n_heads, n_kv, head_dim, hidden, plan,
     pidx = {name: i for i, name in enumerate(order)}
 
     def kernel(*refs):
+        # Optional int8-cache scale refs sit right after vc_ref.
+        nsc = 2 if cache_q else 0
         if lm is not None:
             (offs_ref,
              x_ref, attn_norm_ref, ffn_norm_ref, ada_ref,
              sqkv_ref, so_ref, s13_ref, s2_ref, cos_ref, sin_ref,
-             kc_ref, vc_ref, fnorm_ref, lms_ref,
+             kc_ref, vc_ref) = refs[:13]
+            (fnorm_ref, lms_ref,
              wqkv_hbm, wo_hbm, w13_hbm, w2_hbm, lm_hbm,
              xo_ref, kn_ref, vn_ref, logits_ref,
-             buf_qkv, buf_wo, buf_w13, buf_w2, buf_lm, x_s, sem) = refs
+             buf_qkv, buf_wo, buf_w13, buf_w2, buf_lm, x_s, sem) = \
+                refs[13 + nsc:]
         else:
             (offs_ref,
              x_ref, attn_norm_ref, ffn_norm_ref, ada_ref,
              sqkv_ref, so_ref, s13_ref, s2_ref, cos_ref, sin_ref,
-             kc_ref, vc_ref,
-             wqkv_hbm, wo_hbm, w13_hbm, w2_hbm,
+             kc_ref, vc_ref) = refs[:13]
+            (wqkv_hbm, wo_hbm, w13_hbm, w2_hbm,
              xo_ref, kn_ref, vn_ref,
-             buf_qkv, buf_wo, buf_w13, buf_w2, x_s, sem) = refs
+             buf_qkv, buf_wo, buf_w13, buf_w2, x_s, sem) = refs[13 + nsc:]
+        if cache_q:
+            ks_ref, vs_ref = refs[13:15]
 
         l = pl.program_id(0)
         hbm = {"qkv": wqkv_hbm, "wo": wo_hbm, "w13": w13_hbm, "w2": w2_hbm}
@@ -558,13 +601,30 @@ def _make_stack_kernel(B, D, S, L, n_heads, n_kv, head_dim, hidden, plan,
             # Mosaic matmul allows at most ONE batch dim: fold (B, Hkv)
             # into a single leading batch axis for both contractions.
             qg = q.reshape(B * n_kv, groups, head_dim) * scale
-            kc = kc_ref[0].reshape(B * n_kv, S, head_dim)  # cache bf16
+            kc = kc_ref[0].reshape(B * n_kv, S, head_dim)  # bf16 or int8
             vc = vc_ref[0].reshape(B * n_kv, S, head_dim)
-            scores = jax.lax.dot_general(
-                qg.astype(kc.dtype), kc,
-                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )  # [B*Hkv, G, S]
+            if cache_q:
+                # int8 cache: K/V rows were quantized per (layer, row,
+                # head, position) vector; the per-position scale factors
+                # OUT of the head_dim contraction, so scores ride the
+                # int8 MXU and the scale multiplies the score matrix.
+                ks = ks_ref[0].reshape(B * n_kv, S)
+                vs = vs_ref[0].reshape(B * n_kv, S)
+                qa = jnp.max(jnp.abs(qg), axis=-1, keepdims=True)
+                sq = jnp.maximum(qa, 1e-8) / 127.0
+                qq = jnp.clip(jnp.round(qg / sq), -127, 127
+                              ).astype(jnp.int8)
+                scores = jax.lax.dot_general(
+                    qq, kc,
+                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32) * sq * ks[:, None, :]
+            else:
+                scores = jax.lax.dot_general(
+                    qg.astype(kc.dtype), kc,
+                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )  # [B*Hkv, G, S]
             # Per-row validity: row b attends to cache positions
             # < offs[b] (mixed-progress batches each mask their own),
             # bounded below by the sliding window (diff <= w, matching
@@ -605,11 +665,26 @@ def _make_stack_kernel(B, D, S, L, n_heads, n_kv, head_dim, hidden, plan,
             e_cache = jnp.exp(scores - m[..., None])
             e_self = jnp.exp(self_s - m)
             denom = jnp.sum(e_cache, axis=-1) + e_self
-            ctx = jax.lax.dot_general(
-                e_cache.astype(vc.dtype), vc,
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )  # [B*Hkv, G, hd]
+            if cache_q:
+                # Fold the per-position V scale into the (f32) softmax
+                # weights, quantize THOSE per row, and keep the hd
+                # contraction on the int8 MXU.
+                e_w = e_cache * vs[:, None, :]
+                ea = jnp.max(jnp.abs(e_w), axis=-1, keepdims=True)
+                se = jnp.maximum(ea, 1e-30) / 127.0
+                eq = jnp.clip(jnp.round(e_w / se), -127, 127
+                              ).astype(jnp.int8)
+                ctx = jax.lax.dot_general(
+                    eq, vc,
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32) * se
+            else:
+                ctx = jax.lax.dot_general(
+                    e_cache.astype(vc.dtype), vc,
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )  # [B*Hkv, G, hd]
             ctx = ctx + e_self[..., None] * v.reshape(B * n_kv, 1, head_dim)
             attn = (ctx / denom[..., None]).reshape(B, nq)
 
@@ -698,6 +773,7 @@ def decode_stack_step(
     k_cache, v_cache,
     wqkv, wo, w13, w2,
     final_norm=None, lm_codes=None, lm_scale=None,
+    k_scales=None, v_scales=None,
     n_heads=32, n_kv=8, head_dim=128, eps=1e-5, interpret=False,
     window=None, ring=None,
 ):
@@ -720,6 +796,15 @@ def decode_stack_step(
     grid step and a 4th output ``logits`` [B, V] f32 is returned — the
     whole decode step (minus argmax/embed feedback) is then a single
     kernel whose weight DMA never drains.
+
+    int8 KV cache (halves the dominant VMEM term, the TPU-native lever
+    for bigger pools / longer bounded sessions): pass int8 caches plus
+    ``k_scales``/``v_scales`` [L, B, Hkv, S] f32 — per-appended-vector
+    scales (quantized by the CALLER at append time).  Both attention
+    contractions then ride the int8 MXU: the K scale factors out of the
+    head_dim dot, and the V scale folds into the softmax weights before
+    they are requantized.  k_new/v_new come back bf16 for the caller to
+    quantize + append.
     """
     B, D = x.shape
     L, _, _, S = k_cache.shape[:4]
@@ -729,6 +814,9 @@ def decode_stack_step(
     plan = _stack_plan(D, nqkv, nq, hidden)
     if plan is None:
         raise ValueError("decode_stack_step: dims not tileable")
+    cache_q = k_cache.dtype == jnp.int8
+    if cache_q and (k_scales is None or v_scales is None):
+        raise ValueError("int8 KV cache needs k_scales/v_scales")
 
     lm = None
     if lm_codes is not None:
@@ -740,7 +828,7 @@ def decode_stack_step(
 
     kernel = _make_stack_kernel(
         B, D, S, L, n_heads, n_kv, head_dim, hidden, plan, eps, lm,
-        window, ring)
+        window, ring, cache_q=cache_q)
 
     def vmem(shape, idx):
         return pl.BlockSpec(shape, idx, memory_space=pltpu.VMEM)
@@ -777,6 +865,11 @@ def decode_stack_step(
         vmem((1, B, n_kv, S, head_dim), perl5),     # k cache (head-major)
         vmem((1, B, n_kv, S, head_dim), perl5),     # v cache
     ]
+    if cache_q:
+        in_specs += [
+            vmem((1, B, n_kv, S), perl4),           # k scales
+            vmem((1, B, n_kv, S), perl4),           # v scales
+        ]
     offs = jnp.broadcast_to(
         jnp.asarray(offset, jnp.int32).reshape(-1), (B,))
     cos_b = jnp.broadcast_to(
@@ -798,6 +891,12 @@ def decode_stack_step(
         sin_b,
         k_cache, v_cache,
     ]
+    if cache_q:
+        operands += [
+            k_scales.astype(jnp.float32).reshape(L, B, n_kv, S),
+            v_scales.astype(jnp.float32).reshape(L, B, n_kv, S),
+        ]
+    kv_out = jnp.bfloat16 if cache_q else k_cache.dtype
     out_specs = [
         vmem((B, D), const2),
         vmem((1, B, n_kv, head_dim), perl4),
@@ -805,8 +904,8 @@ def decode_stack_step(
     ]
     out_shape = [
         jax.ShapeDtypeStruct((B, D), jnp.float32),
-        jax.ShapeDtypeStruct((L, B, n_kv, head_dim), k_cache.dtype),
-        jax.ShapeDtypeStruct((L, B, n_kv, head_dim), v_cache.dtype),
+        jax.ShapeDtypeStruct((L, B, n_kv, head_dim), kv_out),
+        jax.ShapeDtypeStruct((L, B, n_kv, head_dim), kv_out),
     ]
     scratch = [
         pltpu.VMEM((STACK_SLOTS[name], plan[name][0], plan[name][2]),
@@ -859,6 +958,21 @@ def decode_stack_step(
         interpret=interpret,
     )(offs, *operands, *weights)
     return out
+
+
+def quantize_kv(vecs):
+    """Per-vector int8 quantization for the int8 KV cache option.
+
+    vecs [..., hd] (any float dtype) -> (codes int8 same shape,
+    scales f32 [...]).  Used both to convert a prefilled bf16 cache
+    (axis -1 over every position) and to quantize the fresh k_new/v_new
+    at each append.
+    """
+    v = vecs.astype(jnp.float32)
+    a = jnp.max(jnp.abs(v), axis=-1)
+    s = jnp.maximum(a, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(v / s[..., None]), -127, 127).astype(jnp.int8)
+    return q, s
 
 
 def supports_stack_kernel(lm_cfg) -> bool:

@@ -44,7 +44,8 @@ class _State:
     COALESCE_S = 0.02  # batching window for concurrent /stream feeds
 
     def __init__(self, pipeline: TranscribePipeline, step_positions: int = 8,
-                 pool_streams: int = 0, pool_unbounded: bool = False):
+                 pool_streams: int = 0, pool_unbounded: bool = False,
+                 pool_kv: str = "auto"):
         self.pipeline = pipeline
         self.step_positions = step_positions
         self.lock = threading.Lock()
@@ -66,6 +67,7 @@ class _State:
                 step_positions=step_positions,
                 delay_tokens=pipeline.pcfg.delay_tokens,
                 unbounded=pool_unbounded,
+                kv_dtype=pool_kv,
             )
             threading.Thread(target=self._pump_loop, daemon=True).start()
 
@@ -314,10 +316,12 @@ def make_server(
     step_positions: int = 8,
     pool_streams: int = 0,
     pool_unbounded: bool = False,
+    pool_kv: str = "auto",
 ) -> VoxtralHTTPServer:
     return VoxtralHTTPServer(
         (host, port),
-        _State(pipeline, step_positions, pool_streams, pool_unbounded),
+        _State(pipeline, step_positions, pool_streams, pool_unbounded,
+               pool_kv),
     )
 
 
@@ -341,6 +345,11 @@ def main(argv: Optional[list[str]] = None) -> int:
                     help="pooled sessions use in-kernel head+ring KV "
                     "caches: streams never hit a max duration (bounded "
                     "only by the ~43 min RoPE tables)")
+    ap.add_argument("--pool-kv", default="auto",
+                    choices=["auto", "model", "int8"],
+                    help="pooled KV cache dtype: int8 halves cache "
+                    "VMEM/HBM (auto = model dtype when it fits the "
+                    "kernel's VMEM gate, else int8)")
     ap.add_argument("--tp", type=int, default=1,
                     help="tensor-parallel ways (mesh model axis)")
     ap.add_argument("--dp", type=int, default=1,
@@ -394,7 +403,8 @@ def main(argv: Optional[list[str]] = None) -> int:
 
     server = make_server(pipeline, args.host, args.port,
                          pool_streams=args.pool_streams,
-                         pool_unbounded=args.pool_unbounded)
+                         pool_unbounded=args.pool_unbounded,
+                         pool_kv=args.pool_kv)
     log.info("serving on http://%s:%d", args.host, args.port)
     try:
         server.serve_forever()

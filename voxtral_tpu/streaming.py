@@ -299,12 +299,13 @@ def _session_jits(cfg: VoxtralConfig, P: int, enc_ring, dec_ring,
     return init, step, fstep, enc_rope, dec_rope
 
 
-def _fused_plan(model, batch: int, cache_s: int):
+def _fused_plan(model, batch: int, cache_s: int, itemsize: int = None):
     """Stack-kernel decode plan ({"w", "fold"}) for ``batch`` rows and a
     ``cache_s``-position cache, or None when the model lacks fused
     weights, the geometry doesn't tile, or the caches would blow the
     kernel's VMEM budget.  Shared by solo sessions and StreamPool so
-    the fused-path selection can never diverge between them."""
+    the fused-path selection can never diverge between them.
+    ``itemsize=1`` evaluates the int8-KV-cache variant."""
     if model.fused_decode is None:
         return None
     if getattr(model, "parallel", None) is not None:
@@ -325,10 +326,12 @@ def _fused_plan(model, batch: int, cache_s: int):
     lm_w8 = emb.get("w8") if isinstance(emb, dict) else None
     fold = (lm_w8 is not None
             and _lm_tile(lm_w8["codes"].shape[0], lm.dim) is not None)
+    if itemsize is None:
+        itemsize = jnp.dtype(model.cache_dtype).itemsize
     need = stack_vmem_need(
         batch, cache_s, lm.dim, lm.n_heads, lm.n_kv_heads, lm.head_dim,
         lm.hidden_dim, lm_w8["codes"].shape[0] if fold else None,
-        jnp.dtype(model.cache_dtype).itemsize,
+        itemsize,
     )
     if (not supports_stack_kernel(lm) or need is None
             or need > STACK_VMEM_CAP):
@@ -346,6 +349,17 @@ def _fused_lm_kwargs(params, fold: bool):
         lm_codes=emb_w8["codes"],
         lm_scale=emb_w8["scale"],
     )
+
+
+def _append_scales(arr, new, offs):
+    """Per-row scale append: write ``new`` [L, B, H] at position
+    ``offs[b]`` along the S axis of ``arr`` [L, B, H, S]."""
+
+    def one(a, n, o):  # a [L, H, S], n [L, H]
+        z = jnp.zeros((), jnp.int32)
+        return jax.lax.dynamic_update_slice(a, n[:, :, None], (z, z, o))
+
+    return jax.vmap(one, in_axes=(1, 1, 0), out_axes=1)(arr, new, offs)
 
 
 def _append_rows(cache, new, offs):
@@ -392,6 +406,7 @@ class StreamPool:
         max_duration_s: float = 120.0,
         delay_tokens: float = 6.0,
         unbounded: bool = False,
+        kv_dtype: str = "auto",
     ):
         """``unbounded=True`` lays every slot's KV caches out as head+ring
         buffers (same in-kernel eviction as unbounded solo sessions), so
@@ -437,8 +452,21 @@ class StreamPool:
         # Fused pooled decode: route the decode half of each pooled step
         # through the whole-stack Pallas kernel (per-row offsets/RoPE)
         # when the model has fused weights and the geometry fits VMEM.
+        # kv_dtype: "model" = the model's cache dtype; "int8" = per-vector
+        # int8 KV (halves the kernel's dominant VMEM term AND the HBM
+        # cache — the lever for bigger pools / longer bounded sessions);
+        # "auto" = model dtype if it fits the VMEM gate, else int8.
         self._mk_interpret = getattr(model, "_mk_interpret", False)
-        self._fused = _fused_plan(model, self.B, s_dec)
+        self.cache_int8 = False
+        if kv_dtype == "int8":
+            self._fused = _fused_plan(model, self.B, s_dec, itemsize=1)
+            self.cache_int8 = self._fused is not None
+        else:
+            self._fused = _fused_plan(model, self.B, s_dec)
+            if self._fused is None and kv_dtype == "auto":
+                self._fused = _fused_plan(model, self.B, s_dec, itemsize=1)
+                if self._fused is not None:
+                    self.cache_int8 = True
         if self._fused is not None:
             from voxtral_tpu.ops.decode_step_pallas import ada_vectors
 
@@ -448,8 +476,13 @@ class StreamPool:
         if self._fused is not None:
             # Head-major stacked layout for the stack kernel.
             shape_f = (lm.n_layers, self.B, lm.n_kv_heads, s_dec, lm.head_dim)
-            self.dec_k = jnp.zeros(shape_f, cdt)
-            self.dec_v = jnp.zeros(shape_f, cdt)
+            fdt = jnp.int8 if self.cache_int8 else cdt
+            self.dec_k = jnp.zeros(shape_f, fdt)
+            self.dec_v = jnp.zeros(shape_f, fdt)
+            if self.cache_int8:
+                shape_s = (lm.n_layers, self.B, lm.n_kv_heads, s_dec)
+                self.dec_ks = jnp.zeros(shape_s, jnp.float32)
+                self.dec_vs = jnp.zeros(shape_s, jnp.float32)
             # Reusable zero per-slot cache for the (generic) init step.
             shape_i = (lm.n_layers, 1, s_dec, lm.n_kv_heads, lm.head_dim)
             self._init_dec_zero = KVCache(
@@ -497,17 +530,21 @@ class StreamPool:
 
         def _pool_step_fused(params, fused_w, ada_vecs, mel_wins, prev_tok,
                              prev_audio, ready, enc_k, enc_v, enc_len,
-                             dec_k, dec_v, dec_len):
+                             dec_k, dec_v, dec_len, *dec_scales):
             """Pooled step with the decode half in ONE stack kernel per
-            token (per-row cache offsets + RoPE positions)."""
+            token (per-row cache offsets + RoPE positions).  With the
+            int8 KV cache, ``dec_scales`` = (k_scales, v_scales) and the
+            fresh K/V are per-vector-quantized at each append."""
             from voxtral_tpu.models.layers import rms_norm
             from voxtral_tpu.ops.decode_step_pallas import (
                 decode_stack_step,
+                quantize_kv,
                 rope_pair_vectors,
             )
 
             lmc = self.cfg.language_model
             fold = self._fused["fold"]
+            int8 = self.cache_int8
 
             def enc_one(mel_win, ek, ev, el, params):
                 cache = KVCache(ek, ev, el)
@@ -525,7 +562,12 @@ class StreamPool:
             lm_kw = _fused_lm_kwargs(params, fold)
 
             def dstep(carry, i):
-                prev, dk, dv = carry
+                if int8:
+                    prev, dk, dv, dks, dvs = carry
+                    scale_kw = dict(k_scales=dks, v_scales=dvs)
+                else:
+                    prev, dk, dv = carry
+                    scale_kw = {}
                 offs = dec_len + i  # [B] per-row absolute positions
                 a = jax.lax.dynamic_slice_in_dim(inputs, i, 1, axis=1)[:, 0]
                 text = embed_tokens(params["decoder"], prev[:, None])[:, 0]
@@ -545,7 +587,7 @@ class StreamPool:
                     head_dim=lmc.head_dim, eps=lmc.norm_eps,
                     interpret=self._mk_interpret,
                     window=lmc.sliding_window, ring=self._dec_ring,
-                    **lm_kw,
+                    **scale_kw, **lm_kw,
                 )
                 if fold:
                     _, k_new, v_new, logits = out
@@ -562,23 +604,34 @@ class StreamPool:
                         lambda o: ring_slot(o, *self._dec_ring))(offs)
                 else:
                     slots = offs
+                if int8:
+                    kq, ksc = quantize_kv(k_new)
+                    vq, vsc = quantize_kv(v_new)
+                    dk = _append_rows(dk, kq, slots)
+                    dv = _append_rows(dv, vq, slots)
+                    dks = _append_scales(dks, ksc, slots)
+                    dvs = _append_scales(dvs, vsc, slots)
+                    return (token, dk, dv, dks, dvs), token
                 dk = _append_rows(dk, k_new, slots)
                 dv = _append_rows(dv, v_new, slots)
                 return (token, dk, dv), token
 
-            (last, dec_k, dec_v), toks = jax.lax.scan(
-                dstep, (prev_tok, dec_k, dec_v),
-                jnp.arange(self.P, dtype=jnp.int32))
+            carry0 = ((prev_tok, dec_k, dec_v) + tuple(dec_scales)
+                      if int8 else (prev_tok, dec_k, dec_v))
+            carry, toks = jax.lax.scan(
+                dstep, carry0, jnp.arange(self.P, dtype=jnp.int32))
+            last, dec_k, dec_v = carry[:3]
             tokens = toks.T  # [B, P]
             pa = audio[:, None, -1:, :]  # [B, 1, 1, D]
             last = jnp.where(ready, last, prev_tok)
             pa = jnp.where(ready[:, None, None, None], pa, prev_audio)
-            return tokens, last, pa, enc_k, enc_v, dec_k, dec_v
+            return (tokens, last, pa, enc_k, enc_v, dec_k, dec_v) + carry[3:]
 
         if self._fused is not None:
             self._pool_step_jit = None
+            donate = (7, 8, 10, 11) + ((13, 14) if self.cache_int8 else ())
             self._pool_step_fused_jit = jax.jit(
-                _pool_step_fused, donate_argnums=(7, 8, 10, 11))
+                _pool_step_fused, donate_argnums=donate)
         else:
             self._pool_step_fused_jit = None
             self._pool_step_jit = jax.jit(
@@ -627,11 +680,22 @@ class StreamPool:
         self.enc_v = self.enc_v.at[b].set(enc_cache.v)
         if self._fused is not None:
             # Head-major transpose into the fused slot ([L, 1, S, H, hd]
-            # -> [L, H, S, hd]).
-            self.dec_k = self.dec_k.at[:, b].set(
-                jnp.transpose(dec_cache.k[:, 0], (0, 2, 1, 3)))
-            self.dec_v = self.dec_v.at[:, b].set(
-                jnp.transpose(dec_cache.v[:, 0], (0, 2, 1, 3)))
+            # -> [L, H, S, hd]); int8 mode quantizes the prefilled rows
+            # per position vector (zeros quantize to zeros).
+            km = jnp.transpose(dec_cache.k[:, 0], (0, 2, 1, 3))
+            vm = jnp.transpose(dec_cache.v[:, 0], (0, 2, 1, 3))
+            if self.cache_int8:
+                from voxtral_tpu.ops.decode_step_pallas import quantize_kv
+
+                kq, ks = quantize_kv(km)
+                vq, vs = quantize_kv(vm)
+                self.dec_k = self.dec_k.at[:, b].set(kq)
+                self.dec_v = self.dec_v.at[:, b].set(vq)
+                self.dec_ks = self.dec_ks.at[:, b].set(ks)
+                self.dec_vs = self.dec_vs.at[:, b].set(vs)
+            else:
+                self.dec_k = self.dec_k.at[:, b].set(km)
+                self.dec_v = self.dec_v.at[:, b].set(vm)
         else:
             self.dec_k = self.dec_k.at[b].set(dec_cache.k)
             self.dec_v = self.dec_v.at[b].set(dec_cache.v)
@@ -723,6 +787,8 @@ class StreamPool:
             with span("pool_step", ready=int(ready.sum()),
                       fused=self._fused is not None):
                 if self._fused is not None:
+                    scales = ((self.dec_ks, self.dec_vs)
+                              if self.cache_int8 else ())
                     out = self._pool_step_fused_jit(
                         self.model.params, self._fused["w"],
                         self._fused["ada"],
@@ -730,7 +796,11 @@ class StreamPool:
                         self.prev_tok, self.prev_audio, jnp.asarray(ready),
                         self.enc_k, self.enc_v, jnp.asarray(enc_len),
                         self.dec_k, self.dec_v, jnp.asarray(dec_len),
+                        *scales,
                     )
+                    if self.cache_int8:
+                        self.dec_ks, self.dec_vs = out[7:9]
+                        out = out[:7]
                 else:
                     out = self._pool_step_jit(
                         self.model.params,
