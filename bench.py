@@ -111,9 +111,18 @@ def main() -> None:
     rtf = total / AUDIO_SECS
     tok_s = n_tokens / total
 
+    # Definitions (they differ, and the reference reports the second):
+    #  * tok/s (total)  = tokens / WALL time of the whole pipeline call —
+    #    mel + encode + decode + tunnel roundtrip + host fetch.
+    #  * tok/s (decode) = tokens / decode-stage time, the reference's
+    #    definition (e2e_bench.rs:236) — measured by benches/e2e_bench.py
+    #    and the chained-slope kernel bench (1000/ms_per_step).
     print(
-        f"# total {total*1000:.0f} ms | RTF {rtf:.4f} | {tok_s:.1f} tok/s "
-        f"| {n_tokens} tokens | baseline RTF {BASELINE_RTF}",
+        f"# total {total*1000:.0f} ms | RTF {rtf:.4f} "
+        f"| {tok_s:.1f} tok/s (tokens/total-walltime incl. tunnel; the "
+        f"reference's tok/s is tokens/decode-stage — see "
+        f"benches/e2e_bench.py) | {n_tokens} tokens "
+        f"| baseline RTF {BASELINE_RTF}",
         file=sys.stderr,
     )
     print(
@@ -123,6 +132,9 @@ def main() -> None:
                 "value": round(rtf, 5),
                 "unit": "ratio",
                 "vs_baseline": round(BASELINE_RTF / rtf, 2),
+                "tok_s_total_walltime": round(tok_s, 1),
+                "definition": "RTF = wall/audio on the full pipeline "
+                "(mel+encode+decode+fetch, 16 s audio)",
             }
         )
     )

@@ -315,7 +315,7 @@ def suite_step(batches, seq=160, short=8, long=40):
     return results
 
 
-def suite_step_fused(batches, seq=160, short=8, long=40):
+def suite_step_fused(batches, seq=160, short=8, long=40, lm_argmax=False):
     """Same full decode step as ``suite_step`` but through the WHOLE-STACK
     Pallas kernel (``ops/decode_step_pallas.py::decode_stack_step``): the
     26 layers plus the folded final-norm + tied w8 lm_head run as ONE
@@ -366,14 +366,14 @@ def suite_step_fused(batches, seq=160, short=8, long=40):
                     offset, lm_cfg.head_dim, lm_cfg.rope_theta)
 
                 emb = params["tok_embeddings"]["w8"]
-                x, k_new, v_new, logits = decode_stack_step(
+                x, k_new, v_new, out4 = decode_stack_step(
                     x, offset,
                     fused["attn_norm"], fused["ffn_norm"], ada_vecs,
                     fused["sqkv"], fused["so"], fused["s13"], fused["s2"],
                     cos_p, sin_p, cache.k, cache.v,
                     fused["wqkv"], fused["wo"], fused["w13"], fused["w2"],
                     final_norm=params["norm"], lm_codes=emb["codes"],
-                    lm_scale=emb["scale"],
+                    lm_scale=emb["scale"], lm_argmax=lm_argmax,
                     n_heads=lm_cfg.n_heads, n_kv=lm_cfg.n_kv_heads,
                     head_dim=lm_cfg.head_dim, eps=lm_cfg.norm_eps,
                 )
@@ -386,7 +386,8 @@ def suite_step_fused(batches, seq=160, short=8, long=40):
                     cache.v, v_new[:, :, :, None].astype(cache.v.dtype),
                     start)
                 cache = KVCache(k_c, v_c, offset + 1)
-                token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                token = (out4[:, 0] if lm_argmax
+                         else jnp.argmax(out4, axis=-1).astype(jnp.int32))
                 return (token, cache), token
 
             (_, _), toks = jax.lax.scan(
@@ -408,6 +409,7 @@ def suite_step_fused(batches, seq=160, short=8, long=40):
         step_bytes = 26 * layer_bytes + 131072 * 3072 + 4 * 131072
         r = {
             "bench": "decode_step_fused", "batch": b, "seq": seq,
+            "lm_argmax": lm_argmax,
             "ms_per_step": round(per_step * 1e3, 3),
             "eff_gbps": round(step_bytes / per_step / 1e9, 1),
             "tok_s_equiv": round(b / per_step, 1),
@@ -579,6 +581,9 @@ def main():
     ap.add_argument("--batch", default="1,2,4")
     ap.add_argument("--seq", type=int, default=160,
                     help="cache positions for the step suites")
+    ap.add_argument("--lm-argmax", action="store_true",
+                    help="step-fused: fold the greedy argmax into "
+                    "the kernel's lm grid step")
     ap.add_argument("--q4", action="store_true",
                     help="include packed-q4 kernels in the matmul suite")
     ap.add_argument("--platform", default=None,
@@ -603,7 +608,7 @@ def main():
         suite_step([int(x) for x in args.batch.split(",")])
     if args.suite == "step-fused":
         suite_step_fused([int(x) for x in args.batch.split(",")],
-                         seq=args.seq)
+                         seq=args.seq, lm_argmax=args.lm_argmax)
     if args.suite == "step-int8kv":
         suite_step_int8kv([int(x) for x in args.batch.split(",")],
                           seq=args.seq)

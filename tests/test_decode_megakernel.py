@@ -499,3 +499,41 @@ def test_stack_kernel_int8_cache_matches_bf16(setup):
     assert float(np.abs(np.asarray(out_x) - np.asarray(ref_x)).max()) < 0.12
     assert (np.argmax(np.asarray(logits), -1)
             == np.argmax(np.asarray(ref_logits), -1)).all()
+
+
+def test_stack_kernel_lm_argmax_fold(setup):
+    """In-kernel greedy argmax (running max/first-index over vocab tiles)
+    must equal argmax over the materialized logits, including ties."""
+    from voxtral_tpu.ops.decode_step_pallas import decode_stack_step
+
+    params, t_embed, k_cache, v_cache, x = setup
+    lyr = params["layers"]
+    fused = fuse_decode_weights(params)
+    adav = ada_vectors(params, t_embed)
+    offs = jnp.asarray([OFFSET, 5], jnp.int32)
+    cs = [rope_pair_vectors(offs[b], HEAD_DIM, theta=1e6) for b in range(B)]
+    cos_b = jnp.stack([c for c, _ in cs])
+    sin_b = jnp.stack([s for _, s in cs])
+    kt = jnp.transpose(k_cache, (0, 1, 3, 2, 4))
+    vt = jnp.transpose(v_cache, (0, 1, 3, 2, 4))
+
+    rng = np.random.default_rng(11)
+    V = 1024
+    lm_w8 = quantize_w8_rowwise(
+        (rng.normal(size=(V, D)) * 0.05).astype(np.float32))["w8"]
+    lm_kw = dict(final_norm=jnp.ones((D,), jnp.float32),
+                 lm_codes=jnp.asarray(lm_w8["codes"]),
+                 lm_scale=jnp.asarray(lm_w8["scale"]))
+    common = dict(n_heads=N_HEADS, n_kv=N_KV, head_dim=HEAD_DIM, eps=EPS,
+                  interpret=True, window=8)
+    args = (x, offs, lyr["attention_norm"], lyr["ffn_norm"], adav,
+            fused["sqkv"], fused["so"], fused["s13"], fused["s2"],
+            cos_b, sin_b, kt, vt,
+            fused["wqkv"], fused["wo"], fused["w13"], fused["w2"])
+
+    _, _, _, logits = decode_stack_step(*args, **lm_kw, **common)
+    _, _, _, tok = decode_stack_step(*args, **lm_kw, lm_argmax=True,
+                                     **common)
+    assert tok.shape == (B, 1) and tok.dtype == jnp.int32
+    np.testing.assert_array_equal(
+        np.asarray(tok)[:, 0], np.argmax(np.asarray(logits), axis=-1))

@@ -449,7 +449,8 @@ def stack_vmem_need(B, S, D, n_heads, n_kv, head_dim, hidden,
 
 
 def _make_stack_kernel(B, D, S, L, n_heads, n_kv, head_dim, hidden, plan,
-                       eps, lm, window, ring, cache_q=False):
+                       eps, lm, window, ring, cache_q=False,
+                       lm_argmax=False):
     """Kernel body for one grid step = one decoder layer.
 
     The residual stream lives in VMEM scratch across grid steps (the TPU
@@ -715,7 +716,12 @@ def _make_stack_kernel(B, D, S, L, n_heads, n_kv, head_dim, hidden, plan,
                                 lm_dma(i).start()
                 return issue
 
-            w2_tail = [issue_next(i) for i in range(STACK_PRE["qkv"])]
+            # w2's tail pre-issues BOTH the next layer's leading qkv
+            # tiles and (on the last layer) the lm phase's LM_PRE tiles
+            # — the tail must be as deep as the larger of the two, or
+            # the lm stream would wait on a tile never issued.
+            w2_tail = [issue_next(i)
+                       for i in range(max(STACK_PRE["qkv"], LM_PRE))]
             x = x + stream("w2", xq, sx, s2_ref, w2_tail)
 
             x_s[:] = x
@@ -738,7 +744,7 @@ def _make_stack_kernel(B, D, S, L, n_heads, n_kv, head_dim, hidden, plan,
                 # layer's w2 tail; issuing j+LM_PRE before waiting on j
                 # never touches an in-use slot of the LM_SLOTS-deep
                 # rotating buffer.
-                def body(j, _):
+                def tile_logits(j):
                     @pl.when(j + LM_PRE < n_tiles)
                     def _():
                         lm_dma(j + LM_PRE).start()
@@ -750,13 +756,36 @@ def _make_stack_kernel(B, D, S, L, n_heads, n_kv, head_dim, hidden, plan,
                         dimension_numbers=(((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.int32,
                     )
-                    logits_ref[:, pl.ds(j * t, t)] = (
-                        z.astype(jnp.float32) * sx
-                        * lms_ref[0, pl.ds(j * t, t)][None, :]
-                    )
-                    return 0
+                    return (z.astype(jnp.float32) * sx
+                            * lms_ref[0, pl.ds(j * t, t)][None, :])
 
-                jax.lax.fori_loop(0, n_tiles, body, 0)
+                if lm_argmax:
+                    # Greedy fold: running (max, first-argmax) across the
+                    # vocab tiles — the [B, V] logits never materialize
+                    # and the XLA argmax pass after the kernel is gone.
+                    def body(j, carry):
+                        best_v, best_i = carry
+                        vals = tile_logits(j)  # [B, t]
+                        idx = j * t + jax.lax.broadcasted_iota(
+                            jnp.int32, vals.shape, 1)
+                        tb = jnp.max(vals, axis=1, keepdims=True)
+                        ti = jnp.min(
+                            jnp.where(vals >= tb, idx, jnp.int32(2**30)),
+                            axis=1, keepdims=True)
+                        upd = tb > best_v  # strict: ties keep 1st tile
+                        return (jnp.maximum(best_v, tb),
+                                jnp.where(upd, ti, best_i))
+
+                    init = (jnp.full((B, 1), -jnp.inf, jnp.float32),
+                            jnp.zeros((B, 1), jnp.int32))
+                    _, best_i = jax.lax.fori_loop(0, n_tiles, body, init)
+                    logits_ref[:] = best_i
+                else:
+                    def body(j, _):
+                        logits_ref[:, pl.ds(j * t, t)] = tile_logits(j)
+                        return 0
+
+                    jax.lax.fori_loop(0, n_tiles, body, 0)
 
     return kernel
 
@@ -764,7 +793,7 @@ def _make_stack_kernel(B, D, S, L, n_heads, n_kv, head_dim, hidden, plan,
 @functools.partial(
     jax.jit,
     static_argnames=("n_heads", "n_kv", "head_dim", "eps", "interpret",
-                     "window", "ring"),
+                     "window", "ring", "lm_argmax"),
 )
 def decode_stack_step(
     x, offset,
@@ -775,7 +804,7 @@ def decode_stack_step(
     final_norm=None, lm_codes=None, lm_scale=None,
     k_scales=None, v_scales=None,
     n_heads=32, n_kv=8, head_dim=128, eps=1e-5, interpret=False,
-    window=None, ring=None,
+    window=None, ring=None, lm_argmax=False,
 ):
     """All decoder layers of a single-token decode step in ONE kernel.
 
@@ -796,6 +825,12 @@ def decode_stack_step(
     grid step and a 4th output ``logits`` [B, V] f32 is returned — the
     whole decode step (minus argmax/embed feedback) is then a single
     kernel whose weight DMA never drains.
+
+    ``lm_argmax=True`` (with the lm fold) runs the greedy argmax INSIDE
+    the lm grid step — a running (max, first-index) across vocab tiles —
+    so the 4th output is int32 token indices [B, 1] and the [B, V]
+    logits never materialize (greedy decode only; sampling needs the
+    logits).
 
     int8 KV cache (halves the dominant VMEM term, the TPU-native lever
     for bigger pools / longer bounded sessions): pass int8 caches plus
@@ -826,9 +861,10 @@ def decode_stack_step(
             raise ValueError("decode_stack_step: vocab not tileable")
         lm = (V, t_lm)
 
+    lm_argmax = bool(lm_argmax and lm is not None)
     kernel = _make_stack_kernel(
         B, D, S, L, n_heads, n_kv, head_dim, hidden, plan, eps, lm,
-        window, ring, cache_q=cache_q)
+        window, ring, cache_q=cache_q, lm_argmax=lm_argmax)
 
     def vmem(shape, idx):
         return pl.BlockSpec(shape, idx, memory_space=pltpu.VMEM)
@@ -922,8 +958,13 @@ def decode_stack_step(
             final_norm.astype(jnp.float32).reshape(1, D),
             lm_scale.astype(jnp.float32).reshape(1, V),
         ]
-        out_specs.append(vmem((B, V), const2))      # logits
-        out_shape.append(jax.ShapeDtypeStruct((B, V), jnp.float32))
+        if lm_argmax:
+            # Greedy token indices [B, 1] instead of [B, V] logits.
+            out_specs.append(vmem((B, 1), const2))
+            out_shape.append(jax.ShapeDtypeStruct((B, 1), jnp.int32))
+        else:
+            out_specs.append(vmem((B, V), const2))  # logits
+            out_shape.append(jax.ShapeDtypeStruct((B, V), jnp.float32))
         scratch.append(pltpu.VMEM((LM_SLOTS, t_lm, D), jnp.int8))
 
     weight_specs = [pl.BlockSpec(memory_space=pl.ANY)] * (4 + (lm is not None))
