@@ -36,16 +36,16 @@ def main() -> int:
                     help=">1: coalesce N lockstep sessions through a "
                     "StreamPool and report the batched step time")
     ap.add_argument("--unbounded", action="store_true",
-                    help="solo session with head+ring KV caches "
-                    "(in-kernel eviction; sessions=1 only)")
+                    help="head+ring KV caches (in-kernel eviction); "
+                    "with --sessions N > 1 the POOL is unbounded")
+    ap.add_argument("--kv", default="auto",
+                    choices=["auto", "model", "int8"],
+                    help="pooled KV cache dtype (int8 halves VMEM/HBM)")
     ap.add_argument("--burst", action="store_true",
                     help="catch-up throughput: feed ALL audio at once and "
                     "time one backlogged pump (deferred token fetches "
                     "overlap the per-step host roundtrips)")
     args = ap.parse_args()
-    if args.unbounded and args.sessions > 1:
-        print("error: --unbounded is solo-only", file=sys.stderr)
-        return 2
 
     if args.platform != "default":
         import jax
@@ -86,7 +86,8 @@ def main() -> int:
 
         pool = StreamPool(model, max_streams=args.sessions,
                           step_positions=args.step,
-                          max_duration_s=args.seconds + 10)
+                          max_duration_s=args.seconds + 10,
+                          unbounded=args.unbounded, kv_dtype=args.kv)
         sessions = [
             StreamingSession(model, step_positions=args.step, pool=pool)
             for _ in range(args.sessions)

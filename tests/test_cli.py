@@ -142,3 +142,28 @@ def test_cli_tp_invalid(wav, tiny_params_file):
         "--tp", "0",
     )
     assert code == 2
+
+
+def test_cli_batch_files_matches_sequential(wav, tiny_params_file, tmp_path):
+    """--batch-files must produce the same lines in the same order as the
+    sequential per-file loop (duplicate files included)."""
+    base = ["--audio", wav, "--audio", wav,
+            "--random-weights", "--params", tiny_params_file,
+            "--dtype", "float32"]
+    code_seq, out_seq, _ = run_cli(*base)
+    code_b, out_b, _ = run_cli(*base, "--batch-files", "4")
+    assert code_seq == 0 and code_b == 0
+    assert out_b == out_seq
+    assert len(out_b.splitlines()) == 2
+
+
+def test_cli_batch_files_missing_file(wav, tiny_params_file):
+    code, out, err = run_cli(
+        "--audio", wav, "--audio", "/nonexistent.wav",
+        "--random-weights", "--params", tiny_params_file,
+        "--dtype", "float32", "--batch-files", "4",
+    )
+    assert code == 1
+    assert "not found" in err
+    lines = out.splitlines()
+    assert len(lines) == 2 and lines[1] == ""  # placeholder line kept

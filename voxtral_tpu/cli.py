@@ -49,6 +49,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="Delay in tokens (1 token = 80 ms); default 6 = 480 ms",
     )
     p.add_argument(
+        "--batch-files", type=int, default=0, metavar="N",
+        help="Decode up to N same-length files in one on-device scan "
+        "(multi-file throughput; output order is preserved).  0 = "
+        "sequential per-file (the reference's behavior)",
+    )
+    p.add_argument(
         "--max-mel-frames", type=int, default=3000,
         help="Max mel frames per chunk (reference defaults to 1200 for "
         "WebGPU shared-memory limits, transcribe.rs:56-57; TPU has no "
@@ -223,6 +229,22 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         pipeline = TranscribePipeline.from_model_dir(
             model_dir, args.dtype, pcfg, mesh=mesh)
+
+    if args.batch_files > 0:
+        missing = [p for p in audio_paths if not Path(p).exists()]
+        for p in missing:
+            print(f"error: audio file not found: {p}", file=sys.stderr)
+        present = [p for p in audio_paths if Path(p).exists()]
+        try:
+            texts = dict(zip(present, pipeline.transcribe_files_batched(
+                present, batch_size=args.batch_files)))
+        except Exception as e:
+            print(f"error: batched transcription failed: {e}",
+                  file=sys.stderr)
+            return 1
+        for p in audio_paths:
+            print(texts.get(p, ""), flush=True)
+        return 1 if missing else 0
 
     status = 0
     for path in audio_paths:
