@@ -537,3 +537,79 @@ def test_stack_kernel_lm_argmax_fold(setup):
     assert tok.shape == (B, 1) and tok.dtype == jnp.int32
     np.testing.assert_array_equal(
         np.asarray(tok)[:, 0], np.argmax(np.asarray(logits), axis=-1))
+
+
+def test_stack_kernel_chunked_cache_matches_resident(setup):
+    """HBM-chunked cache attention (online softmax over S-chunks) must
+    match the VMEM-resident path, including ring mode with the cache
+    padded past head+size (dead slots masked by the r < size guard) and
+    the int8-cache variant."""
+    from voxtral_tpu.ops.decode_step_pallas import (
+        decode_stack_step,
+        quantize_kv,
+    )
+
+    params, t_embed, k_cache, v_cache, x = setup
+    lyr = params["layers"]
+    fused = fuse_decode_weights(params)
+    adav = ada_vectors(params, t_embed)
+    offs = jnp.asarray([OFFSET, 5], jnp.int32)
+    cs = [rope_pair_vectors(offs[b], HEAD_DIM, theta=1e6) for b in range(B)]
+    cos_b = jnp.stack([c for c, _ in cs])
+    sin_b = jnp.stack([s for _, s in cs])
+    kt = jnp.transpose(k_cache, (0, 1, 3, 2, 4))  # [L, B, Hkv, S, hd]
+    vt = jnp.transpose(v_cache, (0, 1, 3, 2, 4))
+
+    common = dict(n_heads=N_HEADS, n_kv=N_KV, head_dim=HEAD_DIM, eps=EPS,
+                  interpret=True, window=8)
+    args = (x, offs, lyr["attention_norm"], lyr["ffn_norm"], adav,
+            fused["sqkv"], fused["so"], fused["s13"], fused["s2"],
+            cos_b, sin_b)
+    weights = (fused["wqkv"], fused["wo"], fused["w13"], fused["w2"])
+
+    # -- plain bounded cache, chunk 8 over S=16 ---------------------------
+    ref = decode_stack_step(*args, kt, vt, *weights, **common)
+    out = decode_stack_step(*args, kt, vt, *weights, cache_chunk=8,
+                            **common)
+    for r, o in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(r, np.float32),
+                                   np.asarray(o, np.float32),
+                                   rtol=2e-5, atol=2e-5)
+
+    # -- ring cache PADDED past head+size (ring=(4, 8) -> valid slots
+    #    [0, 12); slots [12, 16) are dead and must be masked) -------------
+    ring = (4, 8)
+    roffs = jnp.asarray([13, 9], jnp.int32)  # wrapped ring offsets
+    rcs = [rope_pair_vectors(roffs[b], HEAD_DIM, theta=1e6)
+           for b in range(B)]
+    rargs = (x, roffs, lyr["attention_norm"], lyr["ffn_norm"], adav,
+             fused["sqkv"], fused["so"], fused["s13"], fused["s2"],
+             jnp.stack([c for c, _ in rcs]), jnp.stack([s for _, s in rcs]))
+    # Poison the dead slots: resident path uses the exact-size cache,
+    # chunked uses the padded one with garbage — results must agree.
+    kt12, vt12 = kt[:, :, :, :12], vt[:, :, :, :12]
+    kt_pad = kt.at[:, :, :, 12:].set(1e3)
+    vt_pad = vt.at[:, :, :, 12:].set(1e3)
+    ref_r = decode_stack_step(*rargs, kt12, vt12, *weights, ring=ring,
+                              **common)
+    out_r = decode_stack_step(*rargs, kt_pad, vt_pad, *weights, ring=ring,
+                              cache_chunk=8, **common)
+    for r, o in zip(ref_r, out_r):
+        np.testing.assert_allclose(np.asarray(r, np.float32),
+                                   np.asarray(o, np.float32),
+                                   rtol=2e-5, atol=2e-5)
+
+    # -- int8 cache + chunks ----------------------------------------------
+    kq, ks = quantize_kv(kt)
+    vq, vs = quantize_kv(vt)
+    ref_q = decode_stack_step(*args, kq, vq, *weights,
+                              k_scales=ks, v_scales=vs, **common)
+    out_q = decode_stack_step(*args, kq, vq, *weights,
+                              k_scales=ks, v_scales=vs, cache_chunk=8,
+                              **common)
+    # Chunked int8 requantizes the softmax weights PER CHUNK (finer
+    # granularity than the resident single pass) — near-equal.
+    for r, o in zip(ref_q, out_q):
+        np.testing.assert_allclose(np.asarray(r, np.float32),
+                                   np.asarray(o, np.float32),
+                                   rtol=2e-2, atol=2e-2)

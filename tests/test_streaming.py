@@ -549,3 +549,115 @@ def test_stream_pool_int8_ring_matches_solo(monkeypatch):
     ps.finish()
     assert ps.positions_done > 78  # past ring wraparound
     assert ps.tokens == solo.tokens, (ps.tokens[:20], solo.tokens[:20])
+
+
+def test_stream_pool_auto_kv_falls_back_to_int8(monkeypatch):
+    """kv_dtype="auto": when the model-dtype cache blows the stack
+    kernel's VMEM gate but the int8 cache fits, the pool must pick the
+    fused path with cache_int8 (the pool16 unlock)."""
+    import dataclasses
+
+    import voxtral_tpu.ops.decode_step_pallas as dsp
+    from voxtral_tpu.streaming import StreamPool
+    from voxtral_tpu.utils.quantize import quantize_params_w8
+
+    monkeypatch.setenv("VOXTRAL_MEGAKERNEL", "force")
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg, language_model=dataclasses.replace(
+            cfg.language_model, vocab_size=1280))
+    f32 = VoxtralModel.init_random(jax.random.PRNGKey(3), cfg,
+                                   dtype=jnp.float32)
+    fmodel = VoxtralModel(quantize_params_w8(f32.params), cfg)
+
+    # Cap between the int8 need and the model-dtype (bf16 cache) need.
+    lm = cfg.language_model
+    pool_probe = StreamPool(fmodel, max_streams=2, step_positions=8,
+                            max_duration_s=30)
+    s_dec = pool_probe.max_dec + 8
+    item_model = jnp.dtype(fmodel.cache_dtype).itemsize
+    need_model = dsp.stack_vmem_need(2, s_dec, lm.dim, lm.n_heads,
+                                     lm.n_kv_heads, lm.head_dim,
+                                     lm.hidden_dim, lm.vocab_size,
+                                     item_model)
+    need_int8 = dsp.stack_vmem_need(2, s_dec, lm.dim, lm.n_heads,
+                                    lm.n_kv_heads, lm.head_dim,
+                                    lm.hidden_dim, lm.vocab_size, 1)
+    assert need_int8 < need_model
+    monkeypatch.setattr(dsp, "STACK_VMEM_CAP",
+                        (need_int8 + need_model) // 2)
+
+    pool = StreamPool(fmodel, max_streams=2, step_positions=8,
+                      max_duration_s=30, kv_dtype="auto")
+    assert pool._fused is not None and pool.cache_int8
+
+    # "model" keeps the strict dtype and must fall off the fused path.
+    pool_m = StreamPool(fmodel, max_streams=2, step_positions=8,
+                        max_duration_s=30, kv_dtype="model")
+    assert pool_m._fused is None
+
+
+def test_stream_pool_chunked_cache_matches_solo(monkeypatch):
+    """Pool forced onto the HBM-chunked int8 cache (the big-pool / long
+    ring-window fused path) must stay token-identical to the solo
+    generic path — bounded AND unbounded (ring) modes."""
+    import dataclasses
+
+    import voxtral_tpu.streaming as streaming
+    from voxtral_tpu.streaming import StreamPool
+    from voxtral_tpu.utils.quantize import quantize_params_w8
+
+    monkeypatch.setenv("VOXTRAL_MEGAKERNEL", "force")
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg, language_model=dataclasses.replace(
+            cfg.language_model, vocab_size=1280))
+    f32 = VoxtralModel.init_random(jax.random.PRNGKey(3), cfg,
+                                   dtype=jnp.float32)
+    w8 = quantize_params_w8(f32.params)
+    fmodel = VoxtralModel(w8, cfg)
+
+    # Force the ladder onto the chunked candidates, with a small chunk
+    # so multiple online-softmax chunks are exercised.
+    orig = streaming._fused_plan
+
+    def chunk_only(model, batch, cache_s, itemsize=None, chunk=None):
+        if chunk is None and batch > 1:
+            return None  # pool candidates must go chunked
+        return orig(model, batch, cache_s, itemsize=itemsize, chunk=chunk)
+
+    monkeypatch.setattr(streaming, "_fused_plan", chunk_only)
+    monkeypatch.setattr(streaming, "CACHE_CHUNK", 64)
+
+    rng = np.random.default_rng(41)
+    audio = rng.normal(size=16000 * 8).astype(np.float32) * 0.25
+    monkeypatch.setenv("VOXTRAL_MEGAKERNEL", "0")
+    gmodel = VoxtralModel(w8, cfg)
+    solo = StreamingSession(gmodel, step_positions=8, max_duration_s=30)
+    solo.feed(audio)
+    solo.finish()
+
+    pool = StreamPool(fmodel, max_streams=2, step_positions=8,
+                      max_duration_s=30)
+    assert pool._fused is not None and pool._cache_chunk == 64
+    assert pool.cache_int8 and pool.dec_k.shape[3] % 64 == 0
+    ps = StreamingSession(fmodel, step_positions=8, pool=pool)
+    for piece in np.array_split(audio, 3):
+        ps.feed(piece)
+    ps.finish()
+    assert ps.tokens == solo.tokens, (ps.tokens, solo.tokens)
+
+    # Ring mode on the padded cache (dead slots masked by r < size).
+    audio_l = rng.normal(size=16000 * 15).astype(np.float32) * 0.25
+    solo_r = StreamingSession(gmodel, step_positions=8, unbounded=True)
+    solo_r.feed(audio_l)
+    solo_r.finish()
+    pool_r = StreamPool(fmodel, max_streams=2, step_positions=8,
+                        unbounded=True)
+    assert pool_r._cache_chunk == 64 and pool_r.cache_int8
+    pr = StreamingSession(fmodel, step_positions=8, pool=pool_r)
+    for piece in np.array_split(audio_l, 3):
+        pr.feed(piece)
+    pr.finish()
+    assert pr.positions_done > 78  # past ring wraparound
+    assert pr.tokens == solo_r.tokens, (pr.tokens[:20], solo_r.tokens[:20])

@@ -418,14 +418,17 @@ STACK_VMEM_CAP = 116 * 2**20
 
 
 def stack_vmem_need(B, S, D, n_heads, n_kv, head_dim, hidden,
-                    vocab=None, cache_itemsize=2) -> Optional[int]:
+                    vocab=None, cache_itemsize=2,
+                    cache_chunk=None) -> Optional[int]:
     """Estimated VMEM bytes for ``decode_stack_step`` at this geometry.
 
     Dominated by (a) the per-layer weight-tile rotating buffers and
     (b) the K/V cache blocks ([B, Hkv, S, hd] bf16 each), which Pallas
-    double-buffers across grid steps.  ``vocab`` adds the folded
-    lm_head's buffer + logits block.  Returns None if untileable.
-    Callers (e.g. the pooled streaming path) gate on
+    double-buffers across grid steps — unless ``cache_chunk`` is set,
+    in which case the caches stay in HBM and only the double-buffered
+    S-chunks (+ resident int8 scale blocks) count.  ``vocab`` adds the
+    folded lm_head's buffer + logits block.  Returns None if
+    untileable.  Callers (e.g. the pooled streaming path) gate on
     ``need <= STACK_VMEM_CAP`` before choosing the fused path.
     """
     nq = n_heads * head_dim
@@ -434,11 +437,18 @@ def stack_vmem_need(B, S, D, n_heads, n_kv, head_dim, hidden,
     if plan is None:
         return None
     need = sum(STACK_SLOTS[n] * plan[n][0] * plan[n][2] for n in plan)
-    # k+v blocks, double-buffered across grid steps
-    need += 4 * B * n_kv * S * head_dim * cache_itemsize
-    if cache_itemsize == 1:
-        # int8 cache carries per-position f32 scale blocks.
-        need += 4 * B * n_kv * S * 4
+    if cache_chunk:
+        # k+v chunk double buffers (cache itself stays in HBM).
+        need += 4 * B * n_kv * cache_chunk * head_dim * cache_itemsize
+        if cache_itemsize == 1:
+            # scale blocks stay VMEM-resident, double-buffered.
+            need += 4 * B * n_kv * S * 4
+    else:
+        # k+v blocks, double-buffered across grid steps
+        need += 4 * B * n_kv * S * head_dim * cache_itemsize
+        if cache_itemsize == 1:
+            # int8 cache carries per-position f32 scale blocks.
+            need += 4 * B * n_kv * S * 4
     if vocab is not None:
         t = _lm_tile(vocab, D)
         if t is None:
@@ -450,7 +460,7 @@ def stack_vmem_need(B, S, D, n_heads, n_kv, head_dim, hidden,
 
 def _make_stack_kernel(B, D, S, L, n_heads, n_kv, head_dim, hidden, plan,
                        eps, lm, window, ring, cache_q=False,
-                       lm_argmax=False):
+                       lm_argmax=False, cache_chunk=None):
     """Kernel body for one grid step = one decoder layer.
 
     The residual stream lives in VMEM scratch across grid steps (the TPU
@@ -475,8 +485,12 @@ def _make_stack_kernel(B, D, S, L, n_heads, n_kv, head_dim, hidden, plan,
     pidx = {name: i for i, name in enumerate(order)}
 
     def kernel(*refs):
-        # Optional int8-cache scale refs sit right after vc_ref.
+        # Optional int8-cache scale refs sit right after vc_ref; chunked
+        # mode appends (kbuf, vbuf, sem_kv) scratch at the very end.
         nsc = 2 if cache_q else 0
+        if cache_chunk:
+            kbuf, vbuf, sem_kv = refs[-3:]
+            refs = refs[:-3]
         if lm is not None:
             (offs_ref,
              x_ref, attn_norm_ref, ffn_norm_ref, ada_ref,
@@ -602,91 +616,180 @@ def _make_stack_kernel(B, D, S, L, n_heads, n_kv, head_dim, hidden, plan,
             # Mosaic matmul allows at most ONE batch dim: fold (B, Hkv)
             # into a single leading batch axis for both contractions.
             qg = q.reshape(B * n_kv, groups, head_dim) * scale
-            kc = kc_ref[0].reshape(B * n_kv, S, head_dim)  # bf16 or int8
-            vc = vc_ref[0].reshape(B * n_kv, S, head_dim)
             if cache_q:
                 # int8 cache: K/V rows were quantized per (layer, row,
                 # head, position) vector; the per-position scale factors
                 # OUT of the head_dim contraction, so scores ride the
                 # int8 MXU and the scale multiplies the score matrix.
-                ks = ks_ref[0].reshape(B * n_kv, S)
-                vs = vs_ref[0].reshape(B * n_kv, S)
                 qa = jnp.max(jnp.abs(qg), axis=-1, keepdims=True)
                 sq = jnp.maximum(qa, 1e-8) / 127.0
                 qq = jnp.clip(jnp.round(qg / sq), -127, 127
                               ).astype(jnp.int8)
-                scores = jax.lax.dot_general(
-                    qq, kc,
-                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                    preferred_element_type=jnp.int32,
-                ).astype(jnp.float32) * sq * ks[:, None, :]
-            else:
-                scores = jax.lax.dot_general(
-                    qg.astype(kc.dtype), kc,
-                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32,
-                )  # [B*Hkv, G, S]
-            # Per-row validity: row b attends to cache positions
-            # < offs[b] (mixed-progress batches each mask their own),
-            # bounded below by the sliding window (diff <= w, matching
-            # layers._band_mask_bias; the query sits at offs[b]).
-            # offs live in SMEM (scalar prefetch); the per-row value is
-            # materialized with static-B scalar selects over a row iota
-            # — Mosaic has no layout for [B] -> [B*Hkv, 1, 1] casts.
-            pos = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 2)
-            row = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
-            off3 = jnp.full(scores.shape, jnp.int32(0))
-            for b in range(B):
-                off3 = jnp.where(row // n_kv == b, offs_ref[b], off3)
-            if ring is None:
-                p_abs = pos
-                valid = pos < off3
-            else:
-                # Head+ring cache (layers.ring_k_positions semantics):
-                # slots [0, head) hold positions [0, head) permanently;
-                # ring slot r holds the largest p = head + r + size*c
-                # below offs.  All closed-form iota arithmetic.
-                head_n, size = ring
-                r = pos - head_n
-                wr = off3 - head_n
-                cycles = jnp.maximum(wr - 1 - r, 0) // size
-                in_head = pos < head_n
-                p_abs = jnp.where(in_head, pos, head_n + r + size * cycles)
-                # Pure &/| composition — Mosaic cannot lower a select
-                # with i1 operands ("unsupported bitwidth truncation").
-                valid = ((in_head & (pos < off3))
-                         | ((pos >= head_n) & (r < wr)))
-            if window is not None:
-                valid &= (off3 - p_abs) <= window
-            scores = jnp.where(valid, scores, -jnp.inf)
-            kf = k.reshape(B * n_kv, 1, head_dim)
-            self_s = jnp.sum(qg * kf, axis=-1)  # [B*Hkv, G]
 
-            m = jnp.maximum(jnp.max(scores, axis=-1), self_s)
-            e_cache = jnp.exp(scores - m[..., None])
-            e_self = jnp.exp(self_s - m)
-            denom = jnp.sum(e_cache, axis=-1) + e_self
-            if cache_q:
-                # Fold the per-position V scale into the (f32) softmax
-                # weights, quantize THOSE per row, and keep the hd
-                # contraction on the int8 MXU.
-                e_w = e_cache * vs[:, None, :]
-                ea = jnp.max(jnp.abs(e_w), axis=-1, keepdims=True)
-                se = jnp.maximum(ea, 1e-30) / 127.0
-                eq = jnp.clip(jnp.round(e_w / se), -127, 127
-                              ).astype(jnp.int8)
-                ctx = jax.lax.dot_general(
-                    eq, vc,
-                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                    preferred_element_type=jnp.int32,
-                ).astype(jnp.float32) * se
-            else:
-                ctx = jax.lax.dot_general(
-                    e_cache.astype(vc.dtype), vc,
+            def build_valid(shape, base):
+                """Per-row validity for a score tile whose slot axis s
+                maps to absolute cache slot base + s: row b attends to
+                positions < offs[b] (mixed-progress batches each mask
+                their own), bounded below by the sliding window
+                (diff <= w, matching layers._band_mask_bias; the query
+                sits at offs[b]).  offs live in SMEM (scalar prefetch);
+                the per-row value is materialized with static-B scalar
+                selects over a row iota — Mosaic has no layout for
+                [B] -> [B*Hkv, 1, 1] casts."""
+                pos = base + jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+                row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+                off3 = jnp.full(shape, jnp.int32(0))
+                for b in range(B):
+                    off3 = jnp.where(row // n_kv == b, offs_ref[b], off3)
+                if ring is None:
+                    p_abs = pos
+                    valid = pos < off3
+                else:
+                    # Head+ring cache (layers.ring_k_positions
+                    # semantics): slots [0, head) hold positions
+                    # [0, head) permanently; ring slot r holds the
+                    # largest p = head + r + size*c below offs.  The
+                    # r < size guard masks dead slots when S is padded
+                    # past head+size (chunk-size rounding).  Pure &/|
+                    # composition — Mosaic cannot lower a select with
+                    # i1 operands ("unsupported bitwidth truncation").
+                    head_n, size = ring
+                    r = pos - head_n
+                    wr = off3 - head_n
+                    cycles = jnp.maximum(wr - 1 - r, 0) // size
+                    in_head = pos < head_n
+                    p_abs = jnp.where(in_head, pos,
+                                      head_n + r + size * cycles)
+                    valid = ((in_head & (pos < off3))
+                             | ((pos >= head_n) & (r < size) & (r < wr)))
+                if window is not None:
+                    valid &= (off3 - p_abs) <= window
+                return valid
+
+            def scores_of(kcc, sc, base):
+                """Masked scores for one K tile [B*Hkv, Sc, hd]."""
+                if cache_q:
+                    s = jax.lax.dot_general(
+                        qq, kcc,
+                        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                        preferred_element_type=jnp.int32,
+                    ).astype(jnp.float32) * sq * sc[:, None, :]
+                else:
+                    s = jax.lax.dot_general(
+                        qg.astype(kcc.dtype), kcc,
+                        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                    )  # [B*Hkv, G, Sc]
+                return jnp.where(build_valid(s.shape, base), s, -jnp.inf)
+
+            def ctx_of(e, vcc, vsc):
+                """softmax-weight x V tile contraction (int8 folds the
+                per-position V scale into the weights, requantizes per
+                row, and keeps the dot on the int8 MXU)."""
+                if cache_q:
+                    e_w = e * vsc[:, None, :]
+                    ea = jnp.max(jnp.abs(e_w), axis=-1, keepdims=True)
+                    se = jnp.maximum(ea, 1e-30) / 127.0
+                    eq = jnp.clip(jnp.round(e_w / se), -127, 127
+                                  ).astype(jnp.int8)
+                    return jax.lax.dot_general(
+                        eq, vcc,
+                        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.int32,
+                    ).astype(jnp.float32) * se
+                return jax.lax.dot_general(
+                    e.astype(vcc.dtype), vcc,
                     dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32,
                 )  # [B*Hkv, G, hd]
-            ctx = ctx + e_self[..., None] * v.reshape(B * n_kv, 1, head_dim)
+
+            kf = k.reshape(B * n_kv, 1, head_dim)
+            self_s = jnp.sum(qg * kf, axis=-1)  # [B*Hkv, G]
+
+            if cache_chunk:
+                # HBM-resident cache, streamed in double-buffered
+                # S-chunks with an online softmax — the kernel's VMEM
+                # no longer bounds S, so big pools / long ring windows
+                # keep the fused path (HBM traffic is identical to the
+                # resident layout; the chunks ride the same DMA engine
+                # as the weight tiles).
+                Sc = cache_chunk
+                n_ch = S // Sc
+
+                def kv_dma(c, slot):
+                    return (
+                        pltpu.make_async_copy(
+                            kc_ref.at[l, :, :, pl.ds(c * Sc, Sc), :],
+                            kbuf.at[slot], sem_kv.at[0, slot]),
+                        pltpu.make_async_copy(
+                            vc_ref.at[l, :, :, pl.ds(c * Sc, Sc), :],
+                            vbuf.at[slot], sem_kv.at[1, slot]),
+                    )
+
+                for cp in kv_dma(0, 0):
+                    cp.start()
+
+                # Finite -1e30 init keeps every carry finite (an
+                # all-masked chunk leaves m at -1e30 and its exp(-inf -
+                # (-1e30)) weights at exactly 0 — no inf-inf NaNs).
+                m0 = jnp.full((B * n_kv, groups), -1e30, jnp.float32)
+                d0 = jnp.zeros((B * n_kv, groups), jnp.float32)
+                c0 = jnp.zeros((B * n_kv, groups, head_dim), jnp.float32)
+
+                def chunk_body(c, carry):
+                    m_r, d_r, ctx_r = carry
+
+                    @pl.when(c + 1 < n_ch)
+                    def _():
+                        nxt = jax.lax.rem(c + 1, 2)
+                        for cp in kv_dma(c + 1, nxt):
+                            cp.start()
+
+                    slot = jax.lax.rem(c, 2)
+                    for cp in kv_dma(c, slot):
+                        cp.wait()
+                    kcc = kbuf[slot].reshape(B * n_kv, Sc, head_dim)
+                    vcc = vbuf[slot].reshape(B * n_kv, Sc, head_dim)
+                    if cache_q:
+                        ksc = ks_ref[0, :, :, pl.ds(c * Sc, Sc)].reshape(
+                            B * n_kv, Sc)
+                        vsc = vs_ref[0, :, :, pl.ds(c * Sc, Sc)].reshape(
+                            B * n_kv, Sc)
+                    else:
+                        ksc = vsc = None
+                    s = scores_of(kcc, ksc, c * Sc)
+                    m_new = jnp.maximum(m_r, jnp.max(s, axis=-1))
+                    alpha = jnp.exp(m_r - m_new)
+                    e = jnp.exp(s - m_new[..., None])
+                    d_new = d_r * alpha + jnp.sum(e, axis=-1)
+                    ctx_new = ctx_r * alpha[..., None] + ctx_of(e, vcc, vsc)
+                    return m_new, d_new, ctx_new
+
+                m, denom, ctx = jax.lax.fori_loop(
+                    0, n_ch, chunk_body, (m0, d0, c0))
+                m_f = jnp.maximum(m, self_s)
+                alpha = jnp.exp(m - m_f)
+                e_self = jnp.exp(self_s - m_f)
+                denom = denom * alpha + e_self
+                ctx = (ctx * alpha[..., None]
+                       + e_self[..., None] * v.reshape(B * n_kv, 1,
+                                                       head_dim))
+            else:
+                kc = kc_ref[0].reshape(B * n_kv, S, head_dim)
+                vc = vc_ref[0].reshape(B * n_kv, S, head_dim)
+                if cache_q:
+                    ks = ks_ref[0].reshape(B * n_kv, S)
+                    vs = vs_ref[0].reshape(B * n_kv, S)
+                else:
+                    ks = vs = None
+                scores = scores_of(kc, ks, 0)
+                m = jnp.maximum(jnp.max(scores, axis=-1), self_s)
+                e_cache = jnp.exp(scores - m[..., None])
+                e_self = jnp.exp(self_s - m)
+                denom = jnp.sum(e_cache, axis=-1) + e_self
+                ctx = ctx_of(e_cache, vc, vs)
+                ctx = ctx + e_self[..., None] * v.reshape(B * n_kv, 1,
+                                                          head_dim)
             attn = (ctx / denom[..., None]).reshape(B, nq)
 
             xq, sx = _quant(attn)
@@ -793,7 +896,7 @@ def _make_stack_kernel(B, D, S, L, n_heads, n_kv, head_dim, hidden, plan,
 @functools.partial(
     jax.jit,
     static_argnames=("n_heads", "n_kv", "head_dim", "eps", "interpret",
-                     "window", "ring", "lm_argmax"),
+                     "window", "ring", "lm_argmax", "cache_chunk"),
 )
 def decode_stack_step(
     x, offset,
@@ -804,7 +907,7 @@ def decode_stack_step(
     final_norm=None, lm_codes=None, lm_scale=None,
     k_scales=None, v_scales=None,
     n_heads=32, n_kv=8, head_dim=128, eps=1e-5, interpret=False,
-    window=None, ring=None, lm_argmax=False,
+    window=None, ring=None, lm_argmax=False, cache_chunk=None,
 ):
     """All decoder layers of a single-token decode step in ONE kernel.
 
@@ -862,9 +965,13 @@ def decode_stack_step(
         lm = (V, t_lm)
 
     lm_argmax = bool(lm_argmax and lm is not None)
+    if cache_chunk is not None and S % cache_chunk:
+        raise ValueError(
+            f"cache_chunk {cache_chunk} must divide S {S} (pad the cache)")
     kernel = _make_stack_kernel(
         B, D, S, L, n_heads, n_kv, head_dim, hidden, plan, eps, lm,
-        window, ring, cache_q=cache_q, lm_argmax=lm_argmax)
+        window, ring, cache_q=cache_q, lm_argmax=lm_argmax,
+        cache_chunk=cache_chunk)
 
     def vmem(shape, idx):
         return pl.BlockSpec(shape, idx, memory_space=pltpu.VMEM)
@@ -898,9 +1005,14 @@ def decode_stack_step(
         vmem((1, 1, D), perl3),                     # s2
         vmem((B, n_heads, head_dim), const3),       # cos (per-row, per-head)
         vmem((B, n_heads, head_dim), const3),       # sin
-        vmem((1, B, n_kv, S, head_dim), perl5),     # k cache (head-major)
-        vmem((1, B, n_kv, S, head_dim), perl5),     # v cache
-    ]
+    ] + (
+        # Chunked mode keeps the caches in HBM (manual S-chunk DMA);
+        # resident mode gives Pallas the whole per-layer block.
+        [pl.BlockSpec(memory_space=pl.ANY)] * 2
+        if cache_chunk else
+        [vmem((1, B, n_kv, S, head_dim), perl5),    # k cache (head-major)
+         vmem((1, B, n_kv, S, head_dim), perl5)]    # v cache
+    )
     if cache_q:
         in_specs += [
             vmem((1, B, n_kv, S), perl4),           # k scales
@@ -979,14 +1091,19 @@ def decode_stack_step(
             pltpu.VMEM((B, D), jnp.float32),
             pltpu.SemaphoreType.DMA((5, max(max(STACK_SLOTS.values()),
                                 LM_SLOTS))),
-        ],
+        ] + ([
+            pltpu.VMEM((2, B, n_kv, cache_chunk, head_dim), k_cache.dtype),
+            pltpu.VMEM((2, B, n_kv, cache_chunk, head_dim), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ] if cache_chunk else []),
     )
 
     # VMEM limit: the tuned 64 MB default covers transcribe shapes; big
     # pooled caches (large B*S) raise it up to the v5e headroom cap.
     need = stack_vmem_need(B, S, D, n_heads, n_kv, head_dim, hidden,
                            lm[0] if lm is not None else None,
-                           jnp.dtype(k_cache.dtype).itemsize)
+                           jnp.dtype(k_cache.dtype).itemsize,
+                           cache_chunk=cache_chunk)
     limit = max(64 * 2**20, min(STACK_VMEM_CAP, need))
     out = pl.pallas_call(
         kernel,

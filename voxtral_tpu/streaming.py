@@ -57,6 +57,9 @@ Params = dict[str, Any]
 MEL_HOP = 160
 MEL_MARGIN = 4  # STFT frames of margin so window-interior frames are exact
 SAMPLES_PER_POSITION = 2560  # 16 mel frames
+# S-chunk size for the HBM-chunked cache attention (decode_stack_step
+# cache_chunk=): pool caches round up to a multiple of this.
+CACHE_CHUNK = 512
 
 
 def _mel_frames_needed(last_frame: int) -> int:
@@ -299,13 +302,15 @@ def _session_jits(cfg: VoxtralConfig, P: int, enc_ring, dec_ring,
     return init, step, fstep, enc_rope, dec_rope
 
 
-def _fused_plan(model, batch: int, cache_s: int, itemsize: int = None):
+def _fused_plan(model, batch: int, cache_s: int, itemsize: int = None,
+                chunk: int = None):
     """Stack-kernel decode plan ({"w", "fold"}) for ``batch`` rows and a
     ``cache_s``-position cache, or None when the model lacks fused
     weights, the geometry doesn't tile, or the caches would blow the
     kernel's VMEM budget.  Shared by solo sessions and StreamPool so
     the fused-path selection can never diverge between them.
-    ``itemsize=1`` evaluates the int8-KV-cache variant."""
+    ``itemsize=1`` evaluates the int8-KV-cache variant; ``chunk``
+    evaluates the HBM-chunked cache variant (VMEM no longer bounds S)."""
     if model.fused_decode is None:
         return None
     if getattr(model, "parallel", None) is not None:
@@ -331,7 +336,7 @@ def _fused_plan(model, batch: int, cache_s: int, itemsize: int = None):
     need = stack_vmem_need(
         batch, cache_s, lm.dim, lm.n_heads, lm.n_kv_heads, lm.head_dim,
         lm.hidden_dim, lm_w8["codes"].shape[0] if fold else None,
-        itemsize,
+        itemsize, cache_chunk=chunk,
     )
     if (not supports_stack_kernel(lm) or need is None
             or need > STACK_VMEM_CAP):
@@ -458,15 +463,37 @@ class StreamPool:
         # "auto" = model dtype if it fits the VMEM gate, else int8.
         self._mk_interpret = getattr(model, "_mk_interpret", False)
         self.cache_int8 = False
+        self._cache_chunk = None
+        # Candidate ladder per kv_dtype, each (itemsize, chunk): resident
+        # first (fastest), then the HBM-chunked cache (removes the VMEM
+        # bound on S entirely — big pools / long ring windows keep the
+        # fused path; at long S the cache DMA dominates HBM, so chunked
+        # prefers int8).  The cache length rounds up to the chunk size
+        # (dead slots are masked in-kernel).
         if kv_dtype == "int8":
-            self._fused = _fused_plan(model, self.B, s_dec, itemsize=1)
-            self.cache_int8 = self._fused is not None
-        else:
-            self._fused = _fused_plan(model, self.B, s_dec)
-            if self._fused is None and kv_dtype == "auto":
-                self._fused = _fused_plan(model, self.B, s_dec, itemsize=1)
-                if self._fused is not None:
-                    self.cache_int8 = True
+            ladder = [(1, None), (1, CACHE_CHUNK)]
+        elif kv_dtype == "model":
+            ladder = [(None, None), (None, CACHE_CHUNK)]
+        else:  # auto
+            ladder = [(None, None), (1, None), (1, CACHE_CHUNK)]
+        self._fused = None
+        for item, chunk in ladder:
+            s_try = s_dec if chunk is None else -(-s_dec // chunk) * chunk
+            p = _fused_plan(model, self.B, s_try, itemsize=item,
+                            chunk=chunk)
+            if p is not None:
+                self._fused = p
+                self.cache_int8 = item == 1
+                self._cache_chunk = chunk
+                s_dec = s_try
+                if chunk is not None and unbounded:
+                    # Grow the ring so head + size == the padded S: a
+                    # ring larger than window+P is semantically fine
+                    # (older-than-window entries are masked by the
+                    # window bound), and the XLA init path's
+                    # ring_k_positions arrays stay cache-sized.
+                    self._dec_ring = (PREFIX_LEN, s_dec - PREFIX_LEN)
+                break
         if self._fused is not None:
             from voxtral_tpu.ops.decode_step_pallas import ada_vectors
 
@@ -587,6 +614,7 @@ class StreamPool:
                     head_dim=lmc.head_dim, eps=lmc.norm_eps,
                     interpret=self._mk_interpret,
                     window=lmc.sliding_window, ring=self._dec_ring,
+                    cache_chunk=self._cache_chunk,
                     **scale_kw, **lm_kw,
                 )
                 if fold:
