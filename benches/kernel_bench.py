@@ -523,6 +523,132 @@ def suite_step_int8kv(batches, seq=160, short=8, long=40):
     return results
 
 
+def suite_step_chunked(batches, seq=8704, fills=(512, 4096, 8192),
+                       chunk=512, short=8, long=40):
+    """Whole-stack decode step with the HBM-chunked int8 KV cache
+    (``cache_chunk=``): the cache never enters the kernel's VMEM budget
+    and the chunk loop has DYNAMIC bounds, so the per-step cost grows
+    with the FILL level (max row offset), not the allocated cache size.
+    This is the unbounded-StreamPool operating point — ``seq`` defaults
+    to the padded 8192-position ring window.  Protocol of
+    ``suite_step_int8kv``; the fill sweep shows cost ∝ fill."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from voxtral_tpu.config import VoxtralConfig
+    from voxtral_tpu.models.decoder import embed_tokens
+    from voxtral_tpu.ops.decode_step_pallas import (
+        decode_stack_step,
+        fuse_decode_weights,
+        quantize_kv,
+        rope_pair_vectors,
+    )
+    from voxtral_tpu.utils.quantize import random_w8_params
+
+    cfg = VoxtralConfig.voxtral()
+    lm_cfg = cfg.language_model
+    params = random_w8_params(cfg)["decoder"]
+    fused = fuse_decode_weights(params)
+    # The kernel reads only the FUSED copies; drop the raw layer stacks
+    # so the 8k-position caches fit in HBM next to the weights.
+    params = {k: v for k, v in params.items() if k != "layers"}
+    ada_vecs = jnp.ones((lm_cfg.n_layers, lm_cfg.dim), jnp.float32)
+
+    results = []
+    for b in batches:
+        for fill in fills:
+            fill = min(fill, seq - long - 2)
+            audio = jnp.asarray(
+                np.random.RandomState(0).randn(b, 160, lm_cfg.dim) * 0.05,
+                jnp.bfloat16,
+            )
+            # int8 cache built directly (content is masked garbage —
+            # a bf16 cache + quantize pass would double the HBM peak).
+            shape = (lm_cfg.n_layers, b, lm_cfg.n_kv_heads, seq,
+                     lm_cfg.head_dim)
+            ck0 = jnp.zeros(shape, jnp.int8)
+            cv0 = jnp.zeros(shape, jnp.int8)
+            ks0 = jnp.ones(shape[:-1], jnp.float32)
+            vs0 = jnp.ones(shape[:-1], jnp.float32)
+
+            def run(params, fused, ada_vecs, audio, ck, cv, ks, vs,
+                    length, b, fill):
+                tok0 = jnp.full((b,), 32, jnp.int32)
+
+                def step(carry, i):
+                    prev, ck, cv, ks, vs, offset = carry
+                    apos = jax.lax.dynamic_slice_in_dim(audio, 38, 1, axis=1)
+                    text = embed_tokens(params, prev[:, None])
+                    x = (apos + text)[:, 0, :].astype(jnp.float32)
+                    cos_p, sin_p = rope_pair_vectors(
+                        offset, lm_cfg.head_dim, lm_cfg.rope_theta)
+
+                    emb = params["tok_embeddings"]["w8"]
+                    x, k_new, v_new, logits = decode_stack_step(
+                        x, offset,
+                        fused["attn_norm"], fused["ffn_norm"], ada_vecs,
+                        fused["sqkv"], fused["so"], fused["s13"],
+                        fused["s2"], cos_p, sin_p, ck, cv,
+                        fused["wqkv"], fused["wo"], fused["w13"],
+                        fused["w2"],
+                        final_norm=params["norm"], lm_codes=emb["codes"],
+                        lm_scale=emb["scale"], k_scales=ks, v_scales=vs,
+                        n_heads=lm_cfg.n_heads, n_kv=lm_cfg.n_kv_heads,
+                        head_dim=lm_cfg.head_dim, eps=lm_cfg.norm_eps,
+                        window=lm_cfg.sliding_window, cache_chunk=chunk,
+                    )
+                    kq, ksc = quantize_kv(k_new)
+                    vq, vsc = quantize_kv(v_new)
+                    zero = jnp.zeros((), jnp.int32)
+                    start = (zero, zero, zero, offset, zero)
+                    ck = jax.lax.dynamic_update_slice(
+                        ck, kq[:, :, :, None], start)
+                    cv = jax.lax.dynamic_update_slice(
+                        cv, vq[:, :, :, None], start)
+                    start3 = (zero, zero, zero, offset)
+                    ks = jax.lax.dynamic_update_slice(
+                        ks, ksc[:, :, :, None], start3)
+                    vs = jax.lax.dynamic_update_slice(
+                        vs, vsc[:, :, :, None], start3)
+                    token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                    return (token, ck, cv, ks, vs, offset + 1), token
+
+                carry0 = (tok0, ck, cv, ks, vs,
+                          jnp.asarray(fill, jnp.int32))
+                _, toks = jax.lax.scan(
+                    step, carry0, jnp.arange(length, dtype=jnp.int32))
+                return toks[-1, 0]
+
+            @functools.lru_cache(maxsize=None)
+            def _jitted(length, b=b, fill=fill):
+                return jax.jit(functools.partial(
+                    run, length=length, b=b, fill=fill))
+
+            def runner(length, b=b, fill=fill):
+                return _jitted(length)(
+                    params, fused, ada_vecs, audio, ck0, cv0, ks0, vs0)
+
+            per_step = _timed_slope(runner, short, long)
+            layer_bytes = sum(n * k + 4 * n for n, k in LAYER_SHAPES)
+            n_read = -(-min(fill + 1, seq) // chunk) * chunk
+            cache_bytes = 26 * 2 * b * lm_cfg.n_kv_heads * n_read * (
+                lm_cfg.head_dim + 4)
+            step_bytes = (26 * layer_bytes + 131072 * 3072 + 4 * 131072
+                          + cache_bytes)
+            r = {
+                "bench": "decode_step_chunked", "batch": b, "seq": seq,
+                "fill": fill, "chunk": chunk,
+                "ms_per_step": round(per_step * 1e3, 3),
+                "eff_gbps": round(step_bytes / per_step / 1e9, 1),
+                "tok_s_equiv": round(b / per_step, 1),
+            }
+            results.append(r)
+            print(json.dumps(r), flush=True)
+    return results
+
+
 def suite_encode(mel_frames=(2344,), short=4, long=12):
     """Full audio-encode stage (conv + 32 layers + reshape + adapter) via
     the chained-slope method — the e2e bench's per-stage sync over the
@@ -576,7 +702,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--suite", default="all",
                     choices=["all", "matmul", "step", "step-fused",
-                             "step-int8kv", "encode"])
+                             "step-int8kv", "step-chunked", "encode"])
     ap.add_argument("--m", default="1,2,8")
     ap.add_argument("--batch", default="1,2,4")
     ap.add_argument("--seq", type=int, default=160,
@@ -612,6 +738,8 @@ def main():
     if args.suite == "step-int8kv":
         suite_step_int8kv([int(x) for x in args.batch.split(",")],
                           seq=args.seq)
+    if args.suite == "step-chunked":
+        suite_step_chunked([int(x) for x in args.batch.split(",")])
     if args.suite == "encode":
         suite_encode()
 

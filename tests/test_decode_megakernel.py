@@ -613,3 +613,55 @@ def test_stack_kernel_chunked_cache_matches_resident(setup):
         np.testing.assert_allclose(np.asarray(r, np.float32),
                                    np.asarray(o, np.float32),
                                    rtol=2e-2, atol=2e-2)
+
+
+def test_stack_kernel_chunked_cache_skips_dead_chunks(setup):
+    """The chunked cache loop has DYNAMIC bounds: chunks wholly outside
+    the union of the rows' valid slot ranges are never DMA'd.  Poison
+    them with NaN — any read would propagate through 0*NaN in the
+    masked V contraction, so a match proves the skip."""
+    from voxtral_tpu.ops.decode_step_pallas import decode_stack_step
+
+    params, t_embed, k_cache, v_cache, x = setup
+    lyr = params["layers"]
+    fused = fuse_decode_weights(params)
+    adav = ada_vectors(params, t_embed)
+    kt = jnp.transpose(k_cache, (0, 1, 3, 2, 4))  # [L, B, Hkv, S, hd]
+    vt = jnp.transpose(v_cache, (0, 1, 3, 2, 4))
+    weights = (fused["wqkv"], fused["wo"], fused["w13"], fused["w2"])
+    common = dict(n_heads=N_HEADS, n_kv=N_KV, head_dim=HEAD_DIM, eps=EPS,
+                  interpret=True)
+
+    def run(offs, k, v, window, **kw):
+        cs = [rope_pair_vectors(offs[b], HEAD_DIM, theta=1e6)
+              for b in range(B)]
+        args = (x, offs, lyr["attention_norm"], lyr["ffn_norm"], adav,
+                fused["sqkv"], fused["so"], fused["s13"], fused["s2"],
+                jnp.stack([c for c, _ in cs]),
+                jnp.stack([s for _, s in cs]))
+        return decode_stack_step(*args, k, v, *weights, window=window,
+                                 **common, **kw)
+
+    # Trailing chunks beyond max(offs)=7 (chunk 8 over S=16: chunk 1
+    # is dead for both rows).
+    offs = jnp.asarray([OFFSET, 5], jnp.int32)
+    ref = run(offs, kt, vt, 8)
+    k_nan = kt.at[:, :, :, 8:].set(jnp.nan)
+    v_nan = vt.at[:, :, :, 8:].set(jnp.nan)
+    out = run(offs, k_nan, v_nan, 8, cache_chunk=8)
+    for r, o in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(r, np.float32),
+                                   np.asarray(o, np.float32),
+                                   rtol=2e-5, atol=2e-5)
+
+    # Leading chunks below every row's window band (offs 15/14, window
+    # 4, chunk 4: valid band [10, 15) -> chunks 0-1 dead, 2-3 live).
+    offs_w = jnp.asarray([15, 14], jnp.int32)
+    ref_w = run(offs_w, kt, vt, 4)
+    k_lo = kt.at[:, :, :, :8].set(jnp.nan)
+    v_lo = vt.at[:, :, :, :8].set(jnp.nan)
+    out_w = run(offs_w, k_lo, v_lo, 4, cache_chunk=4)
+    for r, o in zip(ref_w, out_w):
+        np.testing.assert_allclose(np.asarray(r, np.float32),
+                                   np.asarray(o, np.float32),
+                                   rtol=2e-5, atol=2e-5)

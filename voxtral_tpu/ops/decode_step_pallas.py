@@ -716,6 +716,32 @@ def _make_stack_kernel(B, D, S, L, n_heads, n_kv, head_dim, hidden, plan,
                 Sc = cache_chunk
                 n_ch = S // Sc
 
+                # Dynamic chunk bounds: only chunks intersecting the
+                # UNION of the rows' valid slot ranges are streamed.
+                # Valid slots are contiguous from 0 in both layouts
+                # (bounded: [0, max_off); ring: head + min(wr, size)
+                # slots always hold the most recent window), so an
+                # unbounded pool's cost grows with actual ring FILL,
+                # not the allocated 8192-slot window — early/mid-stream
+                # steps cost the same as a bounded pool.  The window's
+                # lower bound additionally skips leading chunks wholly
+                # below every row's attention band (bounded mode only;
+                # ring slots never age out by slot index).
+                max_off = offs_ref[0]
+                min_off = offs_ref[0]
+                for b in range(1, B):
+                    max_off = jnp.maximum(max_off, offs_ref[b])
+                    min_off = jnp.minimum(min_off, offs_ref[b])
+                if ring is None:
+                    used = max_off
+                    lo_pos = (jnp.maximum(min_off - window, 0)
+                              if window is not None else 0)
+                else:
+                    used = jnp.minimum(max_off, ring[0] + ring[1])
+                    lo_pos = 0
+                c_lo = lo_pos // Sc
+                n_used = jnp.minimum((used + Sc - 1) // Sc, n_ch)
+
                 def kv_dma(c, slot):
                     return (
                         pltpu.make_async_copy(
@@ -726,8 +752,10 @@ def _make_stack_kernel(B, D, S, L, n_heads, n_kv, head_dim, hidden, plan,
                             vbuf.at[slot], sem_kv.at[1, slot]),
                     )
 
-                for cp in kv_dma(0, 0):
-                    cp.start()
+                @pl.when(c_lo < n_used)
+                def _():
+                    for cp in kv_dma(c_lo, jax.lax.rem(c_lo, 2)):
+                        cp.start()
 
                 # Finite -1e30 init keeps every carry finite (an
                 # all-masked chunk leaves m at -1e30 and its exp(-inf -
@@ -739,7 +767,7 @@ def _make_stack_kernel(B, D, S, L, n_heads, n_kv, head_dim, hidden, plan,
                 def chunk_body(c, carry):
                     m_r, d_r, ctx_r = carry
 
-                    @pl.when(c + 1 < n_ch)
+                    @pl.when(c + 1 < n_used)
                     def _():
                         nxt = jax.lax.rem(c + 1, 2)
                         for cp in kv_dma(c + 1, nxt):
@@ -766,7 +794,7 @@ def _make_stack_kernel(B, D, S, L, n_heads, n_kv, head_dim, hidden, plan,
                     return m_new, d_new, ctx_new
 
                 m, denom, ctx = jax.lax.fori_loop(
-                    0, n_ch, chunk_body, (m0, d0, c0))
+                    c_lo, n_used, chunk_body, (m0, d0, c0))
                 m_f = jnp.maximum(m, self_s)
                 alpha = jnp.exp(m - m_f)
                 e_self = jnp.exp(self_s - m_f)
