@@ -170,3 +170,75 @@ def test_pooled_concurrent_streams(pooled_server):
     for t in threads:
         t.join(timeout=600)
     assert not errors, errors
+
+
+def _parse_metrics(text):
+    """Prometheus text -> {series_line_prefix: float} (last wins)."""
+    out = {}
+    for line in text.splitlines():
+        if line.startswith("#") or not line.strip():
+            continue
+        name, _, val = line.rpartition(" ")
+        out[name] = float(val)
+    return out
+
+
+def test_metrics_endpoint(server):
+    """/metrics exposes Prometheus counters/gauges/histograms and they
+    move with traffic (requests, audio seconds, tokens, latency hist)."""
+    samples = (np.random.default_rng(2).normal(size=16000) * 0.2
+               ).astype(np.float32)
+    status, _ = request(server, "POST", "/transcribe_pcm?rate=16000",
+                        samples.tobytes())
+    assert status == 200
+
+    status, data = request(server, "GET", "/metrics")
+    assert status == 200
+    m0 = _parse_metrics(data.decode())
+    pcm_key = ('voxtral_requests_total{endpoint="/transcribe_pcm",'
+               'status="2xx"}')
+    assert m0[pcm_key] >= 1
+    assert m0['voxtral_audio_seconds_total{path="batch"}'] >= 1.0
+    assert m0["voxtral_transcribe_seconds_count"] >= 1
+    assert "voxtral_transcribe_seconds_sum" in m0
+    assert 'voxtral_transcribe_seconds_bucket{le="+Inf"}' in m0
+
+    # A streaming session moves the stream-side series.
+    status, data = request(server, "POST", "/stream/start")
+    sid = json.loads(data)["session"]
+    status, _ = request(server, "POST", f"/stream/{sid}/feed",
+                        samples.tobytes())
+    assert status == 200
+    status, data = request(server, "POST", f"/stream/{sid}/finish")
+    assert status == 200
+
+    status, data = request(server, "GET", "/metrics")
+    m1 = _parse_metrics(data.decode())
+    assert m1["voxtral_sessions_started_total"] >= 1
+    assert m1['voxtral_sessions_closed_total{reason="finished"}'] >= 1
+    assert m1['voxtral_audio_seconds_total{path="stream"}'] >= 0.9
+    assert m1["voxtral_sessions_active"] == 0
+    # 4xx/5xx classes are labeled distinctly.
+    status, _ = request(server, "POST", "/stream/unknown/feed", b"")
+    assert status == 404
+    status, data = request(server, "GET", "/metrics")
+    m2 = _parse_metrics(data.decode())
+    bad_key = ('voxtral_requests_total{endpoint="/stream/<id>/feed",'
+               'status="4xx"}')
+    assert m2[bad_key] >= 1
+
+
+def test_metrics_pool_gauges(pooled_server):
+    """Pooled servers expose pump latency and free-slot gauges."""
+    status, data = request(pooled_server, "POST", "/stream/start")
+    sid = json.loads(data)["session"]
+    samples = (np.random.default_rng(3).normal(size=32000) * 0.2
+               ).astype(np.float32)
+    status, _ = request(pooled_server, "POST", f"/stream/{sid}/feed",
+                        samples.tobytes())
+    assert status == 200
+    status, data = request(pooled_server, "GET", "/metrics")
+    m = _parse_metrics(data.decode())
+    assert m["voxtral_pool_free_slots"] <= 2
+    assert m["voxtral_pump_seconds_count"] >= 1
+    request(pooled_server, "POST", f"/stream/{sid}/finish")

@@ -3,6 +3,8 @@
 Endpoints (worker-protocol shape mirroring ``web/worker.js:15-38``):
 
     GET  /healthz                    -> {"status": "ok", ...}
+    GET  /metrics                    -> Prometheus text (counters/gauges/
+                                        latency histograms, serving/metrics.py)
     GET  /                           -> browser mic demo (static HTML)
     POST /transcribe                 -> body: WAV file bytes; resp {text, ...}
     POST /transcribe_pcm?rate=16000  -> body: raw little-endian f32 mono PCM
@@ -30,6 +32,7 @@ from typing import Optional
 import numpy as np
 
 from voxtral_tpu.pipeline import TranscribePipeline
+from voxtral_tpu.serving.metrics import Metrics, Timer
 
 log = logging.getLogger("voxtral_tpu.serving")
 
@@ -51,6 +54,32 @@ class _State:
         self.lock = threading.Lock()
         self.sessions: dict[str, object] = {}
         self.last_access: dict[str, float] = {}
+
+        # Scrapeable observability (the reference's tracing::info! fields
+        # as a Prometheus surface): request/token counters, session
+        # gauges, pump/transcribe latency histograms.
+        self.metrics = Metrics()
+        m = self.metrics
+        m.describe("voxtral_requests_total", "counter",
+                   "HTTP requests by endpoint and status class")
+        m.describe("voxtral_audio_seconds_total", "counter",
+                   "audio seconds accepted by path (stream/batch)")
+        m.describe("voxtral_tokens_total", "counter",
+                   "decoded tokens emitted to clients")
+        m.describe("voxtral_sessions_started_total", "counter",
+                   "streaming sessions opened")
+        m.describe("voxtral_sessions_closed_total", "counter",
+                   "streaming sessions closed, by reason")
+        m.describe("voxtral_stream_overruns_total", "counter",
+                   "pooled bounded sessions that hit max duration")
+        m.describe("voxtral_pump_seconds", "histogram",
+                   "coalesced pool pump duration (one batched decode)")
+        m.describe("voxtral_transcribe_seconds", "histogram",
+                   "batch transcribe wall time")
+        m.describe("voxtral_sessions_active", "gauge",
+                   "currently open streaming sessions")
+        m.describe("voxtral_pool_free_slots", "gauge",
+                   "free StreamPool slots (absent if pooling is off)")
 
         # Optional StreamPool: concurrent sessions share one BATCHED decode
         # step (HBM-bound weights are streamed once for all of them).  A
@@ -79,7 +108,7 @@ class _State:
                 self._feed_pending = False
             time.sleep(self.COALESCE_S)  # let concurrent feeds land
             try:
-                with self.lock:
+                with self.lock, Timer(self.metrics, "voxtral_pump_seconds"):
                     self.pool.pump()
             except Exception:
                 log.exception("pool pump failed")
@@ -107,6 +136,8 @@ class _State:
                         session.finish()
                     except Exception:
                         log.exception("evicting pooled session %s", sid)
+                self.metrics.inc("voxtral_sessions_closed_total",
+                                 reason="evicted")
                 log.info("evicted idle session %s", sid)
 
 
@@ -139,6 +170,7 @@ class _Handler(BaseHTTPRequestHandler):
     # -- helpers ------------------------------------------------------------
 
     def _json(self, code: int, payload: dict) -> None:
+        self._last_status = code
         body = json.dumps(payload).encode()
         self.send_response(code)
         self.send_header("Content-Type", "application/json")
@@ -168,6 +200,20 @@ class _Handler(BaseHTTPRequestHandler):
                 "backend": jax.default_backend(),
                 "sessions": len(self.state.sessions),
             })
+        elif self.path == "/metrics":
+            state = self.state
+            m = state.metrics
+            with state.lock:
+                m.set("voxtral_sessions_active", len(state.sessions))
+                if state.pool is not None:
+                    m.set("voxtral_pool_free_slots", state.pool.free_slots)
+            body = m.render().encode()
+            self.send_response(200)
+            self.send_header("Content-Type",
+                             "text/plain; version=0.0.4; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
         elif self.path in ("/", "/index.html"):
             page = (_STATIC_DIR / "index.html").read_bytes()
             self.send_response(200)
@@ -181,10 +227,19 @@ class _Handler(BaseHTTPRequestHandler):
     # -- POST ---------------------------------------------------------------
 
     def do_POST(self):
+        endpoint = self.path.split("?")[0]
+        if endpoint.startswith("/stream/") and endpoint.count("/") == 3:
+            endpoint = "/stream/<id>/" + endpoint.rsplit("/", 1)[1]
         try:
+            self._last_status = 200
             self._route_post()
+            status = f"{self._last_status // 100}xx"
+            self.state.metrics.inc("voxtral_requests_total",
+                                   endpoint=endpoint, status=status)
         except Exception as e:  # surface as JSON, never a hung socket
             log.exception("request failed")
+            self.state.metrics.inc("voxtral_requests_total",
+                                   endpoint=endpoint, status="5xx")
             self._json(500, {"error": str(e)})
 
     def _route_post(self):
@@ -205,6 +260,7 @@ class _Handler(BaseHTTPRequestHandler):
                 sid = uuid.uuid4().hex[:12]
                 self.state.sessions[sid] = _new_session(self.state)
                 self.state.last_access[sid] = time.time()
+            self.state.metrics.inc("voxtral_sessions_started_total")
             self._json(200, {"session": sid})
         elif path.startswith("/stream/"):
             parts = path.strip("/").split("/")
@@ -214,6 +270,9 @@ class _Handler(BaseHTTPRequestHandler):
             sid, action = parts[1], parts[2]
             if action == "feed":
                 samples = np.frombuffer(self._read_body(), dtype=np.float32)
+                self.state.metrics.inc("voxtral_audio_seconds_total",
+                                       samples.size / 16000.0,
+                                       path="stream")
                 with self.state.lock:
                     session = self.state.sessions.get(sid)
                     if session is None:
@@ -235,6 +294,8 @@ class _Handler(BaseHTTPRequestHandler):
                     self.state.pump_and_wait()
                     with self.state.lock:
                         if session.overrun:
+                            self.state.metrics.inc(
+                                "voxtral_stream_overruns_total")
                             self._json(400, {
                                 "error": "stream exceeded max duration"
                             })
@@ -254,6 +315,10 @@ class _Handler(BaseHTTPRequestHandler):
                         self._json(404, {"error": f"unknown session: {sid}"})
                         return
                     delta = session.finish()
+                self.state.metrics.inc("voxtral_sessions_closed_total",
+                                       reason="finished")
+                self.state.metrics.inc("voxtral_tokens_total",
+                                       len(session.tokens))
                 self._json(200, {
                     "delta": delta,
                     "text": session.text,
@@ -280,10 +345,13 @@ class _Handler(BaseHTTPRequestHandler):
                 self._json(400, {"error": f"failed to parse WAV: {e}"})
                 return
         t0 = time.time()
-        with self.state.lock:
+        with self.state.lock, Timer(self.state.metrics,
+                                    "voxtral_transcribe_seconds"):
             text = self.state.pipeline.transcribe_samples(
                 audio.samples, audio.sample_rate
             )
+        self.state.metrics.inc("voxtral_audio_seconds_total",
+                               audio.duration_secs, path="batch")
         self._json(200, {
             "text": text,
             "audio_seconds": round(audio.duration_secs, 2),
@@ -300,8 +368,11 @@ class _Handler(BaseHTTPRequestHandler):
             self._json(400, {"error": "empty PCM body"})
             return
         t0 = time.time()
-        with self.state.lock:
+        with self.state.lock, Timer(self.state.metrics,
+                                    "voxtral_transcribe_seconds"):
             text = self.state.pipeline.transcribe_samples(samples, rate)
+        self.state.metrics.inc("voxtral_audio_seconds_total",
+                               samples.size / rate, path="batch")
         self._json(200, {
             "text": text,
             "audio_seconds": round(samples.size / rate, 2),
