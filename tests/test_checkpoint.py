@@ -1,0 +1,169 @@
+"""Live-session checkpoint/restore tests.
+
+A mid-stream ``StreamingSession`` snapshot (``state_dict``/``save``) must
+restore — in another process, possibly onto a model using a DIFFERENT
+decode path — and continue with token-identical output.  The reference
+has no analogue (its checkpointing is weight loading only); this is the
+drain/restart piece a serving deployment needs.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests.test_model import tiny_config
+from voxtral_tpu.models.voxtral import VoxtralModel
+from voxtral_tpu.streaming import StreamingSession, StreamPool
+
+
+@pytest.fixture(scope="module")
+def model():
+    return VoxtralModel.init_random(
+        jax.random.PRNGKey(0), tiny_config(), dtype=jnp.float32
+    )
+
+
+def _audio(seconds=8, seed=3):
+    rng = np.random.default_rng(seed)
+    return rng.normal(size=16000 * seconds).astype(np.float32) * 0.25
+
+
+def _run_split(model, audio, split, unbounded=False, via_file=None,
+               restore_model=None):
+    """Feed audio[:split], snapshot, restore, feed audio[split:]."""
+    a = StreamingSession(model, step_positions=8, max_duration_s=30,
+                         unbounded=unbounded)
+    a.feed(audio[:split])
+    assert a.positions_done > 0, "no steps ran before the checkpoint"
+    if via_file is not None:
+        a.save(via_file)
+        b = StreamingSession.load(restore_model or model, via_file)
+    else:
+        b = StreamingSession.restore(restore_model or model, a.state_dict())
+    b.feed(audio[split:])
+    b.finish()
+    return b
+
+
+def test_restore_matches_uninterrupted(model):
+    """save -> restore mid-stream == never interrupted (token identity)."""
+    audio = _audio()
+    ref = StreamingSession(model, step_positions=8, max_duration_s=30)
+    ref.feed(audio)
+    ref.finish()
+
+    b = _run_split(model, audio, split=60000)
+    assert b.tokens == ref.tokens, (b.tokens, ref.tokens)
+    assert b.positions_done == ref.positions_done
+
+
+def test_save_load_file_roundtrip(model, tmp_path):
+    """The .npz file path produces the same continuation as state_dict."""
+    audio = _audio(seed=5)
+    ref = StreamingSession(model, step_positions=8, max_duration_s=30)
+    ref.feed(audio)
+    ref.finish()
+
+    b = _run_split(model, audio, split=50000,
+                   via_file=tmp_path / "sess.npz")
+    assert b.tokens == ref.tokens
+
+
+def test_restore_unbounded_ring(model):
+    """Unbounded (head+ring cache) sessions checkpoint/restore across a
+    ring wrap: snapshot AFTER the decoder ring has wrapped, continue,
+    and match the uninterrupted session."""
+    audio = _audio(seconds=20, seed=7)
+    ref = StreamingSession(model, step_positions=8, unbounded=True)
+    ref.feed(audio)
+    ref.finish()
+    assert ref.positions_done > ref._max_dec  # the ring actually wrapped
+
+    # Split late enough that the ring wrapped before the snapshot.
+    b = _run_split(model, audio, split=16000 * 16, unbounded=True)
+    assert b.tokens == ref.tokens
+
+
+def test_restore_cross_decode_path(monkeypatch, tmp_path):
+    """A checkpoint taken on the fused stack-kernel path (head-major
+    cache layout) restores onto the generic XLA path and vice versa,
+    with token-identical continuations.  The fused->generic leg goes
+    through a .npz file so bf16 caches exercise the f32 disk widening."""
+    from voxtral_tpu.utils.quantize import quantize_params_w8
+
+    monkeypatch.setenv("VOXTRAL_MEGAKERNEL", "force")
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg, language_model=dataclasses.replace(
+            cfg.language_model, vocab_size=1280))
+    f32 = VoxtralModel.init_random(jax.random.PRNGKey(5), cfg,
+                                   dtype=jnp.float32)
+    w8 = quantize_params_w8(f32.params)
+    fmodel = VoxtralModel(w8, cfg)
+    monkeypatch.setenv("VOXTRAL_MEGAKERNEL", "0")
+    gmodel = VoxtralModel(w8, cfg)
+
+    audio = _audio(seed=31)
+    ref = StreamingSession(gmodel, step_positions=8, max_duration_s=30)
+    ref.feed(audio)
+    ref.finish()
+
+    # fused -> generic (via file: bf16 cache -> f32 on disk -> bf16)
+    fg = _run_split(fmodel, audio, split=60000, restore_model=gmodel,
+                    via_file=tmp_path / "cross.npz")
+    assert fg._fused is None
+    assert fg.tokens == ref.tokens, (fg.tokens, ref.tokens)
+
+    # generic -> fused
+    gf = _run_split(gmodel, audio, split=60000, restore_model=fmodel)
+    assert gf._fused is not None
+    assert gf.tokens == ref.tokens, (gf.tokens, ref.tokens)
+
+
+def test_restore_before_first_step(model):
+    """A snapshot taken before any decode step (buffer-only state)
+    restores and produces the full transcription."""
+    audio = _audio(seed=11)
+    ref = StreamingSession(model, step_positions=8, max_duration_s=30)
+    ref.feed(audio)
+    ref.finish()
+
+    a = StreamingSession(model, step_positions=8, max_duration_s=30)
+    a.feed(audio[:4000])  # < 38 positions: no step possible yet
+    assert a.positions_done == 0
+    b = StreamingSession.restore(model, a.state_dict())
+    b.feed(audio[4000:])
+    b.finish()
+    assert b.tokens == ref.tokens
+
+
+def test_pooled_session_rejects_checkpoint(model):
+    pool = StreamPool(model, max_streams=2, step_positions=8,
+                      max_duration_s=30)
+    sess = StreamingSession(model, pool=pool)
+    with pytest.raises(ValueError, match="pooled"):
+        sess.state_dict()
+
+
+def test_restore_rejects_mismatched_geometry(model):
+    """Unbounded cache geometry derives from the model's sliding window;
+    restoring a checkpoint whose ring size disagrees must fail loudly
+    (bounded max_dec is free — any value is reachable via max_duration)."""
+    a = StreamingSession(model, step_positions=8, unbounded=True)
+    a.feed(_audio(seconds=2))
+    state = a.state_dict()
+    state["max_dec"] = state["max_dec"] + 8  # a different ring size
+    with pytest.raises(ValueError, match="geometry"):
+        StreamingSession.restore(model, state)
+
+
+def test_restore_rejects_unknown_version(model):
+    a = StreamingSession(model, step_positions=8, max_duration_s=30)
+    state = a.state_dict()
+    state["version"] = 99
+    with pytest.raises(ValueError, match="version"):
+        StreamingSession.restore(model, state)

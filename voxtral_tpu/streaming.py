@@ -878,6 +878,7 @@ class StreamingSession:
         self.pad_config = pad_config or PadConfig.voxtral()
         self._mel = MelSpectrogram.voxtral()
         self.unbounded = unbounded
+        self._delay_tokens = delay_tokens
         self._pool = pool
         self._slot: Optional[int] = None
 
@@ -1161,6 +1162,145 @@ class StreamingSession:
     @property
     def positions_done(self) -> int:
         return self._positions_done
+
+    # -- checkpoint / restore ------------------------------------------------
+    #
+    # Live-session migration for elastic serving: snapshot a mid-stream
+    # session to host memory / disk, restore it in ANOTHER process (even
+    # one whose model uses a different decode path), and continue with
+    # token-identical output.  The reference has no analogue (its
+    # checkpointing is weight loading only — SURVEY §5); this is the
+    # piece a TPU serving deployment needs for drain/restart without
+    # dropping live streams.
+
+    CHECKPOINT_VERSION = 1
+
+    def state_dict(self) -> dict:
+        """Portable snapshot of a SOLO session (pooled sessions hold
+        slots of shared pool caches — ``finish()`` them or attach the
+        restored session to a pool-less model).
+
+        Device caches land as numpy; the decoder cache is normalized to
+        position-major ``[L, 1, S, H, hd]`` regardless of whether this
+        session's decode path had transposed it head-major, so a
+        checkpoint taken on the fused (stack-kernel) path restores onto
+        the generic path and vice versa."""
+        if self._pool is not None:
+            raise ValueError(
+                "pooled sessions cannot be checkpointed — finish() the "
+                "session or restore into a solo session"
+            )
+        dk = np.asarray(self.dec_cache.k)
+        dv = np.asarray(self.dec_cache.v)
+        if self._fused is not None and self._positions_done > 0:
+            dk = dk.transpose(0, 1, 3, 2, 4)  # head-major -> position-major
+            dv = dv.transpose(0, 1, 3, 2, 4)
+        return {
+            "version": self.CHECKPOINT_VERSION,
+            "P": self.P,
+            "unbounded": self.unbounded,
+            "max_dec": self._max_dec,
+            "delay_tokens": self._delay_tokens,
+            "samples": np.asarray(self._samples, np.float32),
+            "samples_base": self._samples_base,
+            "positions_done": self._positions_done,
+            "tokens": np.asarray(self.tokens, np.int32),
+            "text": self._text,
+            "finished": self._finished,
+            "prev_token": int(np.asarray(self._prev_token)),
+            "prev_audio": np.asarray(self._prev_audio, np.float32),
+            "enc_k": np.asarray(self.enc_cache.k),
+            "enc_v": np.asarray(self.enc_cache.v),
+            "enc_len": int(np.asarray(self.enc_cache.length)),
+            "dec_k": dk,
+            "dec_v": dv,
+            "dec_len": int(np.asarray(self.dec_cache.length)),
+            "endpoint_mark": getattr(self, "_endpoint_mark", 0),
+        }
+
+    def save(self, path) -> None:
+        """``state_dict()`` as a compressed ``.npz`` (one file, portable).
+
+        bfloat16 caches widen to float32 on disk: npz round-trips
+        ml_dtypes arrays as raw void records that nothing can cast, and
+        bf16 -> f32 -> bf16 is exact."""
+        out = {}
+        for k, v in self.state_dict().items():
+            a = np.asarray(v)
+            if a.dtype.kind not in "biufUS":  # e.g. ml_dtypes.bfloat16
+                a = a.astype(np.float32)
+            out[k] = a
+        np.savez_compressed(path, **out)
+
+    @classmethod
+    def restore(cls, model: "VoxtralModel", state: dict,
+                tokenizer: Optional[VoxtralTokenizer] = None,
+                ) -> "StreamingSession":
+        """Rebuild a live session from :meth:`state_dict` output.
+
+        ``model`` must share the checkpointed session's architecture;
+        its decode path (fused stack kernel vs generic XLA) and cache
+        dtype may differ — caches are re-laid-out and cast on entry."""
+        if int(state["version"]) != cls.CHECKPOINT_VERSION:
+            raise ValueError(
+                f"unsupported checkpoint version {state['version']}"
+            )
+        P = int(state["P"])
+        unbounded = bool(state["unbounded"])
+        # __init__ derives _max_dec = int(mds * 6.25) + ...; invert with a
+        # +0.5 nudge so int() truncation under float error (6.25 = 25/4 is
+        # not binary-exact) cannot land one position short.
+        mds = (int(state["max_dec"]) - PREFIX_LEN - 2 * P + 0.5) / 6.25
+        s = cls(model, tokenizer, delay_tokens=float(state["delay_tokens"]),
+                step_positions=P, max_duration_s=mds, unbounded=unbounded)
+        if s._max_dec != int(state["max_dec"]):
+            raise ValueError(
+                f"cache geometry mismatch: checkpoint max_dec="
+                f"{state['max_dec']}, rebuilt {s._max_dec} "
+                "(architecture/config differs from the checkpointed model)"
+            )
+        s._samples = np.asarray(state["samples"], np.float32)
+        s._samples_base = int(state["samples_base"])
+        s._positions_done = int(state["positions_done"])
+        s.tokens = [int(t) for t in np.asarray(state["tokens"])]
+        s._text = str(state["text"])
+        s._finished = bool(state["finished"])
+        s._prev_token = jnp.asarray(int(state["prev_token"]), jnp.int32)
+        s._prev_audio = jnp.asarray(state["prev_audio"],
+                                    model.compute_dtype)
+        s._endpoint_mark = int(state["endpoint_mark"])
+        cache_dtype = model.cache_dtype
+        s.enc_cache = KVCache(
+            jnp.asarray(state["enc_k"], cache_dtype),
+            jnp.asarray(state["enc_v"], cache_dtype),
+            jnp.asarray(int(state["enc_len"]), jnp.int32),
+        )
+        dk = np.asarray(state["dec_k"])
+        dv = np.asarray(state["dec_v"])
+        if s._fused is not None and s._positions_done > 0:
+            dk = dk.transpose(0, 1, 3, 2, 4)  # position-major -> head-major
+            dv = dv.transpose(0, 1, 3, 2, 4)
+        s.dec_cache = KVCache(
+            jnp.asarray(dk, cache_dtype),
+            jnp.asarray(dv, cache_dtype),
+            jnp.asarray(int(state["dec_len"]), jnp.int32),
+        )
+        return s
+
+    @classmethod
+    def load(cls, model: "VoxtralModel", path,
+             tokenizer: Optional[VoxtralTokenizer] = None,
+             ) -> "StreamingSession":
+        """Restore from a :meth:`save` file."""
+        with np.load(path, allow_pickle=False) as z:
+            state = {k: z[k] for k in z.files}
+        # 0-d arrays back to scalars/strings.
+        for k in ("version", "P", "unbounded", "max_dec", "delay_tokens",
+                  "samples_base", "positions_done", "finished",
+                  "prev_token", "enc_len", "dec_len", "endpoint_mark"):
+            state[k] = state[k].item()
+        state["text"] = str(state["text"])
+        return cls.restore(model, state, tokenizer)
 
     def endpoint(self, min_pad_run: int = 8) -> bool:
         """Speech-aware endpoint detection.
