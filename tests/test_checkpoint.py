@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from tests.test_model import tiny_config
-from voxtral_tpu.models.voxtral import VoxtralModel
+from voxtral_tpu.models.voxtral import PREFIX_LEN, VoxtralModel
 from voxtral_tpu.streaming import StreamingSession, StreamPool
 
 
@@ -141,12 +141,151 @@ def test_restore_before_first_step(model):
     assert b.tokens == ref.tokens
 
 
-def test_pooled_session_rejects_checkpoint(model):
+def test_pooled_to_solo_restore(model):
+    """A pooled session's slot extracts to a solo-layout checkpoint that
+    restores as a solo session with token-identical continuation —
+    including with a concurrent neighbor keeping the pool batched."""
+    audio = _audio(seed=13)
+    other = _audio(seconds=6, seed=14)
+    ref = StreamingSession(model, step_positions=8, max_duration_s=30)
+    ref.feed(audio)
+    ref.finish()
+
     pool = StreamPool(model, max_streams=2, step_positions=8,
                       max_duration_s=30)
-    sess = StreamingSession(model, pool=pool)
-    with pytest.raises(ValueError, match="pooled"):
-        sess.state_dict()
+    pa = StreamingSession(model, step_positions=8, pool=pool)
+    pb = StreamingSession(model, step_positions=8, pool=pool)
+    pa.feed(audio[:60000])
+    pb.feed(other)
+    assert pa.positions_done > 0
+    state = pa.state_dict()
+
+    solo = StreamingSession.restore(model, state)
+    solo.feed(audio[60000:])
+    solo.finish()
+    assert solo.tokens == ref.tokens, (solo.tokens, ref.tokens)
+
+
+def test_solo_to_pooled_restore(model):
+    """A solo checkpoint restores INTO a pool slot and continues
+    token-identically through batched pool steps."""
+    audio = _audio(seed=17)
+    ref = StreamingSession(model, step_positions=8, max_duration_s=30)
+    ref.feed(audio)
+    ref.finish()
+
+    a = StreamingSession(model, step_positions=8, max_duration_s=30)
+    a.feed(audio[:50000])
+    pool = StreamPool(model, max_streams=2, step_positions=8,
+                      max_duration_s=30)
+    b = StreamingSession.restore(model, a.state_dict(), pool=pool)
+    assert b._pool is pool and pool.free_slots == 1
+    # A fresh neighbor joins so continuation steps are genuinely batched.
+    nb = StreamingSession(model, step_positions=8, pool=pool)
+    nb.feed(_audio(seconds=4, seed=18))
+    b.feed(audio[50000:])
+    b.finish()
+    nb.finish()
+    assert b.tokens == ref.tokens, (b.tokens, ref.tokens)
+
+
+def test_pooled_to_pooled_restore_via_file(model, tmp_path):
+    """The serving restart path: snapshot a pooled session to disk, load
+    it into a NEW pool in a "new process", continue token-identically."""
+    audio = _audio(seed=19)
+    ref = StreamingSession(model, step_positions=8, max_duration_s=30)
+    ref.feed(audio)
+    ref.finish()
+
+    pool_a = StreamPool(model, max_streams=2, step_positions=8,
+                        max_duration_s=30)
+    pa = StreamingSession(model, step_positions=8, pool=pool_a)
+    pa.feed(audio[:60000])
+    pa.save(tmp_path / "pooled.npz")
+
+    pool_b = StreamPool(model, max_streams=2, step_positions=8,
+                        max_duration_s=30)
+    pb = StreamingSession.load(model, tmp_path / "pooled.npz", pool=pool_b)
+    pb.feed(audio[60000:])
+    pb.finish()
+    assert pb.tokens == ref.tokens, (pb.tokens, ref.tokens)
+
+
+def test_pooled_fused_int8_checkpoint_roundtrip(monkeypatch):
+    """int8 fused pool -> checkpoint (dequantized, position-major) ->
+    restore into another int8 fused pool: the per-vector requantization
+    round-trips exactly (max element maps to ±127), so the continuation
+    stays token-identical to the uninterrupted pooled run."""
+    from voxtral_tpu.utils.quantize import quantize_params_w8
+
+    monkeypatch.setenv("VOXTRAL_MEGAKERNEL", "force")
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg, language_model=dataclasses.replace(
+            cfg.language_model, vocab_size=1280))
+    f32 = VoxtralModel.init_random(jax.random.PRNGKey(3), cfg,
+                                   dtype=jnp.float32)
+    w8 = quantize_params_w8(f32.params)
+    fmodel = VoxtralModel(w8, cfg)
+
+    audio = _audio(seed=29)
+    pool_ref = StreamPool(fmodel, max_streams=2, step_positions=8,
+                          max_duration_s=30, kv_dtype="int8")
+    assert pool_ref._fused is not None and pool_ref.cache_int8
+    pr = StreamingSession(fmodel, step_positions=8, pool=pool_ref)
+    pr.feed(audio)
+    pr.finish()
+
+    pool_a = StreamPool(fmodel, max_streams=2, step_positions=8,
+                        max_duration_s=30, kv_dtype="int8")
+    pa = StreamingSession(fmodel, step_positions=8, pool=pool_a)
+    pa.feed(audio[:60000])
+    state = pa.state_dict()
+    assert state["dec_k"].dtype == np.float32  # dequantized on the way out
+
+    pool_b = StreamPool(fmodel, max_streams=2, step_positions=8,
+                        max_duration_s=30, kv_dtype="int8")
+    pb = StreamingSession.restore(fmodel, state, pool=pool_b)
+    pb.feed(audio[60000:])
+    pb.finish()
+    assert pb.tokens == pr.tokens, (pb.tokens, pr.tokens)
+
+
+def test_pooled_unbounded_ring_checkpoint(model):
+    """Unbounded pooled slot (head+ring caches) checkpoints after a ring
+    wrap and restores solo with token-identical continuation (ring
+    geometry normalized through the solo layout)."""
+    audio = _audio(seconds=20, seed=23)
+    ref = StreamingSession(model, step_positions=8, unbounded=True)
+    ref.feed(audio)
+    ref.finish()
+    assert ref.positions_done > ref._max_dec
+
+    pool = StreamPool(model, max_streams=2, step_positions=8,
+                      unbounded=True)
+    pa = StreamingSession(model, step_positions=8, pool=pool)
+    pa.feed(audio[:16000 * 16])
+    assert pa.positions_done > PREFIX_LEN + pool._dec_ring[1]  # wrapped
+    state = pa.state_dict()
+
+    solo = StreamingSession.restore(model, state)
+    solo.feed(audio[16000 * 16:])
+    solo.finish()
+    assert solo.tokens == ref.tokens, (solo.tokens[:20], ref.tokens[:20])
+
+
+def test_pooled_restore_rejects_geometry_mismatch(model):
+    a = StreamingSession(model, step_positions=8, max_duration_s=30)
+    a.feed(_audio(seconds=3))
+    state = a.state_dict()
+    pool = StreamPool(model, max_streams=2, step_positions=4,
+                      max_duration_s=30)
+    with pytest.raises(ValueError, match="geometry"):
+        StreamingSession.restore(model, state, pool=pool)
+    pool2 = StreamPool(model, max_streams=2, step_positions=8,
+                       max_duration_s=60)
+    with pytest.raises(ValueError, match="geometry"):
+        StreamingSession.restore(model, state, pool=pool2)
 
 
 def test_restore_rejects_mismatched_geometry(model):

@@ -242,3 +242,71 @@ def test_metrics_pool_gauges(pooled_server):
     assert m["voxtral_pool_free_slots"] <= 2
     assert m["voxtral_pump_seconds_count"] >= 1
     request(pooled_server, "POST", f"/stream/{sid}/finish")
+
+
+def _pipeline():
+    from tests.test_model import tiny_config
+    from voxtral_tpu.models.voxtral import VoxtralModel
+    from voxtral_tpu.pipeline import PipelineConfig, TranscribePipeline
+    from voxtral_tpu.tokenizer import VoxtralTokenizer
+
+    model = VoxtralModel.init_random(
+        jax.random.PRNGKey(0), tiny_config(), dtype=jnp.float32
+    )
+    tokenizer = VoxtralTokenizer([None] * 500, {}, 500)
+    return TranscribePipeline(model, tokenizer, PipelineConfig())
+
+
+@pytest.mark.parametrize("pool_streams", [0, 2])
+def test_drain_restore_roundtrip(tmp_path, pool_streams):
+    """Graceful restart: server A drains a mid-stream session to
+    state_dir, server B (fresh process stand-in, pooled or not) resumes
+    it under the SAME session id, and the finished transcript matches an
+    uninterrupted session token-for-token."""
+    from voxtral_tpu.serving import make_server
+    from voxtral_tpu.streaming import StreamingSession
+
+    pipeline = _pipeline()
+    rng = np.random.default_rng(41)
+    audio = (rng.normal(size=16000 * 6) * 0.25).astype(np.float32)
+
+    ref = StreamingSession(pipeline.model, pipeline.tokenizer,
+                           step_positions=8)
+    ref.feed(audio)
+    ref.finish()
+
+    sd = str(tmp_path / "drain")
+    srv_a = make_server(pipeline, "127.0.0.1", 0,
+                        pool_streams=pool_streams, state_dir=sd)
+    ta = threading.Thread(target=srv_a.serve_forever, daemon=True)
+    ta.start()
+    status, data = request(srv_a.server_address, "POST", "/stream/start")
+    sid = json.loads(data)["session"]
+    status, _ = request(srv_a.server_address, "POST",
+                        f"/stream/{sid}/feed", audio[:60000].tobytes())
+    assert status == 200
+    srv_a.shutdown()
+    assert srv_a.drain() == 1
+    assert (tmp_path / "drain" / f"{sid}.npz").exists()
+
+    srv_b = make_server(pipeline, "127.0.0.1", 0,
+                        pool_streams=pool_streams, state_dir=sd)
+    tb = threading.Thread(target=srv_b.serve_forever, daemon=True)
+    tb.start()
+    try:
+        # Snapshot consumed; session resumed under its original id.
+        assert not (tmp_path / "drain" / f"{sid}.npz").exists()
+        status, _ = request(srv_b.server_address, "POST",
+                            f"/stream/{sid}/feed", audio[60000:].tobytes())
+        assert status == 200
+        status, data = request(srv_b.server_address, "POST",
+                               f"/stream/{sid}/finish")
+        assert status == 200
+        status, data2 = request(srv_b.server_address, "GET", "/metrics")
+        m = _parse_metrics(data2.decode())
+        assert m["voxtral_sessions_restored_total"] == 1
+    finally:
+        srv_b.shutdown()
+    # Token identity vs the uninterrupted reference session.
+    sess_tokens = json.loads(data)["tokens"]
+    assert sess_tokens == len(ref.tokens)

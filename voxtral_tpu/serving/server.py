@@ -48,9 +48,10 @@ class _State:
 
     def __init__(self, pipeline: TranscribePipeline, step_positions: int = 8,
                  pool_streams: int = 0, pool_unbounded: bool = False,
-                 pool_kv: str = "auto"):
+                 pool_kv: str = "auto", state_dir: Optional[str] = None):
         self.pipeline = pipeline
         self.step_positions = step_positions
+        self.state_dir = Path(state_dir) if state_dir else None
         self.lock = threading.Lock()
         self.sessions: dict[str, object] = {}
         self.last_access: dict[str, float] = {}
@@ -72,6 +73,8 @@ class _State:
                    "streaming sessions closed, by reason")
         m.describe("voxtral_stream_overruns_total", "counter",
                    "pooled bounded sessions that hit max duration")
+        m.describe("voxtral_sessions_restored_total", "counter",
+                   "drained sessions resumed from state_dir at startup")
         m.describe("voxtral_pump_seconds", "histogram",
                    "coalesced pool pump duration (one batched decode)")
         m.describe("voxtral_transcribe_seconds", "histogram",
@@ -99,6 +102,64 @@ class _State:
                 kv_dtype=pool_kv,
             )
             threading.Thread(target=self._pump_loop, daemon=True).start()
+        self._restore_drained()
+
+    # -- drain / restore -----------------------------------------------------
+
+    def drain(self) -> int:
+        """Snapshot every live streaming session to ``state_dir`` so a
+        replacement process can resume them mid-stream (same session
+        ids) — graceful shutdown without dropping live streams.
+        Returns the number of sessions drained."""
+        if self.state_dir is None:
+            raise ValueError("drain() needs make_server(state_dir=...)")
+        self.state_dir.mkdir(parents=True, exist_ok=True)
+        n = 0
+        with self.lock:
+            for sid, sess in list(self.sessions.items()):
+                try:
+                    if getattr(sess, "_finished", False):
+                        continue
+                    sess.save(self.state_dir / f"{sid}.npz")
+                    n += 1
+                    self.metrics.inc("voxtral_sessions_closed_total",
+                                     reason="drained")
+                except Exception:
+                    log.exception("draining session %s", sid)
+            self.sessions.clear()
+            self.last_access.clear()
+        log.info("drained %d session(s) to %s", n, self.state_dir)
+        return n
+
+    def _restore_drained(self) -> None:
+        """Resume sessions a previous process drained to ``state_dir``
+        (pool slots first, solo past capacity — same policy as
+        ``_new_session``).  Consumed snapshots are deleted; unreadable
+        ones are renamed ``.bad`` so a crash loop cannot re-poison."""
+        if self.state_dir is None or not self.state_dir.is_dir():
+            return
+        from voxtral_tpu.streaming import StreamingSession
+
+        for f in sorted(self.state_dir.glob("*.npz")):
+            sid = f.stem
+            pool = self.pool
+            if pool is not None and pool.free_slots == 0:
+                pool = None
+            try:
+                sess = StreamingSession.load(
+                    self.pipeline.model, f, self.pipeline.tokenizer,
+                    pool=pool,
+                )
+            except Exception:
+                log.exception("restoring drained session %s", sid)
+                f.rename(f.with_suffix(".bad"))
+                continue
+            self.sessions[sid] = sess
+            self.last_access[sid] = time.time()
+            self.metrics.inc("voxtral_sessions_restored_total")
+            f.unlink()
+            log.info("restored drained session %s (%d positions)",
+                     sid, sess.positions_done)
 
     def _pump_loop(self) -> None:
         while True:
@@ -162,6 +223,11 @@ class VoxtralHTTPServer(ThreadingHTTPServer):
     def __init__(self, addr, state: _State):
         self.state = state
         super().__init__(addr, _Handler)
+
+    def drain(self) -> int:
+        """Snapshot live streaming sessions to ``state_dir`` (see
+        ``make_server``); call after ``shutdown()`` on graceful exit."""
+        return self.state.drain()
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -388,11 +454,16 @@ def make_server(
     pool_streams: int = 0,
     pool_unbounded: bool = False,
     pool_kv: str = "auto",
+    state_dir: Optional[str] = None,
 ) -> VoxtralHTTPServer:
+    """``state_dir`` enables drain/restore: :meth:`VoxtralHTTPServer.
+    drain` snapshots live streaming sessions there on shutdown, and the
+    next ``make_server`` with the same dir resumes them under their
+    original session ids (mid-stream, token-identical)."""
     return VoxtralHTTPServer(
         (host, port),
         _State(pipeline, step_positions, pool_streams, pool_unbounded,
-               pool_kv),
+               pool_kv, state_dir),
     )
 
 
@@ -425,6 +496,10 @@ def main(argv: Optional[list[str]] = None) -> int:
                     help="tensor-parallel ways (mesh model axis)")
     ap.add_argument("--dp", type=int, default=1,
                     help="data-parallel ways (mesh data axis)")
+    ap.add_argument("--state-dir",
+                    help="drain live streaming sessions here on "
+                    "SIGTERM/SIGINT and resume any found at startup "
+                    "(graceful restart without dropping streams)")
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO, stream=sys.stderr)
@@ -475,12 +550,23 @@ def main(argv: Optional[list[str]] = None) -> int:
     server = make_server(pipeline, args.host, args.port,
                          pool_streams=args.pool_streams,
                          pool_unbounded=args.pool_unbounded,
-                         pool_kv=args.pool_kv)
+                         pool_kv=args.pool_kv,
+                         state_dir=args.state_dir)
     log.info("serving on http://%s:%d", args.host, args.port)
+    if args.state_dir:
+        import signal
+
+        # SIGTERM (the orchestrator's stop signal) exits serve_forever
+        # so the drain below runs before the process dies.
+        signal.signal(signal.SIGTERM,
+                      lambda *_: threading.Thread(
+                          target=server.shutdown, daemon=True).start())
     try:
         server.serve_forever()
     except KeyboardInterrupt:
         pass
+    if args.state_dir:
+        server.drain()
     return 0
 
 

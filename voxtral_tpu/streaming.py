@@ -379,6 +379,30 @@ def _append_rows(cache, new, offs):
     return jax.vmap(one, in_axes=(1, 1, 0), out_axes=1)(cache, new, offs)
 
 
+def _ring_remap(src: np.ndarray, head: int, src_size: int, dst_size: int,
+                written: int) -> np.ndarray:
+    """Re-lay a head+ring cache onto a different ring size.
+
+    ``src`` is ``[..., head + src_size, ...]`` with the ring axis at -3
+    (position axis of an ``[L, 1, S, H, hd]`` cache).  Position p >= head
+    lives at slot ``head + (p - head) % size`` (models/layers.py
+    ``ring_slot``).  Only the last ``min(src_size, dst_size)`` positions
+    survive — both rings are at least window + P, so every position a
+    future query's sliding window can reach is preserved; older target
+    slots stay zero and are already outside every window.
+    """
+    out_shape = list(src.shape)
+    out_shape[2] = head + dst_size
+    dst = np.zeros(out_shape, src.dtype)
+    dst[:, :, :head] = src[:, :, :head]
+    lo = max(head, written - min(src_size, dst_size))
+    ps = np.arange(lo, written)
+    if ps.size:
+        dst[:, :, head + (ps - head) % dst_size] = \
+            src[:, :, head + (ps - head) % src_size]
+    return dst
+
+
 class StreamPool:
     """Coalesces concurrent streaming sessions into BATCHED decode steps.
 
@@ -429,6 +453,7 @@ class StreamPool:
         self.B = max_streams
         self.P = step_positions
         self.max_duration_s = max_duration_s
+        self.delay_tokens = delay_tokens
         self.unbounded = unbounded
         lm, enc = self.cfg.language_model, self.cfg.audio_encoder
         if unbounded:
@@ -687,6 +712,132 @@ class StreamPool:
     @property
     def free_slots(self) -> int:
         return sum(1 for s in self.sessions if s is None)
+
+    # -- slot checkpointing --------------------------------------------------
+
+    def _solo_geometry(self) -> tuple[int, int]:
+        """(solo max_dec, solo dec ring size) a checkpoint of this pool
+        normalizes to — the geometry ``StreamingSession.__init__`` would
+        build solo (the pool's dec ring may be chunk-grown; its bounded
+        caches carry a +P sacrificial granule; both are pool-local)."""
+        lm = self.cfg.language_model
+        if self.unbounded:
+            ring = lm.sliding_window + self.P
+            return PREFIX_LEN + ring, ring
+        return self.max_dec, 0
+
+    def slot_state(self, sess: "StreamingSession") -> dict:
+        """Portable snapshot of one pooled session in SOLO layout
+        (position-major caches, solo ring/bounded geometry), so
+        ``StreamingSession.restore`` can rebuild it either solo or
+        attached to another pool.  int8 pool caches dequantize on the
+        way out; per-vector requantization on the way back into an int8
+        pool is exact (the max element of each vector maps to ±127, so
+        scale and codes round-trip)."""
+        b = sess._slot
+        p0 = sess._positions_done
+        solo_max_dec, solo_ring = self._solo_geometry()
+        enc_k = np.asarray(self.enc_k[b])  # [L, 1, s_enc, H, hd]
+        enc_v = np.asarray(self.enc_v[b])
+        if self._fused is not None:
+            km = np.asarray(self.dec_k[:, b])  # head-major [L, H, S, hd]
+            vm = np.asarray(self.dec_v[:, b])
+            if self.cache_int8:
+                km = km.astype(np.float32) * \
+                    np.asarray(self.dec_ks[:, b])[..., None]
+                vm = vm.astype(np.float32) * \
+                    np.asarray(self.dec_vs[:, b])[..., None]
+            dk = km.transpose(0, 2, 1, 3)[:, None]  # [L, 1, S, H, hd]
+            dv = vm.transpose(0, 2, 1, 3)[:, None]
+        else:
+            dk = np.asarray(self.dec_k[b])
+            dv = np.asarray(self.dec_v[b])
+        if self.unbounded:
+            if self._dec_ring[1] != solo_ring:
+                dk = _ring_remap(dk, PREFIX_LEN, self._dec_ring[1],
+                                 solo_ring, p0)
+                dv = _ring_remap(dv, PREFIX_LEN, self._dec_ring[1],
+                                 solo_ring, p0)
+            # Encoder ring geometry is identical solo vs pooled.
+        else:
+            dk = dk[:, :, :solo_max_dec]  # drop the sacrificial granule
+            dv = dv[:, :, :solo_max_dec]
+            enc_k = enc_k[:, :, :4 * solo_max_dec]
+            enc_v = enc_v[:, :, :4 * solo_max_dec]
+        return {
+            "version": StreamingSession.CHECKPOINT_VERSION,
+            "P": self.P,
+            "unbounded": self.unbounded,
+            "max_dec": solo_max_dec,
+            "delay_tokens": self.delay_tokens,
+            "samples": np.asarray(sess._samples, np.float32),
+            "samples_base": sess._samples_base,
+            "positions_done": p0,
+            "tokens": np.asarray(sess.tokens, np.int32),
+            "text": sess._text,
+            "finished": sess._finished,
+            "prev_token": int(np.asarray(self.prev_tok[b])),
+            "prev_audio": np.asarray(self.prev_audio[b], np.float32),
+            "enc_k": enc_k,
+            "enc_v": enc_v,
+            "enc_len": 4 * p0,
+            "dec_k": dk,
+            "dec_v": dv,
+            "dec_len": p0,
+            "endpoint_mark": getattr(sess, "_endpoint_mark", 0),
+        }
+
+    def write_slot(self, b: int, state: dict) -> None:
+        """Load a solo-layout checkpoint into slot ``b``'s share of the
+        pool caches (inverse of :meth:`slot_state`)."""
+        p0 = int(state["positions_done"])
+        cdt = self.model.cache_dtype
+        solo_max_dec, solo_ring = self._solo_geometry()
+        dk = np.asarray(state["dec_k"], np.float32)  # [L, 1, S, H, hd]
+        dv = np.asarray(state["dec_v"], np.float32)
+        enc_k = np.asarray(state["enc_k"], np.float32)
+        enc_v = np.asarray(state["enc_v"], np.float32)
+        if self.unbounded:
+            if self._dec_ring[1] != solo_ring:
+                dk = _ring_remap(dk, PREFIX_LEN, solo_ring,
+                                 self._dec_ring[1], p0)
+                dv = _ring_remap(dv, PREFIX_LEN, solo_ring,
+                                 self._dec_ring[1], p0)
+        else:
+            # Position axis is index 3 in both layouts ([L,B,H,S,hd]
+            # fused, [B,L,1,S,H,hd] generic).
+            pad = self.dec_k.shape[3] - dk.shape[2]
+            dk = np.pad(dk, [(0, 0), (0, 0), (0, pad), (0, 0), (0, 0)])
+            dv = np.pad(dv, [(0, 0), (0, 0), (0, pad), (0, 0), (0, 0)])
+            epad = self.enc_k.shape[3] - enc_k.shape[2]
+            enc_k = np.pad(enc_k,
+                           [(0, 0), (0, 0), (0, epad), (0, 0), (0, 0)])
+            enc_v = np.pad(enc_v,
+                           [(0, 0), (0, 0), (0, epad), (0, 0), (0, 0)])
+        if self._fused is not None:
+            km = jnp.asarray(dk[:, 0].transpose(0, 2, 1, 3))  # [L,H,S,hd]
+            vm = jnp.asarray(dv[:, 0].transpose(0, 2, 1, 3))
+            if self.cache_int8:
+                from voxtral_tpu.ops.decode_step_pallas import quantize_kv
+
+                kq, ks = quantize_kv(km)
+                vq, vs = quantize_kv(vm)
+                self.dec_k = self.dec_k.at[:, b].set(kq)
+                self.dec_v = self.dec_v.at[:, b].set(vq)
+                self.dec_ks = self.dec_ks.at[:, b].set(ks)
+                self.dec_vs = self.dec_vs.at[:, b].set(vs)
+            else:
+                self.dec_k = self.dec_k.at[:, b].set(km.astype(cdt))
+                self.dec_v = self.dec_v.at[:, b].set(vm.astype(cdt))
+        else:
+            self.dec_k = self.dec_k.at[b].set(jnp.asarray(dk, cdt))
+            self.dec_v = self.dec_v.at[b].set(jnp.asarray(dv, cdt))
+        self.enc_k = self.enc_k.at[b].set(jnp.asarray(enc_k, cdt))
+        self.enc_v = self.enc_v.at[b].set(jnp.asarray(enc_v, cdt))
+        self.prev_tok = self.prev_tok.at[b].set(
+            jnp.int32(int(state["prev_token"])))
+        self.prev_audio = self.prev_audio.at[b].set(
+            jnp.asarray(state["prev_audio"], self.model.compute_dtype))
 
     # -- stepping ------------------------------------------------------------
 
@@ -1176,20 +1327,18 @@ class StreamingSession:
     CHECKPOINT_VERSION = 1
 
     def state_dict(self) -> dict:
-        """Portable snapshot of a SOLO session (pooled sessions hold
-        slots of shared pool caches — ``finish()`` them or attach the
-        restored session to a pool-less model).
+        """Portable snapshot of a live session.
 
-        Device caches land as numpy; the decoder cache is normalized to
-        position-major ``[L, 1, S, H, hd]`` regardless of whether this
-        session's decode path had transposed it head-major, so a
-        checkpoint taken on the fused (stack-kernel) path restores onto
-        the generic path and vice versa."""
+        Device caches land as numpy in a canonical SOLO layout: the
+        decoder cache is normalized to position-major ``[L, 1, S, H,
+        hd]`` regardless of whether this session's decode path had
+        transposed it head-major, pooled sessions extract their slot
+        from the shared pool caches (dequantizing int8 pool caches and
+        normalizing ring geometry), so any checkpoint restores onto any
+        decode path — solo or pooled, fused stack kernel or generic
+        XLA."""
         if self._pool is not None:
-            raise ValueError(
-                "pooled sessions cannot be checkpointed — finish() the "
-                "session or restore into a solo session"
-            )
+            return self._pool.slot_state(self)
         dk = np.asarray(self.dec_cache.k)
         dv = np.asarray(self.dec_cache.v)
         if self._fused is not None and self._positions_done > 0:
@@ -1235,18 +1384,51 @@ class StreamingSession:
     @classmethod
     def restore(cls, model: "VoxtralModel", state: dict,
                 tokenizer: Optional[VoxtralTokenizer] = None,
+                pool: Optional["StreamPool"] = None,
                 ) -> "StreamingSession":
         """Rebuild a live session from :meth:`state_dict` output.
 
         ``model`` must share the checkpointed session's architecture;
         its decode path (fused stack kernel vs generic XLA) and cache
-        dtype may differ — caches are re-laid-out and cast on entry."""
+        dtype may differ — caches are re-laid-out and cast on entry.
+        With ``pool=`` the session attaches to a slot of that pool and
+        the caches are written into the pool's shared arrays instead
+        (the serving drain/restart path)."""
         if int(state["version"]) != cls.CHECKPOINT_VERSION:
             raise ValueError(
                 f"unsupported checkpoint version {state['version']}"
             )
         P = int(state["P"])
         unbounded = bool(state["unbounded"])
+        if pool is not None:
+            if pool.P != P or pool.unbounded != unbounded:
+                raise ValueError(
+                    f"pool geometry mismatch: checkpoint P={P} "
+                    f"unbounded={unbounded}, pool P={pool.P} "
+                    f"unbounded={pool.unbounded}"
+                )
+            if pool._solo_geometry()[0] != int(state["max_dec"]):
+                raise ValueError(
+                    f"cache geometry mismatch: checkpoint max_dec="
+                    f"{state['max_dec']}, pool normalizes to "
+                    f"{pool._solo_geometry()[0]}"
+                )
+            if float(pool.delay_tokens) != float(state["delay_tokens"]):
+                raise ValueError(
+                    f"delay_tokens mismatch: checkpoint "
+                    f"{state['delay_tokens']}, pool {pool.delay_tokens} "
+                    "(the pool's time embedding would change the output)"
+                )
+            s = cls(model, tokenizer, pool=pool)
+            s._samples = np.asarray(state["samples"], np.float32)
+            s._samples_base = int(state["samples_base"])
+            s._positions_done = int(state["positions_done"])
+            s.tokens = [int(t) for t in np.asarray(state["tokens"])]
+            s._text = str(state["text"])
+            s._finished = bool(state["finished"])
+            s._endpoint_mark = int(state["endpoint_mark"])
+            pool.write_slot(s._slot, state)
+            return s
         # __init__ derives _max_dec = int(mds * 6.25) + ...; invert with a
         # +0.5 nudge so int() truncation under float error (6.25 = 25/4 is
         # not binary-exact) cannot land one position short.
@@ -1290,6 +1472,7 @@ class StreamingSession:
     @classmethod
     def load(cls, model: "VoxtralModel", path,
              tokenizer: Optional[VoxtralTokenizer] = None,
+             pool: Optional["StreamPool"] = None,
              ) -> "StreamingSession":
         """Restore from a :meth:`save` file."""
         with np.load(path, allow_pickle=False) as z:
@@ -1300,7 +1483,7 @@ class StreamingSession:
                   "prev_token", "enc_len", "dec_len", "endpoint_mark"):
             state[k] = state[k].item()
         state["text"] = str(state["text"])
-        return cls.restore(model, state, tokenizer)
+        return cls.restore(model, state, tokenizer, pool=pool)
 
     def endpoint(self, min_pad_run: int = 8) -> bool:
         """Speech-aware endpoint detection.
