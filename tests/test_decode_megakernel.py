@@ -539,6 +539,55 @@ def test_stack_kernel_lm_argmax_fold(setup):
         np.asarray(tok)[:, 0], np.argmax(np.asarray(logits), axis=-1))
 
 
+@pytest.mark.parametrize("qkv_pre,lm_pre", [(3, 1), (1, 3)])
+def test_stack_kernel_asymmetric_prefetch_depths(setup, monkeypatch,
+                                                 qkv_pre, lm_pre):
+    """The w2-tail must pre-issue each stream's tiles gated by that
+    stream's OWN depth: with VOXTRAL_STACK_PRE/VOXTRAL_LM_PRE set to
+    different values, issuing range(max(qkv, lm)) into both streams
+    double-starts the shallower stream's DMA into an in-use rotating
+    slot.  Regression for the schedule-generation fix — results under
+    asymmetric depths must match the default schedule."""
+    import voxtral_tpu.ops.decode_step_pallas as dsp
+
+    params, t_embed, k_cache, v_cache, x = setup
+    lyr = params["layers"]
+    fused = fuse_decode_weights(params)
+    adav = ada_vectors(params, t_embed)
+    offset = jnp.asarray(OFFSET, jnp.int32)
+    cos_p, sin_p = rope_pair_vectors(offset, HEAD_DIM, theta=1e6)
+    kt = jnp.transpose(k_cache, (0, 1, 3, 2, 4))
+    vt = jnp.transpose(v_cache, (0, 1, 3, 2, 4))
+
+    rng = np.random.default_rng(23)
+    V = 1024
+    lm_w8 = quantize_w8_rowwise(
+        (rng.normal(size=(V, D)) * 0.05).astype(np.float32))["w8"]
+    args = (x, offset, lyr["attention_norm"], lyr["ffn_norm"], adav,
+            fused["sqkv"], fused["so"], fused["s13"], fused["s2"],
+            cos_p, sin_p, kt, vt,
+            fused["wqkv"], fused["wo"], fused["w13"], fused["w2"])
+    kw = dict(final_norm=jnp.ones((D,), jnp.float32),
+              lm_codes=jnp.asarray(lm_w8["codes"]),
+              lm_scale=jnp.asarray(lm_w8["scale"]),
+              n_heads=N_HEADS, n_kv=N_KV, head_dim=HEAD_DIM, eps=EPS,
+              interpret=True)
+
+    ref = dsp.decode_stack_step(*args, **kw)
+
+    pre = dict(dsp.STACK_PRE, qkv=qkv_pre)
+    monkeypatch.setattr(dsp, "STACK_PRE", pre)
+    monkeypatch.setattr(dsp, "STACK_SLOTS", {p: pre[p] + 2 for p in pre})
+    monkeypatch.setattr(dsp, "STACK_TAILS", dsp._build_schedule(pre))
+    monkeypatch.setattr(dsp, "LM_PRE", lm_pre)
+    monkeypatch.setattr(dsp, "LM_SLOTS", lm_pre + 2)
+
+    out = dsp.decode_stack_step(*args, **kw)
+    for a, b in zip(out, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_stack_kernel_chunked_cache_matches_resident(setup):
     """HBM-chunked cache attention (online softmax over S-chunks) must
     match the VMEM-resident path, including ring mode with the cache

@@ -835,12 +835,20 @@ def _make_stack_kernel(B, D, S, L, n_heads, n_kv, head_dim, hidden, plan,
 
             def issue_next(i):
                 def issue():
-                    @pl.when(l + 1 < L)
-                    def _():
-                        if i < plan["qkv"][1]:
-                            dma("qkv", l + 1, i).start()
+                    # Each branch is gated by ITS OWN prefetch depth:
+                    # the qkv stream's loop issues j+STACK_PRE['qkv']
+                    # from iteration 0 and the lm loop issues j+LM_PRE,
+                    # so pre-issuing a tile at or beyond a stream's own
+                    # depth would double-start its DMA into an in-use
+                    # rotating slot when the env-overridable depths
+                    # differ (VOXTRAL_STACK_PRE vs VOXTRAL_LM_PRE).
+                    if i < STACK_PRE["qkv"]:
+                        @pl.when(l + 1 < L)
+                        def _():
+                            if i < plan["qkv"][1]:
+                                dma("qkv", l + 1, i).start()
 
-                    if lm is not None:
+                    if lm is not None and i < LM_PRE:
                         @pl.when(l + 1 == L)
                         def _():
                             if i < lm[0] // lm[1]:

@@ -146,10 +146,21 @@ class _State:
             if pool is not None and pool.free_slots == 0:
                 pool = None
             try:
-                sess = StreamingSession.load(
-                    self.pipeline.model, f, self.pipeline.tokenizer,
-                    pool=pool,
-                )
+                try:
+                    sess = StreamingSession.load(
+                        self.pipeline.model, f, self.pipeline.tokenizer,
+                        pool=pool,
+                    )
+                except ValueError:
+                    if pool is None:
+                        raise
+                    # Checkpoint geometry doesn't fit the pool (e.g. a
+                    # bounded solo overflow session drained from an
+                    # unbounded-pool server) — a solo restore still
+                    # resumes the stream.
+                    sess = StreamingSession.load(
+                        self.pipeline.model, f, self.pipeline.tokenizer,
+                    )
             except Exception:
                 log.exception("restoring drained session %s", sid)
                 f.rename(f.with_suffix(".bad"))
@@ -269,10 +280,12 @@ class _Handler(BaseHTTPRequestHandler):
         elif self.path == "/metrics":
             state = self.state
             m = state.metrics
-            with state.lock:
-                m.set("voxtral_sessions_active", len(state.sessions))
-                if state.pool is not None:
-                    m.set("voxtral_pool_free_slots", state.pool.free_slots)
+            # Racy-but-lock-free gauge reads: taking state.lock here
+            # would block scrapes behind a long transcribe — the exact
+            # moment observability matters most.
+            m.set("voxtral_sessions_active", len(state.sessions))
+            if state.pool is not None:
+                m.set("voxtral_pool_free_slots", state.pool.free_slots)
             body = m.render().encode()
             self.send_response(200)
             self.send_header("Content-Type",
@@ -296,6 +309,13 @@ class _Handler(BaseHTTPRequestHandler):
         endpoint = self.path.split("?")[0]
         if endpoint.startswith("/stream/") and endpoint.count("/") == 3:
             endpoint = "/stream/<id>/" + endpoint.rsplit("/", 1)[1]
+        if endpoint not in ("/transcribe", "/transcribe_pcm",
+                           "/stream/start", "/stream/<id>/feed",
+                           "/stream/<id>/finish"):
+            # Coalesce unknown client-supplied paths into one label —
+            # per-path labels would let untrusted input grow the metric
+            # series (and server memory) without bound.
+            endpoint = "other"
         try:
             self._last_status = 200
             self._route_post()

@@ -499,8 +499,13 @@ class StreamPool:
             ladder = [(1, None), (1, CACHE_CHUNK)]
         elif kv_dtype == "model":
             ladder = [(None, None), (None, CACHE_CHUNK)]
-        else:  # auto
+        elif kv_dtype == "auto":
             ladder = [(None, None), (1, None), (1, CACHE_CHUNK)]
+        else:
+            raise ValueError(
+                f"kv_dtype must be 'auto', 'model' or 'int8', got "
+                f"{kv_dtype!r}"
+            )
         self._fused = None
         for item, chunk in ladder:
             s_try = s_dec if chunk is None else -(-s_dec // chunk) * chunk
@@ -692,7 +697,8 @@ class StreamPool:
         # The init step is identical to a solo session's (same ring and
         # rope geometry) — share the jitted program via the session cache.
         self._init_jit = _session_jits(
-            self.cfg, self.P, self._enc_ring, self._dec_ring, self.max_dec,
+            self.cfg, self.P, self._enc_ring, self._dec_ring,
+            rope_positions,
             bool(self._fused and self._fused["fold"]),
             self._mk_interpret,
         )[0]
