@@ -321,6 +321,104 @@ def test_tp_decode_step_matches_stack_kernel():
     assert float(jnp.max(jnp.abs(out_x - ref_x))) < 0.15
 
 
+@requires_8_devices
+def test_tp_lm_head_token_matches_argmax():
+    """Vocab-sharded greedy lm_head (per-shard Pallas (max, argmax) fold
+    + pmax/pmin resolution, tp=2 interpret) must equal argmax over the
+    full XLA w8 lm_head — including a tie ACROSS shards, which must
+    resolve to the lowest global index (jnp.argmax semantics)."""
+    from voxtral_tpu.models.layers import rms_norm
+    from voxtral_tpu.ops.decode_tp_pallas import (
+        tp_lm_head_token,
+        tp_shard_lm_head,
+    )
+    from voxtral_tpu.ops.w8 import quantize_w8_rowwise, w8_matmul
+
+    rng = np.random.default_rng(3)
+    B, D, V = 2, 256, 1024
+    w = (rng.normal(size=(V, D)) * 0.05).astype(np.float32)
+    # Cross-shard tie: make one row of shard 0 and one of shard 1
+    # bitwise identical and dominant for batch row 1.
+    w[700] = np.abs(w[700]) * 4.0
+    w[135] = w[700]
+    w8 = quantize_w8_rowwise(w)["w8"]
+    x = jnp.asarray(rng.normal(size=(B, D)) * 0.5, jnp.float32)
+    x = x.at[1].set(jnp.abs(x[1]))  # row 1: positive query -> tie rows win
+    fnorm = jnp.asarray(1.0 + rng.normal(size=(D,)) * 0.1, jnp.float32)
+
+    hidden = rms_norm(x, fnorm, 1e-5)
+    logits = w8_matmul(hidden, {"codes": jnp.asarray(w8["codes"]),
+                                "scale": jnp.asarray(w8["scale"])})
+    ref = np.argmax(np.asarray(logits), axis=-1)
+    assert ref[1] == 135  # the tie really is a cross-shard tie
+
+    mesh = make_mesh(n_data=1, n_model=2)
+    lm_tp = tp_shard_lm_head(
+        {"codes": jnp.asarray(w8["codes"]),
+         "scale": jnp.asarray(w8["scale"])}, tp=2)
+    tok = tp_lm_head_token(mesh, x, fnorm, lm_tp["codes"], lm_tp["scale"],
+                           eps=1e-5, interpret=True)
+    assert tok.shape == (B,) and tok.dtype == jnp.int32
+    np.testing.assert_array_equal(np.asarray(tok), ref)
+
+
+@requires_8_devices
+def test_tp_decode_step_ring_matches_stack_kernel():
+    """Ring-mode TP attention halves (head+ring cache past the wrap
+    point, per-row offsets) must match the single-chip stack kernel's
+    ring mask — the unbounded-stream layout under tensor parallelism."""
+    import tests.test_decode_megakernel as mk
+    from voxtral_tpu.ops.decode_step_pallas import (
+        ada_vectors,
+        decode_stack_step,
+        fuse_decode_weights,
+        rope_pair_vectors,
+    )
+    from voxtral_tpu.ops.decode_tp_pallas import (
+        tp_decode_step,
+        tp_shard_fused_weights,
+    )
+
+    params, t_embed, k_cache, v_cache, x = mk.build_setup()
+    lyr = params["layers"]
+    fused = fuse_decode_weights(params)
+    adav = ada_vectors(params, t_embed)
+    # Row 0 sits past the ring wrap (offs > S); row 1 mid-fill.
+    offs = jnp.asarray([20, 13], jnp.int32)
+    cs = [rope_pair_vectors(offs[b], mk.HEAD_DIM, theta=1e6)
+          for b in range(mk.B)]
+    cos_b = jnp.stack([c for c, _ in cs])
+    sin_b = jnp.stack([s for _, s in cs])
+    rng = np.random.default_rng(5)
+    # Fully-populated random cache (ring slots all live past the wrap).
+    kt = jnp.asarray(rng.normal(
+        size=(mk.L, mk.B, mk.N_KV, mk.S, mk.HEAD_DIM)) * 0.4, jnp.float32)
+    vt = jnp.asarray(rng.normal(
+        size=(mk.L, mk.B, mk.N_KV, mk.S, mk.HEAD_DIM)) * 0.4, jnp.float32)
+
+    common = dict(n_heads=mk.N_HEADS, n_kv=mk.N_KV, head_dim=mk.HEAD_DIM,
+                  eps=mk.EPS, interpret=True, window=8, ring=(4, 8))
+    ref_x, ref_k, ref_v = decode_stack_step(
+        x, offs, lyr["attention_norm"], lyr["ffn_norm"], adav,
+        fused["sqkv"], fused["so"], fused["s13"], fused["s2"],
+        cos_b, sin_b, kt, vt,
+        fused["wqkv"], fused["wo"], fused["w13"], fused["w2"], **common)
+
+    tp_w = tp_shard_fused_weights(
+        fused, mk.N_HEADS, mk.N_KV, mk.HEAD_DIM, mk.HIDDEN, tp=2)
+    mesh = make_mesh(n_data=1, n_model=2)
+    out_x, kn, vn = tp_decode_step(
+        mesh, x, offs, lyr["attention_norm"], lyr["ffn_norm"], adav,
+        tp_w, cos_b, sin_b, kt, vt, **common)
+
+    np.testing.assert_allclose(np.asarray(kn[0]), np.asarray(ref_k[0]),
+                               rtol=3e-3, atol=3e-3)
+    np.testing.assert_allclose(np.asarray(vn[0]), np.asarray(ref_v[0]),
+                               rtol=3e-3, atol=3e-3)
+    np.testing.assert_allclose(np.asarray(out_x), np.asarray(ref_x),
+                               rtol=0.05, atol=0.15)
+
+
 def _tp_cfg():
     """Tiny config whose KV heads / hidden divide by tp=2 (the TP-fused
     half-kernels need n_kv % tp == 0, decode_tp_pallas.py)."""

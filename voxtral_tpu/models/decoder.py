@@ -64,17 +64,25 @@ def embed_tokens(params: Params, token_ids: jax.Array) -> jax.Array:
     return emb[token_ids]
 
 
-def lm_head(params: Params, hidden: jax.Array) -> jax.Array:
-    """Tied embeddings: logits = hidden @ E^T, f32 accumulation."""
+def lm_head(params: Params, hidden: jax.Array,
+            xla_only: bool = False) -> jax.Array:
+    """Tied embeddings: logits = hidden @ E^T, f32 accumulation.
+
+    ``xla_only`` forces the plain XLA contraction for quantized tables —
+    mandatory when the params are mesh-sharded (GSPMD partitions the
+    dot from the parameter shardings; a ``pallas_call`` cannot be
+    auto-partitioned).
+    """
     emb = params["tok_embeddings"]
     if isinstance(emb, dict):
         if "q4" in emb:
             from voxtral_tpu.ops.q4 import q4_matmul
 
-            return q4_matmul(hidden, emb["q4"])
+            return q4_matmul(hidden, emb["q4"],
+                             prefer_pallas=not xla_only)
         from voxtral_tpu.ops.w8 import w8_matmul
 
-        return w8_matmul(hidden, emb["w8"])
+        return w8_matmul(hidden, emb["w8"], prefer_pallas=not xla_only)
     return jnp.einsum(
         "...d,vd->...v", hidden, emb, preferred_element_type=jnp.float32
     )

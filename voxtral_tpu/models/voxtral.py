@@ -153,6 +153,11 @@ def transcribe_streaming_fn(
     SURVEY.md §2.6).
     """
     lm_cfg = cfg.language_model
+    # Mesh-sharded params must never reach the Pallas lm_head dispatch
+    # (pallas_call is opaque to GSPMD); the XLA dot partitions from the
+    # parameter shardings.  TP greedy decode uses the vocab-sharded
+    # Pallas fold below instead.
+    lm_xla = parallel is not None
 
     audio_embeds = encode_audio_fn(params, mel, cfg)  # [B, S, D]
     batch, seq_len = audio_embeds.shape[0], audio_embeds.shape[1]
@@ -168,7 +173,8 @@ def transcribe_streaming_fn(
     hidden, cache = decoder_forward_hidden_with_cache(
         params["decoder"], prefix_inputs, t_embed, cache, lm_cfg, rope
     )
-    first_logits = lm_head(params["decoder"], hidden[:, -1, :])  # [B, V]
+    first_logits = lm_head(params["decoder"], hidden[:, -1, :],
+                           xla_only=lm_xla)  # [B, V]
     key = jax.random.PRNGKey(seed)
     key, k0 = jax.random.split(key)
     first_token = select_token(first_logits, k0, temperature, top_k)  # [B]
@@ -282,9 +288,23 @@ def transcribe_streaming_fn(
                     interpret=mk_interpret, window=lm_cfg.sliding_window,
                 )
                 cache = append(cache, k_new, v_new)
+                if temperature <= 0.0 and "lm_codes" in fused:
+                    # Vocab-sharded greedy lm_head: per-shard Pallas
+                    # (max, argmax) fold + pmax/pmin resolution — the
+                    # [B, 131k] logits never materialize on any chip.
+                    from voxtral_tpu.ops.decode_tp_pallas import (
+                        tp_lm_head_token,
+                    )
+
+                    token = tp_lm_head_token(
+                        parallel.mesh, xo, params["decoder"]["norm"],
+                        fused["lm_codes"], fused["lm_scale"],
+                        eps=lm_cfg.norm_eps, interpret=mk_interpret,
+                    )
+                    return (token, cache, key), token
                 hidden = rms_norm(
                     xo, params["decoder"]["norm"], lm_cfg.norm_eps)
-                logits = lm_head(params["decoder"], hidden)
+                logits = lm_head(params["decoder"], hidden, xla_only=True)
                 token = select_token(logits, kstep, temperature, top_k)
                 return (token, cache, key), token
 
@@ -337,7 +357,8 @@ def transcribe_streaming_fn(
                 if not fold_lm:
                     hidden = rms_norm(
                         x, params["decoder"]["norm"], lm_cfg.norm_eps)
-                    logits = lm_head(params["decoder"], hidden)
+                    logits = lm_head(params["decoder"], hidden,
+                                     xla_only=lm_xla)
                 token = select_token(logits, kstep, temperature, top_k)
                 return (token, cache, key), token
 
@@ -367,7 +388,7 @@ def transcribe_streaming_fn(
             x, (k_new, v_new) = jax.lax.scan(layer_body, x, xs)
             cache = KVCache(k_new, v_new, offset + 1)
             hidden = rms_norm(x, params["decoder"]["norm"], lm_cfg.norm_eps)
-            logits = lm_head(params["decoder"], hidden)
+            logits = lm_head(params["decoder"], hidden, xla_only=lm_xla)
             token = select_token(logits, kstep, temperature, top_k)
             return (token, cache, key), token
     else:
@@ -383,7 +404,8 @@ def transcribe_streaming_fn(
                 params["decoder"], audio_pos + text, t_embed, cache, lm_cfg,
                 rope,
             )
-            logits = lm_head(params["decoder"], hidden[:, 0, :])  # [B, V]
+            logits = lm_head(params["decoder"], hidden[:, 0, :],
+                             xla_only=lm_xla)  # [B, V]
             token = select_token(logits, kstep, temperature, top_k)
             return (token, cache, key), token
 
@@ -527,6 +549,27 @@ class VoxtralModel:
                     for name in ("attn_norm", "ffn_norm"):
                         self.fused_tp[name] = jax.device_put(
                             self.fused_decode[name], rep)
+                    # Vocab-sharded tied lm_head for the greedy TP fold
+                    # (tp_lm_head_token) — only when the table is w8 and
+                    # the per-shard vocab tiles cleanly.
+                    emb_p = params["decoder"]["tok_embeddings"]
+                    emb_w8 = (emb_p.get("w8")
+                              if isinstance(emb_p, dict) else None)
+                    if emb_w8 is not None:
+                        from voxtral_tpu.ops.decode_step_pallas import (
+                            _lm_tile,
+                        )
+                        from voxtral_tpu.ops.decode_tp_pallas import (
+                            tp_shard_lm_head,
+                        )
+
+                        V = emb_w8["codes"].shape[0]
+                        if (V % plan.tp == 0
+                                and _lm_tile(V // plan.tp, lm.dim)
+                                is not None):
+                            lm_tp = tp_shard_lm_head(emb_w8, plan.tp)
+                            self.fused_tp["lm_codes"] = put(lm_tp["codes"])
+                            self.fused_tp["lm_scale"] = put(lm_tp["scale"])
                 # TP sessions/pools would feed decode_stack_step sharded
                 # caches; drop the single-chip fused stacks so streaming
                 # rides the auto-partitioned XLA path instead.

@@ -27,9 +27,18 @@ Validated against the single-chip stack kernel on a virtual CPU mesh in
 ``tests/test_parallel.py`` (interpret mode, tp=2); both half-kernels
 also Mosaic-compile and run on a real v5e at production tp=2 local
 shapes (multi-chip execution needs real multi-chip hardware).  Requires
-``n_kv_heads % tp == 0`` and ``hidden % tp == 0``.  The final norm +
-tied lm_head stay outside (XLA; vocab-shardable via the mesh seam), as
-do ring caches (single-chip feature for now).
+``n_kv_heads % tp == 0`` and ``hidden % tp == 0``.
+
+The greedy final-norm + tied lm_head is ALSO tensor-parallel:
+:func:`tp_lm_head_token` shards the 131k-vocab embedding table on the
+vocab axis ([V/tp, D] per chip), runs a per-shard Pallas matvec that
+folds the running (max, first-argmax) across its vocab tiles — the
+[B, V/tp] logits never materialize — and resolves the global argmax
+with one pmax + pmin pair over the model axis (ties break to the
+lowest global index, matching ``jnp.argmax``).  Sampling paths keep the
+XLA lm_head, which GSPMD partitions from the parameter shardings.
+Head+ring caches (unbounded streams) are supported via ``ring=``, same
+semantics as the single-chip stack kernel.
 
 Numerics: each shard quantizes its attention/SwiGLU activations with
 its LOCAL row absmax — a finer-grained (not bit-identical) W8A8 scheme
@@ -96,7 +105,8 @@ def _stream_factory(layer, plan, bufs, sems):
     return stream
 
 
-def _make_attn_half(B, D, S, n_heads_l, n_kv_l, head_dim, plan, eps, window):
+def _make_attn_half(B, D, S, n_heads_l, n_kv_l, head_dim, plan, eps, window,
+                    ring):
     """Attention half on a head shard; emits the WO PARTIAL (no residual
     add — the caller psums partials across shards first)."""
     nq = n_heads_l * head_dim
@@ -144,9 +154,25 @@ def _make_attn_half(B, D, S, n_heads_l, n_kv_l, head_dim, plan, eps, window):
         off3 = jnp.full(scores.shape, jnp.int32(0))
         for b in range(B):
             off3 = jnp.where(row // n_kv_l == b, offs_ref[b], off3)
-        valid = pos < off3
+        if ring is None:
+            p_abs = pos
+            valid = pos < off3
+        else:
+            # Head+ring cache, same slot->position map as the
+            # single-chip stack kernel (decode_step_pallas.build_valid):
+            # slots [0, head) are permanent; ring slot r holds the
+            # largest p = head + r + size*c below offs.  Pure &/|
+            # composition (Mosaic cannot lower i1-operand selects).
+            head_n, size = ring
+            r = pos - head_n
+            wr = off3 - head_n
+            cycles = jnp.maximum(wr - 1 - r, 0) // size
+            in_head = pos < head_n
+            p_abs = jnp.where(in_head, pos, head_n + r + size * cycles)
+            valid = ((in_head & (pos < off3))
+                     | ((pos >= head_n) & (r < size) & (r < wr)))
         if window is not None:
-            valid &= (off3 - pos) <= window
+            valid &= (off3 - p_abs) <= window
         scores = jnp.where(valid, scores, -jnp.inf)
         kf = k.reshape(B * n_kv_l, 1, head_dim)
         self_s = jnp.sum(qg * kf, axis=-1)
@@ -198,13 +224,13 @@ def _make_ffn_half(B, D, hidden_l, plan, eps):
 @functools.partial(
     jax.jit,
     static_argnames=("n_heads_l", "n_kv_l", "head_dim", "eps", "interpret",
-                     "window"),
+                     "window", "ring"),
 )
 def attn_half_step(
     x, layer, offsets, attn_norm, sqkv, so, cos_b, sin_b,
     k_cache_l, v_cache_l, wqkv, wo,
     n_heads_l=16, n_kv_l=4, head_dim=128, eps=1e-5, interpret=False,
-    window=None,
+    window=None, ring=None,
 ):
     """One layer's attention half on this shard's heads.
 
@@ -222,7 +248,7 @@ def attn_half_step(
     if plan is None:
         raise ValueError("attn_half_step: dims not tileable")
     kernel = _make_attn_half(B, D, S, n_heads_l, n_kv_l, head_dim, plan,
-                             eps, window)
+                             eps, window, ring)
 
     offs = jnp.broadcast_to(jnp.asarray(offsets, jnp.int32).reshape(-1), (B,))
     cos3 = jnp.broadcast_to(
@@ -379,7 +405,7 @@ def tp_decode_step(
     attn_norms, ffn_norms, ada_vecs, tp_w,
     cos_b, sin_b, k_cache, v_cache,
     n_heads=32, n_kv=8, head_dim=128, eps=1e-5, interpret=False,
-    window=None, model_axis="model",
+    window=None, ring=None, model_axis="model",
 ):
     """All decoder layers of one decode token, tensor-parallel.
 
@@ -388,8 +414,11 @@ def tp_decode_step(
     x/norms replicated.  Runs the attn/ffn half-kernels per layer under
     ``shard_map`` with a psum at each reduction point.  Returns
     (x_out [B, D], k_new, v_new [L, B, Hkv, hd]) like the single-chip
-    stack kernel (final norm / lm_head are the caller's, as in the
-    unfused path).
+    stack kernel.  The final norm / lm_head are the caller's: greedy
+    decoding uses :func:`tp_lm_head_token` (vocab-sharded fold), other
+    paths the auto-partitioned XLA lm_head.  ``ring``: static
+    (head, size) head+ring cache layout for unbounded streams, same
+    slot->position semantics as the single-chip stack kernel.
     """
     from jax.sharding import PartitionSpec as P
 
@@ -421,7 +450,7 @@ def tp_decode_step(
                 xc, l, offs, an_l, sq_l, so_l, cos2, sin2, k_l, v_l,
                 wqkv, wo, n_heads_l=n_heads_l, n_kv_l=n_kv_l,
                 head_dim=head_dim, eps=eps, interpret=interpret,
-                window=window)
+                window=window, ring=ring)
             xc = xc + jax.lax.psum(y, model_axis)
             z = ffn_half_step(
                 xc, l, fn_l, ad_l, s13_l, s2_l, w13, w2,
@@ -450,3 +479,180 @@ def tp_decode_step(
       tp_w["wqkv"], tp_w["sqkv"], tp_w["wo"], tp_w["so"],
       tp_w["w13"], tp_w["s13"], tp_w["w2"], tp_w["s2"],
       k_cache, v_cache)
+
+
+# ---------------------------------------------------------------------------
+# Tensor-parallel greedy lm_head: vocab-sharded table, per-shard Pallas
+# matvec with an in-kernel (max, first-argmax) fold, one pmax+pmin pair
+# to resolve the global token.
+# ---------------------------------------------------------------------------
+
+
+def tp_shard_lm_head(w8: Params, tp: int) -> Params:
+    """Split a rowwise-w8 tied embedding table on the vocab axis.
+
+    ``w8``: {"codes": [V, D] int8, "scale": [V]}.  Returns arrays with a
+    leading shard axis for ``shard_map``: codes [tp, V/tp, D], scale
+    [tp, V/tp].  Reference keeps the 131k lm_head whole on one device
+    (gguf/model.rs:476-482); vocab-sharding it is the TPU mesh seam's
+    beyond-parity lever (SURVEY.md §2.6).
+    """
+    codes, scale = w8["codes"], w8["scale"]
+    V, D = codes.shape
+    if V % tp:
+        raise ValueError(f"tp={tp} must divide vocab={V}")
+    return {
+        "codes": jnp.asarray(codes).reshape(tp, V // tp, D),
+        "scale": jnp.asarray(scale).reshape(tp, V // tp),
+    }
+
+
+def _make_lm_half(n_tiles, t):
+    """Per-shard lm_head matvec over the LOCAL vocab shard, folding the
+    greedy (max, first-argmax) across vocab tiles so the [B, V_l] logits
+    never materialize (the whole-stack kernel's ``lm_argmax`` fold,
+    decode_step_pallas.py, applied per shard).  Grid over vocab tiles —
+    Pallas auto-pipelines the [t, D] weight-tile DMA (same structure as
+    ops/w8_pallas.py, which streams at ~760 GB/s; a manual
+    fori_loop+DMA variant of this kernel measured only ~33 GB/s on v5e)
+    — with the running fold carried in VMEM scratch across grid steps.
+    """
+
+    def kernel(xq_ref, sx_ref, scale_ref, w_ref,
+               vmax_ref, vidx_ref, acc_v, acc_i):
+        j = pl.program_id(0)
+
+        @pl.when(j == 0)
+        def _():
+            acc_v[:] = jnp.full(acc_v.shape, -jnp.inf, jnp.float32)
+            acc_i[:] = jnp.zeros(acc_i.shape, jnp.int32)
+
+        z = jax.lax.dot_general(
+            xq_ref[:], w_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        vals = z.astype(jnp.float32) * sx_ref[:] * scale_ref[:]  # [B, t]
+        idx = j * t + jax.lax.broadcasted_iota(jnp.int32, vals.shape, 1)
+        tb = jnp.max(vals, axis=1, keepdims=True)
+        ti = jnp.min(jnp.where(vals >= tb, idx, jnp.int32(2**30)),
+                     axis=1, keepdims=True)
+        upd = tb > acc_v[:]  # strict: ties keep the earlier tile
+        acc_i[:] = jnp.where(upd, ti, acc_i[:])
+        acc_v[:] = jnp.maximum(acc_v[:], tb)
+
+        @pl.when(j == n_tiles - 1)
+        def _():
+            vmax_ref[:] = acc_v[:]
+            vidx_ref[:] = acc_i[:]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("eps", "interpret"),
+)
+def lm_half_argmax(x, final_norm, lm_scale_l, lm_codes_l,
+                   eps=1e-5, interpret=False):
+    """This shard's greedy lm_head over its local vocab rows.
+
+    x [B, D] (post-stack residual, replicated); final_norm [D];
+    lm_codes_l [V_l, D] int8 streamed tile-by-tile through the grid
+    pipeline; lm_scale_l [V_l].  The final norm + activation quant run
+    in XLA (identical math to the w8_matmul reference path); the kernel
+    does the int8 MXU contraction + f32 epilogue + greedy fold.
+    Returns (max_logit [B, 1] f32, local_argmax [B, 1] i32).
+    """
+    from voxtral_tpu.ops.decode_step_pallas import _lm_tile
+    from voxtral_tpu.ops.w8 import _quantize_activations
+
+    B, D = x.shape
+    V_l = lm_codes_l.shape[0]
+    t = _lm_tile(V_l, D)
+    if t is None:
+        raise ValueError(f"lm_half_argmax: vocab shard {V_l} not tileable")
+    n_tiles = V_l // t
+
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    h = xf * jax.lax.rsqrt(var + eps) * final_norm.astype(jnp.float32)
+    xq, sx = _quantize_activations(h)
+
+    kernel = _make_lm_half(n_tiles, t)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((B, D), lambda j: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((B, 1), lambda j: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, t), lambda j: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((t, D), lambda j: (j, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((B, 1), lambda j: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((B, 1), lambda j: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((B, 1), jnp.float32),
+                pltpu.VMEM((B, 1), jnp.int32),
+            ],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * V_l * D,
+            bytes_accessed=V_l * D + 4 * V_l + B * D,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(
+        xq, sx.astype(jnp.float32),
+        lm_scale_l.astype(jnp.float32).reshape(1, V_l),
+        lm_codes_l,
+    )
+
+
+def tp_lm_head_token(
+    mesh, x, final_norm, lm_codes_sh, lm_scale_sh,
+    eps=1e-5, interpret=False, model_axis="model",
+):
+    """Greedy token from a vocab-sharded tied lm_head, [B] int32.
+
+    ``lm_codes_sh``/``lm_scale_sh`` from :func:`tp_shard_lm_head`
+    (leading shard axis).  Each shard folds its local (max, argmax) in
+    one Pallas matvec; the global winner is one ``pmax`` (value) plus
+    one ``pmin`` (candidate global index) over the model axis — ties
+    resolve to the LOWEST global index, exactly ``jnp.argmax``'s
+    first-match semantics (vocab shards are contiguous ascending).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    V_l = lm_codes_sh.shape[1]
+    rep = P()
+
+    def shard_fn(x, fn, codes, scale):
+        best_v, best_i = lm_half_argmax(
+            x, fn, scale[0], codes[0], eps=eps, interpret=interpret)
+        shard = jax.lax.axis_index(model_axis)
+        gmax = jax.lax.pmax(best_v, model_axis)
+        cand = jnp.where(best_v >= gmax, best_i + shard * V_l,
+                         jnp.int32(2**30))
+        return jax.lax.pmin(cand, model_axis)[:, 0]
+
+    return jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(rep, rep, P(model_axis), P(model_axis)),
+        out_specs=rep,
+        check_vma=False,
+    )(x, final_norm.astype(jnp.float32), lm_codes_sh, lm_scale_sh)

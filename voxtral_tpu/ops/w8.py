@@ -46,7 +46,7 @@ def _quantize_activations(x: jax.Array):
     return xq, sx  # sx: [..., 1]
 
 
-def w8_matmul(x: jax.Array, w8: dict) -> jax.Array:
+def w8_matmul(x: jax.Array, w8: dict, prefer_pallas: bool = True) -> jax.Array:
     """y = x @ W^T; x [..., K] -> [..., N] f32, int8 MXU contraction.
 
     The Pallas kernel variant (ops/w8_pallas.py) wins isolated
@@ -54,6 +54,11 @@ def w8_matmul(x: jax.Array, w8: dict) -> jax.Array:
     per-call pipeline warm-up x 9 matmuls/layer outweighs it while XLA
     overlaps DMA across ops (e2e RTF 0.0545 vs 0.0467).  It stays opt-in
     via VOXTRAL_W8_PALLAS=1 for future re-evaluation.
+
+    ``prefer_pallas=False`` forces the XLA path — required when the
+    weights carry a mesh sharding (``pallas_call`` cannot be
+    auto-partitioned by GSPMD; the XLA dot partitions from the parameter
+    shardings).
     """
     codes, scale = w8["codes"], w8["scale"]
     xq, sx = _quantize_activations(x)
@@ -66,10 +71,10 @@ def w8_matmul(x: jax.Array, w8: dict) -> jax.Array:
     # measured 759 vs 518 GB/s at M=1 — benches/kernel_bench.py); per-layer
     # matmuls stay on XLA (round-1 finding: per-call pipeline warm-up x 9
     # matmuls/layer loses e2e) — the megakernel covers those now.
-    use_pallas = env == "1" or (
+    use_pallas = prefer_pallas and (env == "1" or (
         env == "auto" and rows <= 8 and codes.shape[0] >= 32768
         and jax.default_backend() == "tpu"
-    )
+    ))
     if use_pallas and env != "0":
         from voxtral_tpu.ops.w8_pallas import (
             w8_matmul_pallas,
