@@ -322,6 +322,106 @@ def test_tp_decode_step_matches_stack_kernel():
 
 
 @requires_8_devices
+def test_dptp_decode_step_matches_stack_kernel():
+    """DP x TP composition on one mesh (2 data x 2 model): batch rows
+    shard over data WHILE weights shard over model — must match the
+    single-chip stack kernel (psums stay model-axis-only)."""
+    import tests.test_decode_megakernel as mk
+    from voxtral_tpu.ops.decode_step_pallas import (
+        ada_vectors,
+        decode_stack_step,
+        fuse_decode_weights,
+        rope_pair_vectors,
+    )
+    from voxtral_tpu.ops.decode_tp_pallas import (
+        tp_decode_step,
+        tp_lm_head_token,
+        tp_shard_fused_weights,
+        tp_shard_lm_head,
+    )
+    from voxtral_tpu.ops.w8 import quantize_w8_rowwise
+
+    params, t_embed, *_ = mk.build_setup()
+    lyr = params["layers"]
+    fused = fuse_decode_weights(params)
+    adav = ada_vectors(params, t_embed)
+
+    BB = 4
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.normal(size=(BB, mk.D)) * 0.5, jnp.float32)
+    offs = jnp.asarray([mk.OFFSET, 3, 9, 5], jnp.int32)
+    cs = [rope_pair_vectors(offs[b], mk.HEAD_DIM, theta=1e6)
+          for b in range(BB)]
+    cos_b = jnp.stack([c for c, _ in cs])
+    sin_b = jnp.stack([s for _, s in cs])
+    kt = jnp.asarray(rng.normal(
+        size=(mk.L, BB, mk.N_KV, mk.S, mk.HEAD_DIM)) * 0.4, jnp.float32)
+    vt = jnp.asarray(rng.normal(
+        size=(mk.L, BB, mk.N_KV, mk.S, mk.HEAD_DIM)) * 0.4, jnp.float32)
+
+    common = dict(n_heads=mk.N_HEADS, n_kv=mk.N_KV, head_dim=mk.HEAD_DIM,
+                  eps=mk.EPS, interpret=True, window=8)
+    ref_x, ref_k, ref_v = decode_stack_step(
+        x, offs, lyr["attention_norm"], lyr["ffn_norm"], adav,
+        fused["sqkv"], fused["so"], fused["s13"], fused["s2"],
+        cos_b, sin_b, kt, vt,
+        fused["wqkv"], fused["wo"], fused["w13"], fused["w2"], **common)
+
+    tp_w = tp_shard_fused_weights(
+        fused, mk.N_HEADS, mk.N_KV, mk.HEAD_DIM, mk.HIDDEN, tp=2)
+    mesh = make_mesh(n_data=2, n_model=2)
+    out_x, kn, vn = tp_decode_step(
+        mesh, x, offs, lyr["attention_norm"], lyr["ffn_norm"], adav,
+        tp_w, cos_b, sin_b, kt, vt, data_axis="data", **common)
+
+    np.testing.assert_allclose(np.asarray(kn[0]), np.asarray(ref_k[0]),
+                               rtol=3e-3, atol=3e-3)
+    np.testing.assert_allclose(np.asarray(out_x), np.asarray(ref_x),
+                               rtol=0.05, atol=0.15)
+
+    # And the greedy lm_head fold with batch rows data-sharded too.
+    V = 1024
+    lm_w8 = quantize_w8_rowwise(
+        (rng.normal(size=(V, mk.D)) * 0.05).astype(np.float32))["w8"]
+    from voxtral_tpu.models.layers import rms_norm
+    from voxtral_tpu.ops.w8 import w8_matmul
+
+    fnorm = jnp.ones((mk.D,), jnp.float32)
+    logits = w8_matmul(rms_norm(out_x, fnorm, mk.EPS),
+                       {"codes": jnp.asarray(lm_w8["codes"]),
+                        "scale": jnp.asarray(lm_w8["scale"])})
+    lm_tp = tp_shard_lm_head({"codes": jnp.asarray(lm_w8["codes"]),
+                              "scale": jnp.asarray(lm_w8["scale"])}, tp=2)
+    tok = tp_lm_head_token(mesh, out_x, fnorm, lm_tp["codes"],
+                           lm_tp["scale"], eps=mk.EPS, interpret=True,
+                           data_axis="data")
+    np.testing.assert_array_equal(np.asarray(tok),
+                                  np.argmax(np.asarray(logits), -1))
+
+
+@requires_8_devices
+def test_dptp_fused_transcribe_token_identity(monkeypatch, tmp_path):
+    """Batched transcription on a COMBINED (2 data x 2 model) mesh —
+    rows dp-sharded, weights tp-sharded, vocab-sharded lm fold — must
+    match the single-chip fused batch token-for-token."""
+    from tests.test_golden_full_model import golden_mel
+
+    monkeypatch.setenv("VOXTRAL_MEGAKERNEL", "force")
+    cfg = _tp_cfg()
+    mel = golden_mel()
+    mel2 = np.concatenate([mel, mel], axis=0)
+
+    ref_model = _w8_checkpoint_model(cfg, tmp_path, seed=11)
+    ref = ref_model.transcribe_streaming_batch(mel2)
+
+    mesh = make_mesh(n_data=2, n_model=2)
+    m = _w8_checkpoint_model(cfg, tmp_path, mesh=mesh, seed=11)
+    assert m.fused_tp is not None and "lm_codes" in m.fused_tp
+    got = m.transcribe_streaming_batch(mel2)
+    assert got.tolist() == ref.tolist()
+
+
+@requires_8_devices
 def test_tp_lm_head_token_matches_argmax():
     """Vocab-sharded greedy lm_head (per-shard Pallas (max, argmax) fold
     + pmax/pmin resolution, tp=2 interpret) must equal argmax over the

@@ -279,6 +279,11 @@ def transcribe_streaming_fn(
             if use_tp:
                 from voxtral_tpu.ops.decode_tp_pallas import tp_decode_step
 
+                # DP x TP composition: on a combined mesh with enough
+                # batch rows, the batch dim ALSO shards over the data
+                # axis (zero extra collectives — psums stay model-only).
+                da = ("data" if parallel.dp > 1
+                      and batch % parallel.dp == 0 else None)
                 xo, k_new, v_new = tp_decode_step(
                     parallel.mesh, x, offset,
                     fused["attn_norm"], fused["ffn_norm"], ada_vecs,
@@ -286,6 +291,7 @@ def transcribe_streaming_fn(
                     n_heads=lm_cfg.n_heads, n_kv=lm_cfg.n_kv_heads,
                     head_dim=lm_cfg.head_dim, eps=lm_cfg.norm_eps,
                     interpret=mk_interpret, window=lm_cfg.sliding_window,
+                    data_axis=da,
                 )
                 cache = append(cache, k_new, v_new)
                 if temperature <= 0.0 and "lm_codes" in fused:
@@ -300,6 +306,7 @@ def transcribe_streaming_fn(
                         parallel.mesh, xo, params["decoder"]["norm"],
                         fused["lm_codes"], fused["lm_scale"],
                         eps=lm_cfg.norm_eps, interpret=mk_interpret,
+                        data_axis=da,
                     )
                     return (token, cache, key), token
                 hidden = rms_norm(

@@ -405,7 +405,7 @@ def tp_decode_step(
     attn_norms, ffn_norms, ada_vecs, tp_w,
     cos_b, sin_b, k_cache, v_cache,
     n_heads=32, n_kv=8, head_dim=128, eps=1e-5, interpret=False,
-    window=None, ring=None, model_axis="model",
+    window=None, ring=None, model_axis="model", data_axis=None,
 ):
     """All decoder layers of one decode token, tensor-parallel.
 
@@ -419,6 +419,12 @@ def tp_decode_step(
     paths the auto-partitioned XLA lm_head.  ``ring``: static
     (head, size) head+ring cache layout for unbounded streams, same
     slot->position semantics as the single-chip stack kernel.
+
+    ``data_axis``: optionally ALSO shard the batch dimension over a
+    second mesh axis (DP x TP composition on one mesh — each (data,
+    model) shard decodes B/dp rows against its weight shard; the psums
+    stay model-axis-only, so the data axis adds zero collectives).
+    Requires ``B % mesh.shape[data_axis] == 0``.
     """
     from jax.sharding import PartitionSpec as P
 
@@ -434,9 +440,16 @@ def tp_decode_step(
         jnp.asarray(sin_b, jnp.float32).reshape(-1, head_dim),
         (x.shape[0], head_dim))
 
-    rep = P()
+    da = data_axis
+    if da is not None and x.shape[0] % mesh.shape[da]:
+        raise ValueError(
+            f"batch {x.shape[0]} not divisible by mesh axis "
+            f"{da}={mesh.shape[da]}")
+    rep = P(da, None) if da is not None else P()
+    offs_spec = P(da) if da is not None else P()
+    vec_spec = P()                  # per-layer norm/scale vectors
     shard0 = P(model_axis)          # leading shard axis (squeezed inside)
-    cache_spec = P(None, None, model_axis, None, None)
+    cache_spec = P(None, da, model_axis, None, None)
 
     def shard_fn(x, offs, cos2, sin2, an, fn, ad,
                  wqkv, sqkv, wo, so, w13, s13, w2, s2, kc, vc):
@@ -465,13 +478,13 @@ def tp_decode_step(
 
     return jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(rep, rep, rep, rep, rep, rep, rep,
+        in_specs=(rep, offs_spec, rep, rep, vec_spec, vec_spec, vec_spec,
                   shard0, shard0, shard0, shard0,
                   shard0, shard0, shard0, shard0,
                   cache_spec, cache_spec),
         out_specs=(rep,
-                   P(None, None, model_axis, None),
-                   P(None, None, model_axis, None)),
+                   P(None, da, model_axis, None),
+                   P(None, da, model_axis, None)),
         check_vma=False,
     )(x, offs, cos2, sin2,
       attn_norms.astype(jnp.float32), ffn_norms.astype(jnp.float32),
@@ -625,7 +638,7 @@ def lm_half_argmax(x, final_norm, lm_scale_l, lm_codes_l,
 
 def tp_lm_head_token(
     mesh, x, final_norm, lm_codes_sh, lm_scale_sh,
-    eps=1e-5, interpret=False, model_axis="model",
+    eps=1e-5, interpret=False, model_axis="model", data_axis=None,
 ):
     """Greedy token from a vocab-sharded tied lm_head, [B] int32.
 
@@ -635,11 +648,14 @@ def tp_lm_head_token(
     one ``pmin`` (candidate global index) over the model axis — ties
     resolve to the LOWEST global index, exactly ``jnp.argmax``'s
     first-match semantics (vocab shards are contiguous ascending).
+    ``data_axis``: optionally shard the batch rows over a second mesh
+    axis (the DP x TP composition of :func:`tp_decode_step`).
     """
     from jax.sharding import PartitionSpec as P
 
     V_l = lm_codes_sh.shape[1]
-    rep = P()
+    da = data_axis
+    x_spec = P(da, None) if da is not None else P()
 
     def shard_fn(x, fn, codes, scale):
         best_v, best_i = lm_half_argmax(
@@ -652,7 +668,7 @@ def tp_lm_head_token(
 
     return jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(rep, rep, P(model_axis), P(model_axis)),
-        out_specs=rep,
+        in_specs=(x_spec, P(), P(model_axis), P(model_axis)),
+        out_specs=P(da) if da is not None else P(),
         check_vma=False,
     )(x, final_norm.astype(jnp.float32), lm_codes_sh, lm_scale_sh)
