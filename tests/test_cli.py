@@ -167,3 +167,29 @@ def test_cli_batch_files_missing_file(wav, tiny_params_file):
     assert "not found" in err
     lines = out.splitlines()
     assert len(lines) == 2 and lines[1] == ""  # placeholder line kept
+
+
+def test_cli_timestamps(wav):
+    """--timestamps prints one JSON object per file with text + words."""
+    import json
+
+    code, out, err = run_cli(
+        "--audio", wav, "--random-weights",
+        "--params", str(FIXTURES / "params_tiny.json"),
+        "--dtype", "float32", "--timestamps",
+    )
+    assert code == 0
+    payload = json.loads(out.splitlines()[0])
+    assert payload["file"] == wav
+    assert "text" in payload and isinstance(payload["words"], list)
+    for w in payload["words"]:
+        assert 0.0 <= w["start"] <= w["end"]
+
+
+def test_cli_timestamps_conflicts_with_batch_files(wav):
+    code, out, err = run_cli(
+        "--audio", wav, "--random-weights", "--timestamps",
+        "--batch-files", "4",
+    )
+    assert code == 2
+    assert "timestamps" in err

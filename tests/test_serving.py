@@ -310,3 +310,19 @@ def test_drain_restore_roundtrip(tmp_path, pool_streams):
     # Token identity vs the uninterrupted reference session.
     sess_tokens = json.loads(data)["tokens"]
     assert sess_tokens == len(ref.tokens)
+
+
+def test_transcribe_pcm_timestamps(server):
+    """?timestamps=1 adds a words list derived from the streaming
+    control tokens (delay-corrected 160 ms positions)."""
+    samples = (np.random.default_rng(1).normal(size=32000) * 0.2
+               ).astype(np.float32)
+    status, data = request(
+        server, "POST", "/transcribe_pcm?rate=16000&timestamps=1",
+        samples.tobytes())
+    assert status == 200
+    payload = json.loads(data)
+    assert "text" in payload and isinstance(payload["words"], list)
+    for w in payload["words"]:
+        assert set(w) == {"word", "start", "end"}
+        assert 0.0 <= w["start"] <= w["end"]

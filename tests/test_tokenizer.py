@@ -97,3 +97,59 @@ def test_utf8_multibyte_across_tokens():
         )
     )
     assert tok.decode([1001, 1002]) == "é"
+
+
+def test_decode_words_timestamps():
+    """Word segmentation on [STREAMING_WORD]/[STREAMING_PAD] with
+    160 ms-per-position timing, delay correction and chunk offsets."""
+    from voxtral_tpu.tokenizer import VoxtralTokenizer
+
+    vocab = [b"he", b"llo", b" wor", b"ld"]
+    tok = VoxtralTokenizer(vocab, {}, 131072)
+
+    #        0   1     2     3   4   5     6
+    ids = [33, 1000, 1001, 32, 33, 1002, 1003]
+    words = tok.decode_words(ids)
+    assert [w["word"] for w in words] == ["hello", "world"]
+    assert words[0]["start"] == 0.0           # marker span start, 0*0.16
+    assert words[0]["end"] == 0.48            # pad at index 3 -> 3*0.16
+    assert words[1]["start"] == 0.64          # marker at index 4
+    assert words[1]["end"] == 1.12            # runs to end of ids -> 7*0.16
+
+    # Delay correction clamps at zero; offset shifts chunked files.
+    w = tok.decode_words(ids, delay_s=0.48)
+    assert w[0]["start"] == 0.0 and w[1]["start"] == 0.16
+    w = tok.decode_words(ids, offset_s=10.0)
+    assert w[0]["start"] == 10.0 and w[0]["end"] == 10.48
+
+    # Text without a leading word marker still opens a word.
+    w = tok.decode_words([1000, 1001, 32])
+    assert len(w) == 1 and w[0]["word"] == "hello"
+    # Pure silence yields no words.
+    assert tok.decode_words([32, 32, 32]) == []
+
+
+def test_pipeline_words_surface():
+    """transcribe_samples_words returns {text, words} with consistent
+    text and well-formed timings on the tiny random model."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tests.test_model import tiny_config
+    from voxtral_tpu.models.voxtral import VoxtralModel
+    from voxtral_tpu.pipeline import PipelineConfig, TranscribePipeline
+    from voxtral_tpu.tokenizer import VoxtralTokenizer
+
+    model = VoxtralModel.init_random(
+        jax.random.PRNGKey(0), tiny_config(), dtype=jnp.float32)
+    tok = VoxtralTokenizer([b"w%d" % i for i in range(500)], {}, 500)
+    pipe = TranscribePipeline(model, tok, PipelineConfig())
+    sig = (0.4 * np.sin(2 * np.pi * 300 * np.arange(32000) / 16000)
+           ).astype(np.float32)
+    out = pipe.transcribe_samples_words(sig, 16000)
+    assert set(out) == {"text", "words"}
+    assert out["text"] == pipe.transcribe_samples(sig, 16000)
+    for w in out["words"]:
+        assert set(w) == {"word", "start", "end"}
+        assert 0.0 <= w["start"] <= w["end"]

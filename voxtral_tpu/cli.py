@@ -94,6 +94,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="Data-parallel ways (shards batched chunk rows over the "
         "mesh's data axis; the WER harness's batch eval axis)",
     )
+    p.add_argument(
+        "--timestamps", action="store_true",
+        help="Emit word-level timestamps (one JSON line per file: "
+        "{file, text, words:[{word, start, end}]}), derived from the "
+        "model's [STREAMING_WORD] markers (1 decoder position = 160 ms, "
+        "delay-corrected).  Beyond reference parity",
+    )
     p.add_argument("-v", "--verbose", action="store_true")
     return p
 
@@ -230,6 +237,11 @@ def main(argv: list[str] | None = None) -> int:
         pipeline = TranscribePipeline.from_model_dir(
             model_dir, args.dtype, pcfg, mesh=mesh)
 
+    if args.timestamps and args.batch_files > 0:
+        print("error: --timestamps is per-file (drop --batch-files)",
+              file=sys.stderr)
+        return 2
+
     if args.batch_files > 0:
         missing = [p for p in audio_paths if not Path(p).exists()]
         for p in missing:
@@ -254,6 +266,12 @@ def main(argv: list[str] | None = None) -> int:
             print("")
             continue
         try:
+            if args.timestamps:
+                import json
+
+                result = pipeline.transcribe_file_words(path)
+                print(json.dumps({"file": str(path), **result}), flush=True)
+                continue
             text = pipeline.transcribe_file(path)
         except Exception as e:
             # The reference converts GPU shared-memory panics into an

@@ -176,6 +176,43 @@ class TranscribePipeline:
 
     def transcribe_samples(self, samples: np.ndarray, sample_rate: int = 16000) -> str:
         """Transcribe a mono float32 sample buffer."""
+        _, chunk_tokens = self._chunk_tokens(samples, sample_rate)
+        with span("decode_tokens", chunks=len(chunk_tokens)):
+            texts = []
+            for toks in chunk_tokens:
+                text = self.decode_tokens(toks)
+                if text.strip():
+                    texts.append(text.strip())
+        return " ".join(texts)
+
+    def transcribe_samples_words(
+        self, samples: np.ndarray, sample_rate: int = 16000
+    ) -> dict:
+        """Transcribe with word-level timestamps.
+
+        Returns ``{"text": str, "words": [{"word", "start", "end"}]}``
+        — times in seconds of the original audio, derived from the
+        model's streaming control tokens ([STREAMING_WORD] marks each
+        word's start position; 1 position = 160 ms) with the configured
+        decode delay subtracted.  Chunked files report absolute times
+        via each chunk's start offset.  Beyond reference parity.
+        """
+        chunks, chunk_tokens = self._chunk_tokens(samples, sample_rate)
+        delay_s = self.pcfg.delay_tokens * 0.08
+        words: list[dict] = []
+        texts = []
+        for ch, toks in zip(chunks, chunk_tokens):
+            words.extend(self.tokenizer.decode_words(
+                toks, delay_s=delay_s, offset_s=ch.start_time(16000)))
+            text = self.decode_tokens(toks)
+            if text.strip():
+                texts.append(text.strip())
+        return {"text": " ".join(texts), "words": words}
+
+    def _chunk_tokens(self, samples: np.ndarray, sample_rate: int):
+        """(chunks, per-chunk token arrays) for a sample buffer — the
+        shared chunk/pad/batch/dispatch machinery behind both the text
+        and the word-timestamp surfaces."""
         audio = AudioBuffer(np.asarray(samples, dtype=np.float32), sample_rate)
         if audio.sample_rate != 16000:
             audio = resample_to_16k(audio)
@@ -261,14 +298,7 @@ class TranscribePipeline:
             for idxs, dev_tokens in pending:
                 for i, toks in zip(idxs, np.asarray(dev_tokens)):
                     chunk_tokens[i] = toks[:tok_counts[i]]
-
-        with span("decode_tokens", chunks=len(chunk_tokens)):
-            texts = []
-            for toks in chunk_tokens:
-                text = self.decode_tokens(toks)
-                if text.strip():
-                    texts.append(text.strip())
-        return " ".join(texts)
+        return chunks, chunk_tokens
 
     def _device_mel(self) -> bool:
         if self.pcfg.mel_device is not None:
@@ -304,6 +334,10 @@ class TranscribePipeline:
     def transcribe_file(self, path: str | Path) -> str:
         audio = load_wav(path)
         return self.transcribe_samples(audio.samples, audio.sample_rate)
+
+    def transcribe_file_words(self, path: str | Path) -> dict:
+        audio = load_wav(path)
+        return self.transcribe_samples_words(audio.samples, audio.sample_rate)
 
     def transcribe_files_batched(
         self, paths: list, batch_size: int = 8

@@ -413,6 +413,12 @@ class _Handler(BaseHTTPRequestHandler):
         else:
             self._json(404, {"error": f"not found: {path}"})
 
+    def _want_timestamps(self) -> bool:
+        from urllib.parse import parse_qs, urlparse
+
+        q = parse_qs(urlparse(self.path).query)
+        return q.get("timestamps", ["0"])[0] in ("1", "true")
+
     def _transcribe_wav(self):
         from voxtral_tpu.audio.io import load_wav
 
@@ -430,19 +436,7 @@ class _Handler(BaseHTTPRequestHandler):
             except Exception as e:
                 self._json(400, {"error": f"failed to parse WAV: {e}"})
                 return
-        t0 = time.time()
-        with self.state.lock, Timer(self.state.metrics,
-                                    "voxtral_transcribe_seconds"):
-            text = self.state.pipeline.transcribe_samples(
-                audio.samples, audio.sample_rate
-            )
-        self.state.metrics.inc("voxtral_audio_seconds_total",
-                               audio.duration_secs, path="batch")
-        self._json(200, {
-            "text": text,
-            "audio_seconds": round(audio.duration_secs, 2),
-            "wall_seconds": round(time.time() - t0, 2),
-        })
+        self._transcribe_reply(audio.samples, audio.sample_rate)
 
     def _transcribe_pcm(self):
         from urllib.parse import parse_qs, urlparse
@@ -453,15 +447,27 @@ class _Handler(BaseHTTPRequestHandler):
         if samples.size == 0:
             self._json(400, {"error": "empty PCM body"})
             return
+        self._transcribe_reply(samples, rate)
+
+    def _transcribe_reply(self, samples, rate):
+        """Shared transcribe + response for the WAV/PCM endpoints;
+        ``?timestamps=1`` adds delay-corrected word timings derived from
+        the model's [STREAMING_WORD] markers."""
+        timestamps = self._want_timestamps()
         t0 = time.time()
         with self.state.lock, Timer(self.state.metrics,
                                     "voxtral_transcribe_seconds"):
-            text = self.state.pipeline.transcribe_samples(samples, rate)
+            if timestamps:
+                result = self.state.pipeline.transcribe_samples_words(
+                    samples, rate)
+            else:
+                result = {"text": self.state.pipeline.transcribe_samples(
+                    samples, rate)}
         self.state.metrics.inc("voxtral_audio_seconds_total",
-                               samples.size / rate, path="batch")
+                               len(samples) / rate, path="batch")
         self._json(200, {
-            "text": text,
-            "audio_seconds": round(samples.size / rate, 2),
+            **result,
+            "audio_seconds": round(len(samples) / rate, 2),
             "wall_seconds": round(time.time() - t0, 2),
         })
 

@@ -25,6 +25,10 @@ BOS_TOKEN = 1
 STREAMING_PAD = 32
 STREAMING_WORD = 33
 
+# One decoder position = 2560 samples = 160 ms of audio (two
+# mistral-common 80 ms audio tokens; pad.rs:54-57, config.rs:393-401).
+SECONDS_PER_POSITION = 0.16
+
 
 class VoxtralTokenizer:
     """Decode-only Tekken tokenizer (vocab 131072)."""
@@ -96,6 +100,66 @@ class VoxtralTokenizer:
                 if b is not None:
                     out += b
         return out.decode("utf-8", errors="replace")
+
+    def decode_words(
+        self,
+        ids: Iterable[int],
+        delay_s: float = 0.0,
+        offset_s: float = 0.0,
+    ) -> list[dict]:
+        """Word-level timestamps from the streaming control tokens.
+
+        The model emits ``[STREAMING_WORD]`` (33) at the decoder position
+        where a word STARTS, the word's text tokens (>= 1000) right
+        after, and ``[STREAMING_PAD]`` (32) through silence
+        (reference semantics: docs/VOXTRAL_ARCHITECTURE.md:524,
+        voxtral.rs:292).  Token index ``i`` covers audio span
+        ``[i*0.16, (i+1)*0.16)`` (one decoder position = 160 ms), and
+        the model transcribes with a ``delay_s`` lookback (delay tokens
+        x 80 ms), so a word's start is its marker's span start and its
+        end is the closing token's span start, both shifted by
+        ``offset_s - delay_s`` and clamped at 0.
+
+        Returns ``[{"word", "start", "end"}, ...]`` with times in
+        seconds relative to the original (unpadded) audio;
+        ``offset_s`` shifts chunked files to absolute positions.
+        Beyond reference parity — the reference discards the control
+        tokens (tokenizer/mod.rs:170-191).
+        """
+        ids = [int(t) for t in ids]
+        words: list[dict] = []
+        cur: Optional[tuple[bytearray, float]] = None
+
+        def t(i: int) -> float:
+            return round(
+                max(0.0, offset_s + i * SECONDS_PER_POSITION - delay_s), 3)
+
+        def close(i: int) -> None:
+            nonlocal cur
+            if cur is not None and cur[0]:
+                word = bytes(cur[0]).decode("utf-8",
+                                            errors="replace").strip()
+                if word:
+                    words.append(
+                        {"word": word, "start": cur[1], "end": t(i)})
+            cur = None
+
+        for i, tid in enumerate(ids):
+            if tid == STREAMING_WORD:
+                close(i)
+                cur = (bytearray(), t(i))
+            elif tid >= TEXT_TOKEN_OFFSET:
+                if cur is None:  # text without a word marker: start one
+                    cur = (bytearray(), t(i))
+                vocab_idx = tid - TEXT_TOKEN_OFFSET
+                if vocab_idx < len(self._vocab_bytes):
+                    b = self._vocab_bytes[vocab_idx]
+                    if b is not None:
+                        cur[0].extend(b)
+            else:  # any other control token ends the current word
+                close(i)
+        close(len(ids))
+        return words
 
     def decode_token(self, tid: int) -> Optional[str]:
         """Decode one token ID; special tokens return their string name."""
