@@ -613,3 +613,32 @@ def test_dp_fused_transcribe_token_identity(monkeypatch, tmp_path):
     got = dp_model.transcribe_streaming_batch(mel2)
     assert got.shape == ref.shape  # padded rows trimmed
     assert got.tolist() == ref.tolist()
+
+
+@requires_8_devices
+def test_tp_streaming_session_matches_single_device(tmp_path):
+    """StreamingSession on a mesh-sharded model (TP rides the
+    auto-partitioned XLA streaming path; fused stacks are dropped under
+    TP) must produce the same tokens as a single-device session."""
+    from voxtral_tpu.streaming import StreamingSession
+
+    cfg = _tp_cfg()
+    rng = np.random.default_rng(4)
+    sig = (0.4 * np.sin(2 * np.pi * 300 * np.arange(48000) / 16000)
+           + 0.05 * rng.normal(size=48000)).astype(np.float32)
+
+    ref_model = _w8_checkpoint_model(cfg, tmp_path, seed=11)
+    ref = StreamingSession(ref_model, step_positions=8, max_duration_s=10)
+    for i in range(0, len(sig), 8000):
+        ref.feed(sig[i:i + 8000])
+    ref.finish()
+
+    mesh = make_mesh(n_data=1, n_model=2)
+    tp_model = _w8_checkpoint_model(cfg, tmp_path, mesh=mesh, seed=11)
+    assert tp_model.fused_decode is None  # streaming rides XLA under TP
+    sess = StreamingSession(tp_model, step_positions=8, max_duration_s=10)
+    for i in range(0, len(sig), 8000):
+        sess.feed(sig[i:i + 8000])
+    sess.finish()
+
+    assert sess.tokens == ref.tokens

@@ -326,3 +326,20 @@ def test_transcribe_pcm_timestamps(server):
     for w in payload["words"]:
         assert set(w) == {"word", "start", "end"}
         assert 0.0 <= w["start"] <= w["end"]
+
+
+def test_stream_finish_timestamps(server):
+    """/stream/<id>/finish?timestamps=1 returns word timings."""
+    status, data = request(server, "POST", "/stream/start")
+    sid = json.loads(data)["session"]
+    pcm = (np.random.default_rng(2).normal(size=32000) * 0.2
+           ).astype(np.float32)
+    status, _ = request(server, "POST", f"/stream/{sid}/feed", pcm.tobytes())
+    assert status == 200
+    status, data = request(server, "POST",
+                           f"/stream/{sid}/finish?timestamps=1")
+    assert status == 200
+    payload = json.loads(data)
+    assert isinstance(payload["words"], list)
+    for w in payload["words"]:
+        assert 0.0 <= w["start"] <= w["end"]

@@ -661,3 +661,19 @@ def test_stream_pool_chunked_cache_matches_solo(monkeypatch):
     pr.finish()
     assert pr.positions_done > 78  # past ring wraparound
     assert pr.tokens == solo_r.tokens, (pr.tokens[:20], solo_r.tokens[:20])
+
+
+def test_session_words_timestamps(model):
+    """session.words maps the decoded token stream to delay-corrected
+    word timings (tokenizer.decode_words semantics)."""
+    from voxtral_tpu.tokenizer import VoxtralTokenizer
+
+    tok = VoxtralTokenizer([b"hi", b" there"], {}, 131072)
+    session = StreamingSession(model, tok, step_positions=8,
+                               max_duration_s=30, delay_tokens=0.0)
+    session.tokens = [32, 33, 1000, 32, 33, 1001, 1001]
+    words = session.words
+    assert [w["word"] for w in words] == ["hi", "there there"]
+    assert words[0]["start"] == 0.16 and words[0]["end"] == 0.48
+    assert words[1]["start"] == 0.64
+    assert words == tok.decode_words(session.tokens)

@@ -391,8 +391,12 @@ class _Handler(BaseHTTPRequestHandler):
                         endpoint = session.endpoint()
                         if endpoint:
                             session.consume_endpoint()
-                self._json(200, {"delta": delta, "positions": positions,
-                                 "endpoint": endpoint})
+                reply = {"delta": delta, "positions": positions,
+                         "endpoint": endpoint}
+                if self._want_timestamps():
+                    with self.state.lock:  # pump thread appends tokens
+                        reply["words"] = session.words
+                self._json(200, reply)
             else:
                 with self.state.lock:
                     session = self.state.sessions.pop(sid, None)
@@ -405,11 +409,14 @@ class _Handler(BaseHTTPRequestHandler):
                                        reason="finished")
                 self.state.metrics.inc("voxtral_tokens_total",
                                        len(session.tokens))
-                self._json(200, {
+                reply = {
                     "delta": delta,
                     "text": session.text,
                     "tokens": len(session.tokens),
-                })
+                }
+                if self._want_timestamps():
+                    reply["words"] = session.words
+                self._json(200, reply)
         else:
             self._json(404, {"error": f"not found: {path}"})
 

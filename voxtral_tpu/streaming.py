@@ -1317,6 +1317,18 @@ class StreamingSession:
         return self._text
 
     @property
+    def words(self) -> list[dict]:
+        """Word-level timestamps for the tokens decoded so far
+        (``tokenizer.decode_words`` semantics: [STREAMING_WORD] marks
+        word starts, 160 ms per decoder position, delay-corrected).
+        Times are relative to the session's audio start; an in-progress
+        trailing word is included with its current extent."""
+        if self.tokenizer is None:
+            return []
+        return self.tokenizer.decode_words(
+            self.tokens, delay_s=self._delay_tokens * 0.08)
+
+    @property
     def positions_done(self) -> int:
         return self._positions_done
 
