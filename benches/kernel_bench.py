@@ -698,11 +698,63 @@ def suite_encode(mel_frames=(2344,), short=4, long=12):
     return results
 
 
+def suite_tp_lm(tps=(2, 4, 8), batches=(1, 8), short=20, long=220):
+    """Per-shard cost of the tensor-parallel greedy lm_head fold
+    (ops/decode_tp_pallas.lm_half_argmax) at production vocab-shard
+    shapes — the single-chip-measurable half of tp_lm_head_token (the
+    pmax/pmin resolution needs real multi-chip ICI).  Streams the
+    [131072/tp, 3072] int8 shard through the grid pipeline with the
+    in-kernel (max, argmax) fold."""
+    import jax
+    import jax.numpy as jnp
+
+    from voxtral_tpu.ops.decode_tp_pallas import lm_half_argmax
+
+    D, V = 3072, 131072
+    results = []
+    rng = np.random.RandomState(0)
+    for tp in tps:
+        V_l = V // tp
+        codes = jnp.asarray(rng.randint(-127, 128, (V_l, D)), jnp.int8)
+        scale = jnp.asarray(rng.rand(V_l) * 1e-3, jnp.float32)
+        fnorm = jnp.asarray(1.0 + rng.randn(D) * 0.1, jnp.float32)
+        for b in batches:
+            x0 = jnp.asarray(rng.randn(b, D) * 0.5, jnp.float32)
+
+            def run_body(x0, length):
+                def body(x, _):
+                    bv, bi = lm_half_argmax(x, fnorm, scale, codes)
+                    x2 = x0 + 1e-1 * (bv + bi.astype(jnp.float32)
+                                      ) * jnp.ones((b, D))
+                    return x2, ()
+                x, _ = jax.lax.scan(body, x0, None, length=length)
+                return x[0, 0]
+
+            import functools
+
+            @functools.lru_cache(maxsize=None)
+            def _jitted(length):
+                return jax.jit(functools.partial(run_body, length=length))
+
+            def runner(length):
+                return _jitted(length)(x0)
+
+            per = _timed_slope(runner, short, long)
+            r = {"bench": "tp_lm_half", "tp": tp, "batch": b,
+                 "v_local": V_l,
+                 "ms_per_step": round(per * 1e3, 3),
+                 "eff_gbps": round(V_l * D / per / 1e9, 1)}
+            results.append(r)
+            print(json.dumps(r), flush=True)
+    return results
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--suite", default="all",
                     choices=["all", "matmul", "step", "step-fused",
-                             "step-int8kv", "step-chunked", "encode"])
+                             "step-int8kv", "step-chunked", "encode",
+                             "tp-lm"])
     ap.add_argument("--m", default="1,2,8")
     ap.add_argument("--batch", default="1,2,4")
     ap.add_argument("--seq", type=int, default=160,
@@ -742,6 +794,8 @@ def main():
         suite_step_chunked([int(x) for x in args.batch.split(",")])
     if args.suite == "encode":
         suite_encode()
+    if args.suite == "tp-lm":
+        suite_tp_lm(batches=[int(x) for x in args.batch.split(",")])
 
 
 if __name__ == "__main__":

@@ -254,6 +254,19 @@ def test_dp_decode_stack_step_matches_unsharded():
     assert (np.argmax(np.asarray(ref[3]), -1)
             == np.argmax(np.asarray(out[3]), -1)).all()
 
+    # HBM-chunked cache + in-kernel argmax fold through the DP wrapper
+    # (the statics the DP-pooled serving path forwards).
+    out_c = dp_decode_stack_step(
+        mesh, x, offs, lyr["attention_norm"], lyr["ffn_norm"], adav,
+        fused["sqkv"], fused["so"], fused["s13"], fused["s2"],
+        cos_b, sin_b, kc, vc,
+        fused["wqkv"], fused["wo"], fused["w13"], fused["w2"],
+        lm_argmax=True, cache_chunk=8, **lm_kw, **common)
+    np.testing.assert_allclose(np.asarray(out_c[0]), np.asarray(ref[0]),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_array_equal(
+        np.asarray(out_c[3])[:, 0], np.argmax(np.asarray(ref[3]), -1))
+
 
 @requires_8_devices
 def test_tp_decode_step_matches_stack_kernel():
@@ -642,3 +655,111 @@ def test_tp_streaming_session_matches_single_device(tmp_path):
     sess.finish()
 
     assert sess.tokens == ref.tokens
+
+
+@requires_8_devices
+def test_dp_pooled_streaming_matches_solo(monkeypatch):
+    """StreamPool on a data-parallel mesh routes the decode half through
+    dp_decode_stack_step (rows sharded over data, weights replicated) —
+    pooled tokens must equal solo sessions on the single-device generic
+    path, including staggered progress."""
+    import dataclasses
+
+    from tests.test_model import tiny_config
+    from voxtral_tpu.models.voxtral import VoxtralModel
+    from voxtral_tpu.streaming import StreamingSession, StreamPool
+    from voxtral_tpu.utils.quantize import quantize_params_w8
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg, language_model=dataclasses.replace(
+            cfg.language_model, vocab_size=1280))
+    f32 = VoxtralModel.init_random(jax.random.PRNGKey(3), cfg,
+                                   dtype=jnp.float32)
+    w8 = quantize_params_w8(f32.params)
+
+    rng = np.random.default_rng(21)
+    audio_a = rng.normal(size=16000 * 6).astype(np.float32) * 0.25
+    audio_b = rng.normal(size=16000 * 4).astype(np.float32) * 0.3
+
+    monkeypatch.setenv("VOXTRAL_MEGAKERNEL", "0")
+    gmodel = VoxtralModel(w8, cfg)
+    solo_a = StreamingSession(gmodel, step_positions=8, max_duration_s=30)
+    solo_a.feed(audio_a)
+    solo_a.finish()
+    solo_b = StreamingSession(gmodel, step_positions=8, max_duration_s=30)
+    solo_b.feed(audio_b)
+    solo_b.finish()
+
+    monkeypatch.setenv("VOXTRAL_MEGAKERNEL", "force")
+    mesh = make_mesh(n_data=2, n_model=1)
+    dmodel = VoxtralModel(w8, cfg, mesh=mesh)
+    assert dmodel.fused_decode is not None
+    pool = StreamPool(dmodel, max_streams=2, step_positions=8,
+                      max_duration_s=30)
+    assert pool._fused is not None and pool._dp_mesh is not None
+    pa = StreamingSession(dmodel, step_positions=8, pool=pool)
+    pb = StreamingSession(dmodel, step_positions=8, pool=pool)
+    pieces_a = np.array_split(audio_a, 3)
+    pieces_b = np.array_split(audio_b, 2)
+    pa.feed(pieces_a[0])
+    pb.feed(pieces_b[0])
+    pa.feed(pieces_a[1])
+    pa.feed(pieces_a[2])
+    pb.feed(pieces_b[1])
+    pa.finish()
+    pb.finish()
+
+    assert pa.tokens == solo_a.tokens, (pa.tokens, solo_a.tokens)
+    assert pb.tokens == solo_b.tokens, (pb.tokens, solo_b.tokens)
+
+
+@requires_8_devices
+def test_dp_pooled_unbounded_int8_matches_solo(monkeypatch):
+    """The richest pooled variant on a DP mesh — unbounded (head+ring
+    caches) with int8 KV — must still match an unbounded solo session on
+    the single-device generic path (ring slots shard over data)."""
+    import dataclasses
+
+    from tests.test_model import tiny_config
+    from voxtral_tpu.models.voxtral import VoxtralModel
+    from voxtral_tpu.streaming import StreamingSession, StreamPool
+    from voxtral_tpu.utils.quantize import quantize_params_w8
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg, language_model=dataclasses.replace(
+            cfg.language_model, vocab_size=1280))
+    f32 = VoxtralModel.init_random(jax.random.PRNGKey(5), cfg,
+                                   dtype=jnp.float32)
+    w8 = quantize_params_w8(f32.params)
+    rng = np.random.default_rng(13)
+    audio = rng.normal(size=16000 * 10).astype(np.float32) * 0.25
+
+    monkeypatch.setenv("VOXTRAL_MEGAKERNEL", "0")
+    gmodel = VoxtralModel(w8, cfg)
+    solo = StreamingSession(gmodel, step_positions=8, unbounded=True)
+    for piece in np.array_split(audio, 8):
+        solo.feed(piece)
+    solo.finish()
+
+    monkeypatch.setenv("VOXTRAL_MEGAKERNEL", "force")
+    mesh = make_mesh(n_data=2, n_model=1)
+    dmodel = VoxtralModel(w8, cfg, mesh=mesh)
+    pool = StreamPool(dmodel, max_streams=2, step_positions=8,
+                      unbounded=True, kv_dtype="int8")
+    assert pool._fused is not None and pool._dp_mesh is not None
+    assert pool.cache_int8
+    sess = StreamingSession(dmodel, step_positions=8, pool=pool)
+    StreamingSession(dmodel, step_positions=8, pool=pool)  # occupy slot 2
+    for piece in np.array_split(audio, 8):
+        sess.feed(piece)
+    sess.finish()
+    # Ring must actually wrap for this to test eviction under DP.
+    assert sess.positions_done > cfg.language_model.sliding_window
+
+    stream = np.asarray(sess.tokens)
+    ref = np.asarray(solo.tokens)
+    n = min(len(stream), len(ref))
+    assert n >= len(ref) - 1
+    assert (stream[:n] == ref[:n]).all(), (stream[:n], ref[:n])

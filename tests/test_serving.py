@@ -343,3 +343,20 @@ def test_stream_finish_timestamps(server):
     assert isinstance(payload["words"], list)
     for w in payload["words"]:
         assert 0.0 <= w["start"] <= w["end"]
+
+
+def test_body_size_cap(server):
+    """A huge declared Content-Length is rejected with 413 before any
+    allocation (monkeypatch-free: the header lies about the size)."""
+    import http.client
+
+    conn = http.client.HTTPConnection(*server, timeout=300)
+    conn.putrequest("POST", "/transcribe_pcm?rate=16000")
+    conn.putheader("Content-Length", str(10 * 2**30))  # claims 10 GB
+    conn.endheaders()
+    # Send nothing further; the server must answer from the header alone.
+    resp = conn.getresponse()
+    data = resp.read()
+    conn.close()
+    assert resp.status == 413
+    assert b"exceeds" in data

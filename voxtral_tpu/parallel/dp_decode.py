@@ -32,16 +32,21 @@ def dp_decode_stack_step(
     k_cache, v_cache,
     wqkv, wo, w13, w2,
     final_norm=None, lm_codes=None, lm_scale=None,
+    k_scales=None, v_scales=None,
     n_heads=32, n_kv=8, head_dim=128, eps=1e-5, interpret=False,
-    window=None, ring=None,
+    window=None, ring=None, lm_argmax=False, cache_chunk=None,
 ):
     """``decode_stack_step`` with batch rows sharded over ``data``.
 
     Per-row forms are required (they are what pooled serving uses):
     ``offsets`` [B] int32, ``cos_b``/``sin_b`` [B, head_dim]; caches
     [L, B, Hkv, S, hd]; B must divide by the mesh's data-axis size.
-    Weights/norms/scales are replicated.  Returns the same outputs as
-    the single-chip kernel with the batch axis sharded.
+    Weights/norms/scales are replicated.  ``k_scales``/``v_scales``
+    ([L, B, Hkv, S], int8 KV cache mode) and ``cache_chunk`` (HBM-
+    resident chunked cache) shard/forward like the caches, so the
+    DP-pooled serving path keeps every single-chip cache variant.
+    Returns the same outputs as the single-chip kernel with the batch
+    axis sharded.
     """
     from voxtral_tpu.ops.decode_step_pallas import decode_stack_step
 
@@ -51,6 +56,7 @@ def dp_decode_stack_step(
         raise ValueError(f"batch {B} not divisible by data axis {ndp}")
 
     fold = lm_codes is not None
+    int8 = k_scales is not None
     rep = P()
     row = P(DATA_AXIS)
     rowfirst = P(DATA_AXIS, None)
@@ -80,22 +86,35 @@ def dp_decode_stack_step(
     if fold:
         in_specs += [rep, rep, rep]
         operands += [final_norm, lm_codes, lm_scale]
-        out_specs.append(rowfirst)      # logits [B, V]
+        # Folded output: token [B, 1] under lm_argmax, else logits [B, V].
+        out_specs.append(rowfirst)
+    if int8:
+        scale_spec = P(None, DATA_AXIS, None, None)
+        in_specs += [scale_spec, scale_spec]
+        operands += [k_scales, v_scales]
 
     def shard_fn(*args):
+        args = list(args)
+        lm_kw = {}
+        scale_kw = {}
+        if int8:
+            vs = args.pop()
+            ks = args.pop()
+            scale_kw = dict(k_scales=ks, v_scales=vs)
         if fold:
-            (xs, offs, an, fn_, ad, q, o, s1, s2_, c, s,
-             kc, vc, w0, w1, w2_, w3, fnorm, lmc, lms) = args
+            lms = args.pop()
+            lmc = args.pop()
+            fnorm = args.pop()
             lm_kw = dict(final_norm=fnorm, lm_codes=lmc, lm_scale=lms)
-        else:
-            (xs, offs, an, fn_, ad, q, o, s1, s2_, c, s,
-             kc, vc, w0, w1, w2_, w3) = args
-            lm_kw = {}
+        (xs, offs, an, fn_, ad, q, o, s1, s2_, c, s,
+         kc, vc, w0, w1, w2_, w3) = args
         return decode_stack_step(
             xs, offs, an, fn_, ad, q, o, s1, s2_, c, s, kc, vc,
             w0, w1, w2_, w3,
             n_heads=n_heads, n_kv=n_kv, head_dim=head_dim, eps=eps,
-            interpret=interpret, window=window, ring=ring, **lm_kw)
+            interpret=interpret, window=window, ring=ring,
+            lm_argmax=lm_argmax, cache_chunk=cache_chunk,
+            **lm_kw, **scale_kw)
 
     return jax.shard_map(
         shard_fn, mesh=mesh,

@@ -241,6 +241,12 @@ class VoxtralHTTPServer(ThreadingHTTPServer):
         return self.state.drain()
 
 
+class _BodyTooLarge(Exception):
+    def __init__(self, length: int):
+        super().__init__(f"body too large: {length}")
+        self.length = length
+
+
 class _Handler(BaseHTTPRequestHandler):
     protocol_version = "HTTP/1.1"
 
@@ -255,8 +261,15 @@ class _Handler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
+    # Largest accepted request body (f32 PCM: ~67 min of 16 kHz audio).
+    # Without a cap, one request's Content-Length allocates unbounded
+    # server memory before any audio validation runs.
+    MAX_BODY_BYTES = 256 * 2**20
+
     def _read_body(self) -> bytes:
         length = int(self.headers.get("Content-Length", 0))
+        if length > self.MAX_BODY_BYTES:
+            raise _BodyTooLarge(length)
         return self.rfile.read(length)
 
     @property
@@ -322,6 +335,13 @@ class _Handler(BaseHTTPRequestHandler):
             status = f"{self._last_status // 100}xx"
             self.state.metrics.inc("voxtral_requests_total",
                                    endpoint=endpoint, status=status)
+        except _BodyTooLarge as e:
+            self.state.metrics.inc("voxtral_requests_total",
+                                   endpoint=endpoint, status="4xx")
+            self._json(413, {
+                "error": f"request body {e.length} bytes exceeds "
+                f"{_Handler.MAX_BODY_BYTES} limit"
+            })
         except Exception as e:  # surface as JSON, never a hung socket
             log.exception("request failed")
             self.state.metrics.inc("voxtral_requests_total",

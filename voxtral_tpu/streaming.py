@@ -313,12 +313,19 @@ def _fused_plan(model, batch: int, cache_s: int, itemsize: int = None,
     evaluates the HBM-chunked cache variant (VMEM no longer bounds S)."""
     if model.fused_decode is None:
         return None
-    if getattr(model, "parallel", None) is not None:
-        # Meshed models keep their fused stacks device-placed for the
-        # transcribe path; session caches are single-device, and mixing
-        # placements inside one jit fails at dispatch.  Streaming on a
-        # mesh rides the auto-partitioned XLA path instead.
-        return None
+    gate_batch = batch
+    par = getattr(model, "parallel", None)
+    if par is not None:
+        # A data-parallel mesh CAN run pooled fused decode: batch rows
+        # shard over the data axis (dp_decode_stack_step) and the VMEM
+        # gate sees the per-shard row count — the scaling lever past
+        # the single-chip pool ceiling.  TP meshes (and DP meshes the
+        # batch doesn't divide) ride the auto-partitioned XLA path:
+        # their fused stacks are dropped/mesh-placed for transcribe and
+        # a pallas_call is opaque to GSPMD.
+        if par.tp > 1 or par.dp <= 1 or batch % par.dp:
+            return None
+        gate_batch = batch // par.dp
     from voxtral_tpu.ops.decode_step_pallas import (
         STACK_VMEM_CAP,
         _lm_tile,
@@ -334,8 +341,9 @@ def _fused_plan(model, batch: int, cache_s: int, itemsize: int = None,
     if itemsize is None:
         itemsize = jnp.dtype(model.cache_dtype).itemsize
     need = stack_vmem_need(
-        batch, cache_s, lm.dim, lm.n_heads, lm.n_kv_heads, lm.head_dim,
-        lm.hidden_dim, lm_w8["codes"].shape[0] if fold else None,
+        gate_batch, cache_s, lm.dim, lm.n_heads, lm.n_kv_heads,
+        lm.head_dim, lm.hidden_dim,
+        lm_w8["codes"].shape[0] if fold else None,
         itemsize, cache_chunk=chunk,
     )
     if (not supports_stack_kernel(lm) or need is None
@@ -529,6 +537,15 @@ class StreamPool:
 
             self._fused["ada"] = ada_vectors(
                 model.params["decoder"], model.t_embed(delay_tokens))
+        # Data-parallel pooled decode: _fused_plan only returns a plan
+        # for a meshed model when its rows shard cleanly over the data
+        # axis, so a non-None plan + mesh means the decode half runs
+        # dp_decode_stack_step (rows/dp per chip — the scaling lever
+        # past the single-chip pool ceiling; ROADMAP r3 #8).
+        self._dp_mesh = (
+            model.parallel.mesh
+            if self._fused is not None
+            and getattr(model, "parallel", None) is not None else None)
 
         if self._fused is not None:
             # Head-major stacked layout for the stack kernel.
@@ -633,13 +650,15 @@ class StreamPool:
                     lambda p: rope_pair_vectors(
                         p, lmc.head_dim, lmc.rope_theta)
                 )(offs)
-                out = decode_stack_step(
+                step_args = (
                     x, offs,
                     fused_w["attn_norm"], fused_w["ffn_norm"], ada_vecs,
                     fused_w["sqkv"], fused_w["so"], fused_w["s13"],
                     fused_w["s2"], cos, sin, dk, dv,
                     fused_w["wqkv"], fused_w["wo"], fused_w["w13"],
                     fused_w["w2"],
+                )
+                step_kw = dict(
                     n_heads=lmc.n_heads, n_kv=lmc.n_kv_heads,
                     head_dim=lmc.head_dim, eps=lmc.norm_eps,
                     interpret=self._mk_interpret,
@@ -647,6 +666,15 @@ class StreamPool:
                     cache_chunk=self._cache_chunk,
                     **scale_kw, **lm_kw,
                 )
+                if self._dp_mesh is not None:
+                    from voxtral_tpu.parallel.dp_decode import (
+                        dp_decode_stack_step,
+                    )
+
+                    out = dp_decode_stack_step(
+                        self._dp_mesh, *step_args, **step_kw)
+                else:
+                    out = decode_stack_step(*step_args, **step_kw)
                 if fold:
                     _, k_new, v_new, logits = out
                 else:
