@@ -763,3 +763,105 @@ def test_dp_pooled_unbounded_int8_matches_solo(monkeypatch):
     n = min(len(stream), len(ref))
     assert n >= len(ref) - 1
     assert (stream[:n] == ref[:n]).all(), (stream[:n], ref[:n])
+
+
+@requires_8_devices
+def test_tp_pooled_streaming_matches_solo(monkeypatch):
+    """StreamPool on a tensor-parallel mesh routes its decode half
+    through the TP half-kernels + vocab-sharded lm fold — pooled tokens
+    must equal solo sessions on the single-device generic path.  (TP
+    shards quantize activations with their LOCAL absmax, so a
+    degenerate near-tie argmax could flip; the fixed seed has robust
+    margins — structural bugs break every position.)"""
+    import dataclasses
+
+    from tests.test_model import tiny_config
+    from voxtral_tpu.models.voxtral import VoxtralModel
+    from voxtral_tpu.streaming import StreamingSession, StreamPool
+    from voxtral_tpu.utils.quantize import quantize_params_w8
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg, language_model=dataclasses.replace(
+            cfg.language_model, vocab_size=1280))
+    f32 = VoxtralModel.init_random(jax.random.PRNGKey(3), cfg,
+                                   dtype=jnp.float32)
+    w8 = quantize_params_w8(f32.params)
+
+    rng = np.random.default_rng(31)
+    audio_a = rng.normal(size=16000 * 5).astype(np.float32) * 0.25
+    audio_b = rng.normal(size=16000 * 3).astype(np.float32) * 0.3
+
+    monkeypatch.setenv("VOXTRAL_MEGAKERNEL", "0")
+    gmodel = VoxtralModel(w8, cfg)
+    solo_a = StreamingSession(gmodel, step_positions=8, max_duration_s=30)
+    solo_a.feed(audio_a)
+    solo_a.finish()
+    solo_b = StreamingSession(gmodel, step_positions=8, max_duration_s=30)
+    solo_b.feed(audio_b)
+    solo_b.finish()
+
+    monkeypatch.setenv("VOXTRAL_MEGAKERNEL", "force")
+    mesh = make_mesh(n_data=1, n_model=2)
+    tmodel = VoxtralModel(w8, cfg, mesh=mesh)
+    assert tmodel.fused_tp is not None and "lm_codes" in tmodel.fused_tp
+    pool = StreamPool(tmodel, max_streams=2, step_positions=8,
+                      max_duration_s=30)
+    assert pool._fused is not None and pool._tp_mesh is not None
+    assert pool._fused["fold"]
+    pa = StreamingSession(tmodel, step_positions=8, pool=pool)
+    pb = StreamingSession(tmodel, step_positions=8, pool=pool)
+    pieces_a = np.array_split(audio_a, 3)
+    pieces_b = np.array_split(audio_b, 2)
+    pa.feed(pieces_a[0])
+    pb.feed(pieces_b[0])
+    pa.feed(pieces_a[1])
+    pa.feed(pieces_a[2])
+    pb.feed(pieces_b[1])
+    pa.finish()
+    pb.finish()
+
+    assert pa.tokens == solo_a.tokens, (pa.tokens, solo_a.tokens)
+    assert pb.tokens == solo_b.tokens, (pb.tokens, solo_b.tokens)
+
+
+@requires_8_devices
+def test_dptp_pooled_streaming_matches_solo(monkeypatch):
+    """Pooled streaming on a COMBINED (2 data x 2 model) mesh: pool rows
+    shard over data while the TP halves shard weights over model —
+    tokens must equal solo single-device sessions."""
+    import dataclasses
+
+    from tests.test_model import tiny_config
+    from voxtral_tpu.models.voxtral import VoxtralModel
+    from voxtral_tpu.streaming import StreamingSession, StreamPool
+    from voxtral_tpu.utils.quantize import quantize_params_w8
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg, language_model=dataclasses.replace(
+            cfg.language_model, vocab_size=1280))
+    f32 = VoxtralModel.init_random(jax.random.PRNGKey(3), cfg,
+                                   dtype=jnp.float32)
+    w8 = quantize_params_w8(f32.params)
+    rng = np.random.default_rng(41)
+    audio = rng.normal(size=16000 * 4).astype(np.float32) * 0.25
+
+    monkeypatch.setenv("VOXTRAL_MEGAKERNEL", "0")
+    gmodel = VoxtralModel(w8, cfg)
+    solo = StreamingSession(gmodel, step_positions=8, max_duration_s=30)
+    solo.feed(audio)
+    solo.finish()
+
+    monkeypatch.setenv("VOXTRAL_MEGAKERNEL", "force")
+    mesh = make_mesh(n_data=2, n_model=2)
+    m = VoxtralModel(w8, cfg, mesh=mesh)
+    pool = StreamPool(m, max_streams=2, step_positions=8,
+                      max_duration_s=30)
+    assert pool._tp_mesh is not None and pool._pool_data_axis == "data"
+    sess = StreamingSession(m, step_positions=8, pool=pool)
+    StreamingSession(m, step_positions=8, pool=pool)  # second slot idle
+    for piece in np.array_split(audio, 3):
+        sess.feed(piece)
+    sess.finish()
+    assert sess.tokens == solo.tokens, (sess.tokens, solo.tokens)

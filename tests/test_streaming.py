@@ -621,10 +621,12 @@ def test_stream_pool_chunked_cache_matches_solo(monkeypatch):
     # so multiple online-softmax chunks are exercised.
     orig = streaming._fused_plan
 
-    def chunk_only(model, batch, cache_s, itemsize=None, chunk=None):
+    def chunk_only(model, batch, cache_s, itemsize=None, chunk=None,
+                   **kw):
         if chunk is None and batch > 1:
             return None  # pool candidates must go chunked
-        return orig(model, batch, cache_s, itemsize=itemsize, chunk=chunk)
+        return orig(model, batch, cache_s, itemsize=itemsize, chunk=chunk,
+                    **kw)
 
     monkeypatch.setattr(streaming, "_fused_plan", chunk_only)
     monkeypatch.setattr(streaming, "CACHE_CHUNK", 64)

@@ -50,7 +50,7 @@ match the single-chip kernel tightly).
 from __future__ import annotations
 
 import functools
-from typing import Any
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -499,6 +499,33 @@ def tp_decode_step(
 # matvec with an in-kernel (max, first-argmax) fold, one pmax+pmin pair
 # to resolve the global token.
 # ---------------------------------------------------------------------------
+
+
+def tp_vmem_need(B, S, D, n_heads, n_kv, head_dim, hidden, tp,
+                 cache_itemsize=2) -> Optional[int]:
+    """Estimated per-layer VMEM bytes for the TP half-kernels at this
+    geometry (the binding term is the attention half's local K+V cache
+    blocks [B, Hkv/tp, S, hd], VMEM-resident per call; the rotating
+    weight buffers are bounded by the 3*2^19 tile budget).  Callers
+    gate on ``need <= TP_VMEM_CAP`` before choosing the TP-fused pooled
+    path.  Returns None when the shard dims don't tile."""
+    if n_kv % tp or hidden % tp:
+        return None
+    nq_l = (n_heads // tp) * head_dim
+    nqkv_l = nq_l + 2 * (n_kv // tp) * head_dim
+    if _half_plan({"qkv": (nqkv_l, D), "wo": (D, nq_l),
+                   "w13": (2 * hidden // tp, D),
+                   "w2": (D, hidden // tp)}) is None:
+        return None
+    cache = 2 * B * (n_kv // tp) * S * head_dim * cache_itemsize
+    bufs = 4 * 2 * 3 * 2**19          # 4 phases x 2 slots x tile budget
+    acts = 4 * B * max(D, 2 * hidden // tp, nqkv_l) * 4
+    return cache + bufs + acts
+
+
+# The half-kernels request vmem_limit_bytes=64 MB; leave headroom for
+# Mosaic's own allocations.
+TP_VMEM_CAP = 56 * 2**20
 
 
 def tp_shard_lm_head(w8: Params, tp: int) -> Params:

@@ -303,27 +303,55 @@ def _session_jits(cfg: VoxtralConfig, P: int, enc_ring, dec_ring,
 
 
 def _fused_plan(model, batch: int, cache_s: int, itemsize: int = None,
-                chunk: int = None):
+                chunk: int = None, pool: bool = False):
     """Stack-kernel decode plan ({"w", "fold"}) for ``batch`` rows and a
     ``cache_s``-position cache, or None when the model lacks fused
     weights, the geometry doesn't tile, or the caches would blow the
     kernel's VMEM budget.  Shared by solo sessions and StreamPool so
     the fused-path selection can never diverge between them.
     ``itemsize=1`` evaluates the int8-KV-cache variant; ``chunk``
-    evaluates the HBM-chunked cache variant (VMEM no longer bounds S)."""
+    evaluates the HBM-chunked cache variant (VMEM no longer bounds S).
+    ``pool=True`` marks the StreamPool call site, which can run meshed
+    variants (DP row sharding; TP half-kernels)."""
+    par = getattr(model, "parallel", None)
+    if par is not None and par.tp > 1:
+        # Tensor-parallel pooled decode: the attn/ffn half-kernels under
+        # shard_map (ring-capable), greedy tokens via the vocab-sharded
+        # lm fold.  Model-dtype resident caches only (the halves have no
+        # int8-KV or chunked-cache mode), pool-only (solo sessions on a
+        # TP mesh ride the auto-partitioned XLA path).
+        if not pool or itemsize == 1 or chunk is not None:
+            return None
+        if getattr(model, "fused_tp", None) is None:
+            return None
+        if par.dp > 1 and batch % par.dp:
+            return None
+        from voxtral_tpu.ops.decode_tp_pallas import (
+            TP_VMEM_CAP,
+            tp_vmem_need,
+        )
+
+        lm = model.config.language_model
+        need = tp_vmem_need(
+            batch // par.dp if par.dp > 1 else batch, cache_s, lm.dim,
+            lm.n_heads, lm.n_kv_heads, lm.head_dim, lm.hidden_dim,
+            par.tp, jnp.dtype(model.cache_dtype).itemsize)
+        if need is None or need > TP_VMEM_CAP:
+            return None
+        return {"w": model.fused_tp, "tp": par.tp,
+                "fold": "lm_codes" in model.fused_tp}
     if model.fused_decode is None:
         return None
     gate_batch = batch
-    par = getattr(model, "parallel", None)
     if par is not None:
         # A data-parallel mesh CAN run pooled fused decode: batch rows
         # shard over the data axis (dp_decode_stack_step) and the VMEM
         # gate sees the per-shard row count — the scaling lever past
-        # the single-chip pool ceiling.  TP meshes (and DP meshes the
-        # batch doesn't divide) ride the auto-partitioned XLA path:
-        # their fused stacks are dropped/mesh-placed for transcribe and
-        # a pallas_call is opaque to GSPMD.
-        if par.tp > 1 or par.dp <= 1 or batch % par.dp:
+        # the single-chip pool ceiling.  DP meshes the batch doesn't
+        # divide ride the auto-partitioned XLA path: the fused stacks
+        # are mesh-placed for transcribe and a pallas_call is opaque to
+        # GSPMD.
+        if not pool or par.dp <= 1 or batch % par.dp:
             return None
         gate_batch = batch // par.dp
     from voxtral_tpu.ops.decode_step_pallas import (
@@ -518,7 +546,7 @@ class StreamPool:
         for item, chunk in ladder:
             s_try = s_dec if chunk is None else -(-s_dec // chunk) * chunk
             p = _fused_plan(model, self.B, s_try, itemsize=item,
-                            chunk=chunk)
+                            chunk=chunk, pool=True)
             if p is not None:
                 self._fused = p
                 self.cache_int8 = item == 1
@@ -537,15 +565,23 @@ class StreamPool:
 
             self._fused["ada"] = ada_vectors(
                 model.params["decoder"], model.t_embed(delay_tokens))
-        # Data-parallel pooled decode: _fused_plan only returns a plan
-        # for a meshed model when its rows shard cleanly over the data
-        # axis, so a non-None plan + mesh means the decode half runs
+        # Meshed pooled decode: _fused_plan only returns a plan for a
+        # meshed model when the geometry shards cleanly, so a non-None
+        # plan + mesh means the decode half runs either the TP
+        # half-kernels ("tp" in plan — weights sharded over model,
+        # greedy tokens via the vocab-sharded lm fold) or
         # dp_decode_stack_step (rows/dp per chip — the scaling lever
-        # past the single-chip pool ceiling; ROADMAP r3 #8).
-        self._dp_mesh = (
-            model.parallel.mesh
-            if self._fused is not None
-            and getattr(model, "parallel", None) is not None else None)
+        # past the single-chip pool ceiling; ROADMAP r3 #8).  DP and TP
+        # compose: a (dp x tp) mesh also row-shards the TP halves.
+        par = getattr(model, "parallel", None)
+        self._tp_mesh = (par.mesh if self._fused is not None
+                         and self._fused.get("tp") else None)
+        self._dp_mesh = (par.mesh if self._fused is not None
+                         and par is not None and self._tp_mesh is None
+                         else None)
+        self._pool_data_axis = (
+            "data" if par is not None and par.dp > 1
+            and self._tp_mesh is not None else None)
 
         if self._fused is not None:
             # Head-major stacked layout for the stack kernel.
@@ -633,7 +669,8 @@ class StreamPool:
             )(mel_wins, enc_k, enc_v, enc_len, params)  # audio [B, P, D]
             inputs = jnp.concatenate(
                 [prev_audio[:, 0, :, :], audio[:, :-1, :]], axis=1)
-            lm_kw = _fused_lm_kwargs(params, fold)
+            tp = self._tp_mesh is not None
+            lm_kw = _fused_lm_kwargs(params, fold and not tp)
 
             def dstep(carry, i):
                 if int8:
@@ -666,7 +703,33 @@ class StreamPool:
                     cache_chunk=self._cache_chunk,
                     **scale_kw, **lm_kw,
                 )
-                if self._dp_mesh is not None:
+                if tp:
+                    from voxtral_tpu.ops.decode_tp_pallas import (
+                        tp_decode_step,
+                        tp_lm_head_token,
+                    )
+
+                    step_kw.pop("cache_chunk")  # tp halves: resident only
+                    xo, k_new, v_new = tp_decode_step(
+                        self._tp_mesh, x, offs,
+                        fused_w["attn_norm"], fused_w["ffn_norm"],
+                        ada_vecs, fused_w, cos, sin, dk, dv,
+                        data_axis=self._pool_data_axis, **step_kw)
+                    if fold:
+                        token = tp_lm_head_token(
+                            self._tp_mesh, xo, params["decoder"]["norm"],
+                            fused_w["lm_codes"], fused_w["lm_scale"],
+                            eps=lmc.norm_eps,
+                            interpret=self._mk_interpret,
+                            data_axis=self._pool_data_axis)
+                    else:
+                        hidden = rms_norm(
+                            xo, params["decoder"]["norm"], lmc.norm_eps)
+                        logits = lm_head(params["decoder"], hidden,
+                                         xla_only=True)
+                        token = jnp.argmax(logits, axis=-1
+                                           ).astype(jnp.int32)
+                elif self._dp_mesh is not None:
                     from voxtral_tpu.parallel.dp_decode import (
                         dp_decode_stack_step,
                     )
@@ -675,14 +738,17 @@ class StreamPool:
                         self._dp_mesh, *step_args, **step_kw)
                 else:
                     out = decode_stack_step(*step_args, **step_kw)
-                if fold:
-                    _, k_new, v_new, logits = out
-                else:
-                    xo, k_new, v_new = out
-                    hidden = rms_norm(
-                        xo, params["decoder"]["norm"], lmc.norm_eps)
-                    logits = lm_head(params["decoder"], hidden)
-                token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                if not tp:
+                    if fold:
+                        _, k_new, v_new, logits = out
+                    else:
+                        xo, k_new, v_new = out
+                        hidden = rms_norm(
+                            xo, params["decoder"]["norm"], lmc.norm_eps)
+                        logits = lm_head(params["decoder"], hidden,
+                                         xla_only=self._dp_mesh
+                                         is not None)
+                    token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
                 if self._dec_ring is not None:
                     from voxtral_tpu.models.layers import ring_slot
 
