@@ -306,3 +306,47 @@ def test_restore_rejects_unknown_version(model):
     state["version"] = 99
     with pytest.raises(ValueError, match="version"):
         StreamingSession.restore(model, state)
+
+
+def test_meshed_pool_to_solo_restore(monkeypatch):
+    """A session pooled on a MESH (dp x tp — sharded caches, TP
+    half-kernel decode) snapshots to the portable solo layout (gathers
+    the sharded slots) and restores as a single-device solo session
+    with token-identical continuation."""
+    from voxtral_tpu.parallel import make_mesh
+    from voxtral_tpu.utils.quantize import quantize_params_w8
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg, language_model=dataclasses.replace(
+            cfg.language_model, vocab_size=1280))
+    f32 = VoxtralModel.init_random(jax.random.PRNGKey(3), cfg,
+                                   dtype=jnp.float32)
+    w8 = quantize_params_w8(f32.params)
+    audio = _audio(seed=23)
+
+    monkeypatch.setenv("VOXTRAL_MEGAKERNEL", "0")
+    gmodel = VoxtralModel(w8, cfg)
+    ref = StreamingSession(gmodel, step_positions=8, max_duration_s=30)
+    ref.feed(audio)
+    ref.finish()
+
+    monkeypatch.setenv("VOXTRAL_MEGAKERNEL", "force")
+    mesh = make_mesh(n_data=2, n_model=2)
+    mmodel = VoxtralModel(w8, cfg, mesh=mesh)
+    pool = StreamPool(mmodel, max_streams=2, step_positions=8,
+                      max_duration_s=30)
+    assert pool._tp_mesh is not None
+    pa = StreamingSession(mmodel, step_positions=8, pool=pool)
+    pb = StreamingSession(mmodel, step_positions=8, pool=pool)
+    pa.feed(audio[:60000])
+    pb.feed(_audio(seconds=4, seed=24))
+    assert pa.positions_done > 0
+    state = pa.state_dict()
+
+    solo = StreamingSession.restore(gmodel, state)
+    solo.feed(audio[60000:])
+    solo.finish()
+    assert solo.tokens == ref.tokens, (solo.tokens, ref.tokens)
