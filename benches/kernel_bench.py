@@ -721,9 +721,12 @@ def suite_tp_lm(tps=(2, 4, 8), batches=(1, 8), short=20, long=220):
         for b in batches:
             x0 = jnp.asarray(rng.randn(b, D) * 0.5, jnp.float32)
 
+            interp = jax.default_backend() != "tpu"
+
             def run_body(x0, length):
                 def body(x, _):
-                    bv, bi = lm_half_argmax(x, fnorm, scale, codes)
+                    bv, bi = lm_half_argmax(x, fnorm, scale, codes,
+                                            interpret=interp)
                     x2 = x0 + 1e-1 * (bv + bi.astype(jnp.float32)
                                       ) * jnp.ones((b, D))
                     return x2, ()

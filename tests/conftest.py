@@ -24,3 +24,10 @@ jax.config.update("jax_platforms", "cpu")
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
+
+# Persistent compilation cache: the suite compiles hundreds of XLA
+# programs (mesh/pool/checkpoint tests dominate wall time); a warm cache
+# cuts re-runs severalfold.  Keyed separately from the TPU cache dir.
+from voxtral_tpu.utils.compilation_cache import enable as _enable_cache  # noqa: E402
+
+_enable_cache()
