@@ -723,7 +723,9 @@ def suite_tp_lm(tps=(2, 4, 8), batches=(1, 8), short=20, long=220):
 
             interp = jax.default_backend() != "tpu"
 
-            def run_body(x0, length):
+            # Weights must be jit ARGUMENTS, not closure constants
+            # (constants measure ~10x lower bandwidth — CLAUDE.md).
+            def run_body(x0, codes, scale, fnorm, length):
                 def body(x, _):
                     bv, bi = lm_half_argmax(x, fnorm, scale, codes,
                                             interpret=interp)
@@ -740,7 +742,7 @@ def suite_tp_lm(tps=(2, 4, 8), batches=(1, 8), short=20, long=220):
                 return jax.jit(functools.partial(run_body, length=length))
 
             def runner(length):
-                return _jitted(length)(x0)
+                return _jitted(length)(x0, codes, scale, fnorm)
 
             per = _timed_slope(runner, short, long)
             r = {"bench": "tp_lm_half", "tp": tp, "batch": b,

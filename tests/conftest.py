@@ -27,7 +27,22 @@ if REPO_ROOT not in sys.path:
 
 # Persistent compilation cache: the suite compiles hundreds of XLA
 # programs (mesh/pool/checkpoint tests dominate wall time); a warm cache
-# cuts re-runs severalfold.  Keyed separately from the TPU cache dir.
+# cuts re-runs substantially.  The dir is keyed by a hash of the host's
+# CPU flags — XLA:CPU AOT results are machine-specific, and loading an
+# entry compiled on a different host can SIGILL (the driver may move
+# between machines across rounds).
+import hashlib  # noqa: E402
+from pathlib import Path  # noqa: E402
+
 from voxtral_tpu.utils.compilation_cache import enable as _enable_cache  # noqa: E402
 
-_enable_cache()
+try:
+    _flags_line = next(
+        ln for ln in Path("/proc/cpuinfo").read_text().splitlines()
+        if ln.startswith("flags")
+    )
+except (OSError, StopIteration):
+    _flags_line = "unknown"
+_cpu_key = hashlib.sha256(_flags_line.encode()).hexdigest()[:12]
+_enable_cache(str(Path.home() / ".cache" / "voxtral_tpu"
+                  / f"xla-cpu-{_cpu_key}"))

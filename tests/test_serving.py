@@ -360,3 +360,22 @@ def test_body_size_cap(server):
     conn.close()
     assert resp.status == 413
     assert b"exceeds" in data
+
+
+def test_body_cap_closes_connection(server, monkeypatch):
+    """A 413 on a body that was actually sent must close the HTTP/1.1
+    connection — keeping it alive would desync the protocol (unread
+    body bytes parse as request lines)."""
+    import http.client
+
+    from voxtral_tpu.serving.server import _Handler
+
+    monkeypatch.setattr(_Handler, "MAX_BODY_BYTES", 1024)
+    conn = http.client.HTTPConnection(*server, timeout=300)
+    conn.request("POST", "/transcribe_pcm?rate=16000", body=b"\x00" * 4096)
+    resp = conn.getresponse()
+    resp.read()
+    assert resp.status == 413
+    assert (resp.getheader("Connection") or "").lower() == "close"
+    assert resp.will_close  # the client will not reuse this socket
+    conn.close()

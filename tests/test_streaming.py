@@ -679,3 +679,14 @@ def test_session_words_timestamps(model):
     assert words[0]["start"] == 0.16 and words[0]["end"] == 0.48
     assert words[1]["start"] == 0.64
     assert words == tok.decode_words(session.tokens)
+
+
+def test_pooled_session_inherits_pool_delay(model):
+    """A pooled session's effective decode delay is the POOL's (its
+    t_embed/ada drive the decode), so words/checkpoints must use it."""
+    from voxtral_tpu.streaming import StreamPool
+
+    pool = StreamPool(model, max_streams=1, step_positions=8,
+                      max_duration_s=30, delay_tokens=2.0)
+    sess = StreamingSession(model, step_positions=8, pool=pool)
+    assert sess._delay_tokens == 2.0

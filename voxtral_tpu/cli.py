@@ -140,6 +140,11 @@ def main(argv: list[str] | None = None) -> int:
     if args.gguf and not (args.tokenizer or args.random_weights):
         print("error: --gguf requires --tokenizer", file=sys.stderr)
         return 2
+    if args.timestamps and args.batch_files > 0:
+        # Pure flag validation — must run before any model construction.
+        print("error: --timestamps is per-file (drop --batch-files)",
+              file=sys.stderr)
+        return 2
 
     if args.platform != "default":
         import jax
@@ -236,11 +241,6 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         pipeline = TranscribePipeline.from_model_dir(
             model_dir, args.dtype, pcfg, mesh=mesh)
-
-    if args.timestamps and args.batch_files > 0:
-        print("error: --timestamps is per-file (drop --batch-files)",
-              file=sys.stderr)
-        return 2
 
     if args.batch_files > 0:
         missing = [p for p in audio_paths if not Path(p).exists()]

@@ -258,6 +258,10 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_response(code)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(body)))
+        if self.close_connection:
+            # close_connection alone only drops the socket after the
+            # response; advertise it so clients don't reuse the pipe.
+            self.send_header("Connection", "close")
         self.end_headers()
         self.wfile.write(body)
 
@@ -338,6 +342,10 @@ class _Handler(BaseHTTPRequestHandler):
         except _BodyTooLarge as e:
             self.state.metrics.inc("voxtral_requests_total",
                                    endpoint=endpoint, status="4xx")
+            # The oversized body was never read: keeping the HTTP/1.1
+            # connection alive would parse the in-flight body bytes as
+            # request lines (protocol desync) — drop the socket.
+            self.close_connection = True
             self._json(413, {
                 "error": f"request body {e.length} bytes exceeds "
                 f"{_Handler.MAX_BODY_BYTES} limit"

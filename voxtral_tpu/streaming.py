@@ -1142,6 +1142,10 @@ class StreamingSession:
             self.unbounded = pool.unbounded
             self.P = pool.P
             self._max_dec = pool.max_dec
+            # The pool's t_embed/ada drive the actual decode, so the
+            # session's effective delay IS the pool's — inherit it (it
+            # feeds the words-timestamp correction and checkpoints).
+            self._delay_tokens = pool.delay_tokens
             self._slot = pool.attach(self)
             self._samples = np.zeros(
                 self.pad_config.left_pad_samples(), np.float32
