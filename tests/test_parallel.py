@@ -629,12 +629,16 @@ def test_dp_fused_transcribe_token_identity(monkeypatch, tmp_path):
 
 
 @requires_8_devices
-def test_tp_streaming_session_matches_single_device(tmp_path):
-    """StreamingSession on a mesh-sharded model (TP rides the
-    auto-partitioned XLA streaming path; fused stacks are dropped under
-    TP) must produce the same tokens as a single-device session."""
+def test_tp_streaming_session_matches_single_device(monkeypatch, tmp_path):
+    """StreamingSession on a mesh-sharded model riding the
+    auto-partitioned XLA streaming path (megakernel pinned OFF — with
+    fused weights a TP-mesh session would take the TP half-kernels,
+    whose per-shard activation quant is equivalence- not
+    identity-matched) must produce the same tokens as a single-device
+    session."""
     from voxtral_tpu.streaming import StreamingSession
 
+    monkeypatch.setenv("VOXTRAL_MEGAKERNEL", "0")
     cfg = _tp_cfg()
     rng = np.random.default_rng(4)
     sig = (0.4 * np.sin(2 * np.pi * 300 * np.arange(48000) / 16000)
@@ -865,3 +869,48 @@ def test_dptp_pooled_streaming_matches_solo(monkeypatch):
         sess.feed(piece)
     sess.finish()
     assert sess.tokens == solo.tokens, (sess.tokens, solo.tokens)
+
+
+@requires_8_devices
+def test_tp_solo_streaming_fused_matches_generic(monkeypatch):
+    """SOLO sessions on a TP mesh ride the TP half-kernels + lm fold
+    (round-4 candidate #3 closed): tokens must equal a solo session on
+    the single-device generic path, bounded AND unbounded (ring)."""
+    import dataclasses
+
+    from tests.test_model import tiny_config
+    from voxtral_tpu.models.voxtral import VoxtralModel
+    from voxtral_tpu.streaming import StreamingSession
+    from voxtral_tpu.utils.quantize import quantize_params_w8
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg, language_model=dataclasses.replace(
+            cfg.language_model, vocab_size=1280))
+    f32 = VoxtralModel.init_random(jax.random.PRNGKey(3), cfg,
+                                   dtype=jnp.float32)
+    w8 = quantize_params_w8(f32.params)
+    rng = np.random.default_rng(51)
+    audio = rng.normal(size=16000 * 6).astype(np.float32) * 0.25
+
+    monkeypatch.setenv("VOXTRAL_MEGAKERNEL", "0")
+    gmodel = VoxtralModel(w8, cfg)
+    monkeypatch.setenv("VOXTRAL_MEGAKERNEL", "force")
+    mesh = make_mesh(n_data=1, n_model=2)
+    tmodel = VoxtralModel(w8, cfg, mesh=mesh)
+
+    for unbounded in (False, True):
+        ref = StreamingSession(gmodel, step_positions=8,
+                               max_duration_s=30, unbounded=unbounded)
+        for piece in np.array_split(audio, 4):
+            ref.feed(piece)
+        ref.finish()
+
+        sess = StreamingSession(tmodel, step_positions=8,
+                                max_duration_s=30, unbounded=unbounded)
+        assert sess._fused is not None and sess._fused.get("tp") == 2
+        for piece in np.array_split(audio, 4):
+            sess.feed(piece)
+        sess.finish()
+        assert sess.tokens == ref.tokens, (unbounded, sess.tokens,
+                                           ref.tokens)

@@ -183,12 +183,15 @@ def _stream_step_fused_fn(params, fused_w, ada_vecs, mel_win, prev_token,
                           prev_audio, enc_base, cfg, enc_rope, enc_cache,
                           dec_cache, n_positions: int,
                           enc_ring=None, dec_ring=None, fold=False,
-                          mk_interpret=False):
+                          mk_interpret=False, tp_mesh=None):
     """Steady-state step with the decode half in the whole-stack Pallas
     kernel (solo session, B=1).  ``dec_cache`` is HEAD-MAJOR
     ([L, 1, Hkv, S, hd]); ``dec_ring`` selects the in-kernel head+ring
     validity mask (layers.ring_k_positions semantics) for unbounded
-    streams.  Token-identical to the XLA path (tests/test_streaming.py)."""
+    streams.  Token-identical to the XLA path (tests/test_streaming.py).
+    ``tp_mesh``: run the decode through the tensor-parallel half-kernels
+    + vocab-sharded lm fold instead of the single-chip stack kernel
+    (``fused_w`` is then the model's ``fused_tp`` dict)."""
     from voxtral_tpu.models.layers import ring_slot, rms_norm
     from voxtral_tpu.ops.decode_step_pallas import (
         decode_stack_step,
@@ -201,7 +204,7 @@ def _stream_step_fused_fn(params, fused_w, ada_vecs, mel_win, prev_token,
         enc_ring,
     )  # [1, P, D]
     inputs = jnp.concatenate([prev_audio, audio[:, :-1, :]], axis=1)
-    lm_kw = _fused_lm_kwargs(params, fold)
+    lm_kw = _fused_lm_kwargs(params, fold and tp_mesh is None)
 
     def dstep(carry, i):
         prev, dk, dv, off = carry
@@ -209,6 +212,41 @@ def _stream_step_fused_fn(params, fused_w, ada_vecs, mel_win, prev_token,
         text = embed_tokens(params["decoder"], prev[None, None])[:, 0]
         x = (a + text).astype(jnp.float32)
         cos, sin = rope_pair_vectors(off, lmc.head_dim, lmc.rope_theta)
+        if tp_mesh is not None:
+            from voxtral_tpu.ops.decode_tp_pallas import (
+                tp_decode_step,
+                tp_lm_head_token,
+            )
+
+            xo, k_new, v_new = tp_decode_step(
+                tp_mesh, x, off,
+                fused_w["attn_norm"], fused_w["ffn_norm"], ada_vecs,
+                fused_w, cos, sin, dk, dv,
+                n_heads=lmc.n_heads, n_kv=lmc.n_kv_heads,
+                head_dim=lmc.head_dim, eps=lmc.norm_eps,
+                interpret=mk_interpret, window=lmc.sliding_window,
+                ring=dec_ring,
+            )
+            if fold:
+                token = tp_lm_head_token(
+                    tp_mesh, xo, params["decoder"]["norm"],
+                    fused_w["lm_codes"], fused_w["lm_scale"],
+                    eps=lmc.norm_eps, interpret=mk_interpret)[0]
+            else:
+                hidden = rms_norm(xo, params["decoder"]["norm"],
+                                  lmc.norm_eps)
+                logits = lm_head(params["decoder"], hidden, xla_only=True)
+                token = jnp.argmax(logits[0], axis=-1).astype(jnp.int32)
+            slot = (ring_slot(off, *dec_ring) if dec_ring is not None
+                    else off)
+            z = jnp.zeros((), jnp.int32)
+            dk = jax.lax.dynamic_update_slice(
+                dk, k_new[:, :, :, None].astype(dk.dtype),
+                (z, z, z, slot, z))
+            dv = jax.lax.dynamic_update_slice(
+                dv, v_new[:, :, :, None].astype(dv.dtype),
+                (z, z, z, slot, z))
+            return (token, dk, dv, off + 1), token
         out = decode_stack_step(
             x, off,
             fused_w["attn_norm"], fused_w["ffn_norm"], ada_vecs,
@@ -255,7 +293,8 @@ def _jit_cache_put(key, value):
 
 
 def _session_jits(cfg: VoxtralConfig, P: int, enc_ring, dec_ring,
-                  rope_positions: int, fold: bool, mk_interpret: bool):
+                  rope_positions: int, fold: bool, mk_interpret: bool,
+                  tp_mesh=None):
     """Jitted (init, step, fused_step) + rope tables for a session
     geometry, shared ACROSS sessions.
 
@@ -290,14 +329,15 @@ def _session_jits(cfg: VoxtralConfig, P: int, enc_ring, dec_ring,
                               (init, step, enc_rope, dec_rope))
     init, step, enc_rope, dec_rope = base
 
-    fkey = ("fstep", base_key, fold, mk_interpret)
+    fkey = ("fstep", base_key, fold, mk_interpret, tp_mesh)
     fstep = _STEP_JIT_CACHE.get(fkey)
     if fstep is None:
         fstep = _jit_cache_put(fkey, jax.jit(
             partial(_stream_step_fused_fn, cfg=cfg,
                     enc_rope=enc_rope, n_positions=P,
                     enc_ring=enc_ring, dec_ring=dec_ring,
-                    fold=fold, mk_interpret=mk_interpret),
+                    fold=fold, mk_interpret=mk_interpret,
+                    tp_mesh=tp_mesh),
             donate_argnames=("enc_cache", "dec_cache")))
     return init, step, fstep, enc_rope, dec_rope
 
@@ -315,16 +355,16 @@ def _fused_plan(model, batch: int, cache_s: int, itemsize: int = None,
     variants (DP row sharding; TP half-kernels)."""
     par = getattr(model, "parallel", None)
     if par is not None and par.tp > 1:
-        # Tensor-parallel pooled decode: the attn/ffn half-kernels under
-        # shard_map (ring-capable), greedy tokens via the vocab-sharded
-        # lm fold.  Model-dtype resident caches only (the halves have no
-        # int8-KV or chunked-cache mode), pool-only (solo sessions on a
-        # TP mesh ride the auto-partitioned XLA path).
-        if not pool or itemsize == 1 or chunk is not None:
+        # Tensor-parallel fused decode (solo sessions AND pools): the
+        # attn/ffn half-kernels under shard_map (ring-capable), greedy
+        # tokens via the vocab-sharded lm fold.  Model-dtype resident
+        # caches only (the halves have no int8-KV or chunked-cache
+        # mode).
+        if itemsize == 1 or chunk is not None:
             return None
         if getattr(model, "fused_tp", None) is None:
             return None
-        if par.dp > 1 and batch % par.dp:
+        if pool and par.dp > 1 and batch % par.dp:
             return None
         from voxtral_tpu.ops.decode_tp_pallas import (
             TP_VMEM_CAP,
@@ -332,8 +372,9 @@ def _fused_plan(model, batch: int, cache_s: int, itemsize: int = None,
         )
 
         lm = model.config.language_model
+        rows = batch // par.dp if pool and par.dp > 1 else batch
         need = tp_vmem_need(
-            batch // par.dp if par.dp > 1 else batch, cache_s, lm.dim,
+            rows, cache_s, lm.dim,
             lm.n_heads, lm.n_kv_heads, lm.head_dim, lm.hidden_dim,
             par.tp, jnp.dtype(model.cache_dtype).itemsize)
         if need is None or need > TP_VMEM_CAP:
@@ -1220,6 +1261,9 @@ class StreamingSession:
             rope_positions,
             bool(self._fused and self._fused["fold"]),
             self._mk_interpret,
+            tp_mesh=(model.parallel.mesh
+                     if self._fused is not None and self._fused.get("tp")
+                     else None),
         )
 
     # -- internals ----------------------------------------------------------
