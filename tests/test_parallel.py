@@ -914,3 +914,247 @@ def test_tp_solo_streaming_fused_matches_generic(monkeypatch):
         sess.finish()
         assert sess.tokens == ref.tokens, (unbounded, sess.tokens,
                                            ref.tokens)
+
+
+@requires_8_devices
+def test_tp_decode_step_int8_cache_matches_stack_kernel():
+    """TP half-kernels with the int8 KV cache (per-vector scales sharded
+    on the head axis, both attention dots on the int8 MXU) must match
+    the single-chip stack kernel's int8 mode, and k_new/v_new must come
+    back bf16 for the caller's quantize+append."""
+    import tests.test_decode_megakernel as mk
+    from voxtral_tpu.ops.decode_step_pallas import (
+        ada_vectors,
+        decode_stack_step,
+        fuse_decode_weights,
+        quantize_kv,
+        rope_pair_vectors,
+    )
+    from voxtral_tpu.ops.decode_tp_pallas import (
+        tp_decode_step,
+        tp_shard_fused_weights,
+    )
+
+    params, t_embed, k_cache, v_cache, x = mk.build_setup()
+    lyr = params["layers"]
+    fused = fuse_decode_weights(params)
+    adav = ada_vectors(params, t_embed)
+    offs = jnp.asarray([mk.OFFSET, 5], jnp.int32)
+    cs = [rope_pair_vectors(offs[b], mk.HEAD_DIM, theta=1e6)
+          for b in range(mk.B)]
+    cos_b = jnp.stack([c for c, _ in cs])
+    sin_b = jnp.stack([s for _, s in cs])
+    kt = jnp.transpose(k_cache, (0, 1, 3, 2, 4))  # head-major
+    vt = jnp.transpose(v_cache, (0, 1, 3, 2, 4))
+    kq, ks = quantize_kv(kt)
+    vq, vs = quantize_kv(vt)
+
+    common = dict(n_heads=mk.N_HEADS, n_kv=mk.N_KV, head_dim=mk.HEAD_DIM,
+                  eps=mk.EPS, interpret=True, window=8)
+    ref_x, ref_k, ref_v = decode_stack_step(
+        x, offs, lyr["attention_norm"], lyr["ffn_norm"], adav,
+        fused["sqkv"], fused["so"], fused["s13"], fused["s2"],
+        cos_b, sin_b, kq, vq,
+        fused["wqkv"], fused["wo"], fused["w13"], fused["w2"],
+        k_scales=ks, v_scales=vs, **common)
+
+    tp_w = tp_shard_fused_weights(
+        fused, mk.N_HEADS, mk.N_KV, mk.HEAD_DIM, mk.HIDDEN, tp=2)
+    mesh = make_mesh(n_data=1, n_model=2)
+    out_x, kn, vn = tp_decode_step(
+        mesh, x, offs, lyr["attention_norm"], lyr["ffn_norm"], adav,
+        tp_w, cos_b, sin_b, kq, vq, k_scales=ks, v_scales=vs, **common)
+
+    assert kn.dtype == jnp.bfloat16 and vn.dtype == jnp.bfloat16
+    # Layer 0's K/V come from the same pre-cache QKV matmul (identical
+    # activation quant across shards) — only bf16 rounding separates it.
+    np.testing.assert_allclose(np.asarray(kn[0], np.float32),
+                               np.asarray(ref_k[0], np.float32),
+                               rtol=1e-2, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(out_x), np.asarray(ref_x),
+                               rtol=0.05, atol=0.15)
+
+
+@requires_8_devices
+def test_tp_decode_step_chunked_matches_resident():
+    """TP attention halves with the HBM-chunked cache (double-buffered
+    S-chunks + online softmax inside the half-kernel) must match the
+    resident TP path — bf16 cache and int8-cache variants, bounded and
+    ring layouts."""
+    import tests.test_decode_megakernel as mk
+    from voxtral_tpu.ops.decode_step_pallas import (
+        ada_vectors,
+        fuse_decode_weights,
+        quantize_kv,
+        rope_pair_vectors,
+    )
+    from voxtral_tpu.ops.decode_tp_pallas import (
+        tp_decode_step,
+        tp_shard_fused_weights,
+    )
+
+    params, t_embed, k_cache, v_cache, x = mk.build_setup()
+    lyr = params["layers"]
+    fused = fuse_decode_weights(params)
+    adav = ada_vectors(params, t_embed)
+    offs = jnp.asarray([mk.OFFSET, 5], jnp.int32)
+    cs = [rope_pair_vectors(offs[b], mk.HEAD_DIM, theta=1e6)
+          for b in range(mk.B)]
+    cos_b = jnp.stack([c for c, _ in cs])
+    sin_b = jnp.stack([s for _, s in cs])
+    kt = jnp.transpose(k_cache, (0, 1, 3, 2, 4))
+    vt = jnp.transpose(v_cache, (0, 1, 3, 2, 4))
+    tp_w = tp_shard_fused_weights(
+        fused, mk.N_HEADS, mk.N_KV, mk.HEAD_DIM, mk.HIDDEN, tp=2)
+    mesh = make_mesh(n_data=1, n_model=2)
+    base = (mesh, x, offs, lyr["attention_norm"], lyr["ffn_norm"], adav,
+            tp_w, cos_b, sin_b)
+    common = dict(n_heads=mk.N_HEADS, n_kv=mk.N_KV, head_dim=mk.HEAD_DIM,
+                  eps=mk.EPS, interpret=True, window=8)
+
+    ref_x, ref_k, ref_v = tp_decode_step(*base, kt, vt, **common)
+    out_x, kn, vn = tp_decode_step(*base, kt, vt, cache_chunk=8, **common)
+    # Same shard quantization on both sides; only the online-softmax
+    # accumulation order differs.
+    np.testing.assert_allclose(np.asarray(out_x), np.asarray(ref_x),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(kn, np.float32),
+                               np.asarray(ref_k, np.float32),
+                               rtol=2e-3, atol=2e-3)
+
+    # int8 cache + chunks (chunked int8 requantizes softmax weights per
+    # chunk — finer-grained, so quantization-noise tolerance).
+    kq, ks = quantize_kv(kt)
+    vq, vs = quantize_kv(vt)
+    ref8 = tp_decode_step(*base, kq, vq, k_scales=ks, v_scales=vs,
+                          **common)
+    out8 = tp_decode_step(*base, kq, vq, k_scales=ks, v_scales=vs,
+                          cache_chunk=8, **common)
+    np.testing.assert_allclose(np.asarray(out8[0]), np.asarray(ref8[0]),
+                               rtol=2e-2, atol=2e-2)
+
+    # Ring layout (head+ring slot map) with chunks, offsets past wrap.
+    rng = np.random.default_rng(7)
+    kr = jnp.asarray(rng.normal(
+        size=(mk.L, mk.B, mk.N_KV, mk.S, mk.HEAD_DIM)) * 0.4, jnp.float32)
+    vr = jnp.asarray(rng.normal(
+        size=(mk.L, mk.B, mk.N_KV, mk.S, mk.HEAD_DIM)) * 0.4, jnp.float32)
+    offs_r = jnp.asarray([20, 13], jnp.int32)
+    csr = [rope_pair_vectors(offs_r[b], mk.HEAD_DIM, theta=1e6)
+           for b in range(mk.B)]
+    base_r = (mesh, x, offs_r, lyr["attention_norm"], lyr["ffn_norm"],
+              adav, tp_w, jnp.stack([c for c, _ in csr]),
+              jnp.stack([s for _, s in csr]))
+    ring_kw = dict(common, ring=(4, 8))
+    ref_r = tp_decode_step(*base_r, kr, vr, **ring_kw)
+    out_r = tp_decode_step(*base_r, kr, vr, cache_chunk=8, **ring_kw)
+    np.testing.assert_allclose(np.asarray(out_r[0]), np.asarray(ref_r[0]),
+                               rtol=2e-3, atol=2e-3)
+
+
+@requires_8_devices
+def test_tp_pooled_unbounded_int8_chunked_matches_solo(monkeypatch):
+    """The richest pooled variant on a TP mesh — unbounded (head+ring)
+    int8 KV streamed through the HBM-chunked attention halves (the
+    resident rungs are gated off to force the chunked ladder rung) —
+    must match an unbounded solo session on the single-device generic
+    path."""
+    import dataclasses
+
+    import voxtral_tpu.ops.decode_tp_pallas as tpk
+    from tests.test_model import tiny_config
+    from voxtral_tpu.models.voxtral import VoxtralModel
+    from voxtral_tpu.streaming import StreamingSession, StreamPool
+    from voxtral_tpu.utils.quantize import quantize_params_w8
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg, language_model=dataclasses.replace(
+            cfg.language_model, vocab_size=1280))
+    f32 = VoxtralModel.init_random(jax.random.PRNGKey(5), cfg,
+                                   dtype=jnp.float32)
+    w8 = quantize_params_w8(f32.params)
+    rng = np.random.default_rng(17)
+    audio = rng.normal(size=16000 * 10).astype(np.float32) * 0.25
+
+    monkeypatch.setenv("VOXTRAL_MEGAKERNEL", "0")
+    gmodel = VoxtralModel(w8, cfg)
+    solo = StreamingSession(gmodel, step_positions=8, unbounded=True)
+    for piece in np.array_split(audio, 8):
+        solo.feed(piece)
+    solo.finish()
+
+    monkeypatch.setenv("VOXTRAL_MEGAKERNEL", "force")
+    # Fail the VMEM gate for resident rungs so the kv_dtype="int8"
+    # ladder lands on its chunked rung (tiny configs always fit VMEM,
+    # so the chunked pooled path can't be reached by geometry alone).
+    real_need = tpk.tp_vmem_need
+
+    def need_resident_too_big(*a, **kw):
+        if kw.get("cache_chunk") is None:
+            return tpk.TP_VMEM_CAP + 1
+        return real_need(*a, **kw)
+
+    monkeypatch.setattr(tpk, "tp_vmem_need", need_resident_too_big)
+    mesh = make_mesh(n_data=1, n_model=2)
+    tmodel = VoxtralModel(w8, cfg, mesh=mesh)
+    pool = StreamPool(tmodel, max_streams=2, step_positions=8,
+                      unbounded=True, kv_dtype="int8")
+    assert pool._fused is not None and pool._tp_mesh is not None
+    assert pool.cache_int8 and pool._cache_chunk is not None
+    sess = StreamingSession(tmodel, step_positions=8, pool=pool)
+    StreamingSession(tmodel, step_positions=8, pool=pool)  # occupy slot 2
+    for piece in np.array_split(audio, 8):
+        sess.feed(piece)
+    sess.finish()
+    # Ring must actually wrap for this to test eviction under TP.
+    assert sess.positions_done > cfg.language_model.sliding_window
+
+    stream = np.asarray(sess.tokens)
+    ref = np.asarray(solo.tokens)
+    n = min(len(stream), len(ref))
+    assert n >= len(ref) - 1
+    assert (stream[:n] == ref[:n]).all(), (stream[:n], ref[:n])
+
+
+@requires_8_devices
+def test_tp_pooled_int8_resident_matches_solo(monkeypatch):
+    """Bounded TP pool with the int8 KV cache on the resident rung —
+    tokens must equal a solo generic session (per-vector scales shard
+    over the KV-head axis with the caches)."""
+    import dataclasses
+
+    from tests.test_model import tiny_config
+    from voxtral_tpu.models.voxtral import VoxtralModel
+    from voxtral_tpu.streaming import StreamingSession, StreamPool
+    from voxtral_tpu.utils.quantize import quantize_params_w8
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg, language_model=dataclasses.replace(
+            cfg.language_model, vocab_size=1280))
+    f32 = VoxtralModel.init_random(jax.random.PRNGKey(3), cfg,
+                                   dtype=jnp.float32)
+    w8 = quantize_params_w8(f32.params)
+    rng = np.random.default_rng(23)
+    audio = rng.normal(size=16000 * 5).astype(np.float32) * 0.25
+
+    monkeypatch.setenv("VOXTRAL_MEGAKERNEL", "0")
+    gmodel = VoxtralModel(w8, cfg)
+    solo = StreamingSession(gmodel, step_positions=8, max_duration_s=30)
+    solo.feed(audio)
+    solo.finish()
+
+    monkeypatch.setenv("VOXTRAL_MEGAKERNEL", "force")
+    mesh = make_mesh(n_data=1, n_model=2)
+    tmodel = VoxtralModel(w8, cfg, mesh=mesh)
+    pool = StreamPool(tmodel, max_streams=2, step_positions=8,
+                      max_duration_s=30, kv_dtype="int8")
+    assert pool._tp_mesh is not None and pool.cache_int8
+    assert pool._cache_chunk is None
+    sess = StreamingSession(tmodel, step_positions=8, pool=pool)
+    StreamingSession(tmodel, step_positions=8, pool=pool)
+    for piece in np.array_split(audio, 3):
+        sess.feed(piece)
+    sess.finish()
+    assert sess.tokens == solo.tokens, (sess.tokens, solo.tokens)

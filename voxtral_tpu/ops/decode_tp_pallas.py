@@ -106,20 +106,41 @@ def _stream_factory(layer, plan, bufs, sems):
 
 
 def _make_attn_half(B, D, S, n_heads_l, n_kv_l, head_dim, plan, eps, window,
-                    ring):
+                    ring, cache_q=False, cache_chunk=None):
     """Attention half on a head shard; emits the WO PARTIAL (no residual
-    add — the caller psums partials across shards first)."""
+    add — the caller psums partials across shards first).
+
+    ``cache_q``: int8 KV cache with per-vector scales (both attention
+    contractions ride the int8 MXU — the K scale factors out of the
+    head_dim dot, the V scale folds into the requantized softmax
+    weights), same scheme as the single-chip stack kernel.
+    ``cache_chunk``: the cache stays in HBM (the kernel receives the
+    FULL local stack [L, B, Hkv_l, S, hd] plus the layer index) and
+    streams through double-buffered S-chunks with an online softmax —
+    VMEM no longer bounds S on the TP latency axis either.
+    """
     nq = n_heads_l * head_dim
     nkv = n_kv_l * head_dim
     nqkv = nq + 2 * nkv
     groups = n_heads_l // n_kv_l
     scale = head_dim ** -0.5
 
-    def kernel(layer_ref, offs_ref,
-               x_ref, attn_norm_ref, sqkv_ref, so_ref, cos_ref, sin_ref,
-               kc_ref, vc_ref, wqkv_hbm, wo_hbm,
-               yo_ref, kn_ref, vn_ref,
-               buf_qkv, buf_wo, sem_qkv, sem_wo):
+    def kernel(*refs):
+        # Optional int8-cache scale refs sit right after vc_ref; chunked
+        # mode appends (kbuf, vbuf, sem_kv) scratch at the very end.
+        if cache_chunk:
+            kbuf, vbuf, sem_kv = refs[-3:]
+            refs = refs[:-3]
+        (layer_ref, offs_ref,
+         x_ref, attn_norm_ref, sqkv_ref, so_ref, cos_ref, sin_ref,
+         kc_ref, vc_ref) = refs[:10]
+        idx = 10
+        if cache_q:
+            ks_ref, vs_ref = refs[idx:idx + 2]
+            idx += 2
+        (wqkv_hbm, wo_hbm,
+         yo_ref, kn_ref, vn_ref,
+         buf_qkv, buf_wo, sem_qkv, sem_wo) = refs[idx:idx + 9]
         layer = layer_ref[0]
         stream = _stream_factory(layer, plan,
                                  {"qkv": buf_qkv, "wo": buf_wo},
@@ -143,49 +164,176 @@ def _make_attn_half(B, D, S, n_heads_l, n_kv_l, head_dim, plan, eps, window,
 
         # Head-major local cache [B, Hkv_l, S, hd]; MXU contractions.
         qg = q.reshape(B * n_kv_l, groups, head_dim) * scale
-        kc = kc_ref[:].reshape(B * n_kv_l, S, head_dim)
-        vc = vc_ref[:].reshape(B * n_kv_l, S, head_dim)
-        scores = jax.lax.dot_general(
-            qg.astype(kc.dtype), kc,
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)  # [B*Hkv_l, G, S]
-        pos = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 2)
-        row = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
-        off3 = jnp.full(scores.shape, jnp.int32(0))
-        for b in range(B):
-            off3 = jnp.where(row // n_kv_l == b, offs_ref[b], off3)
-        if ring is None:
-            p_abs = pos
-            valid = pos < off3
-        else:
-            # Head+ring cache, same slot->position map as the
-            # single-chip stack kernel (decode_step_pallas.build_valid):
-            # slots [0, head) are permanent; ring slot r holds the
-            # largest p = head + r + size*c below offs.  Pure &/|
-            # composition (Mosaic cannot lower i1-operand selects).
-            head_n, size = ring
-            r = pos - head_n
-            wr = off3 - head_n
-            cycles = jnp.maximum(wr - 1 - r, 0) // size
-            in_head = pos < head_n
-            p_abs = jnp.where(in_head, pos, head_n + r + size * cycles)
-            valid = ((in_head & (pos < off3))
-                     | ((pos >= head_n) & (r < size) & (r < wr)))
-        if window is not None:
-            valid &= (off3 - p_abs) <= window
-        scores = jnp.where(valid, scores, -jnp.inf)
+        if cache_q:
+            qa = jnp.max(jnp.abs(qg), axis=-1, keepdims=True)
+            sq = jnp.maximum(qa, 1e-8) / 127.0
+            qq = jnp.clip(jnp.round(qg / sq), -127, 127).astype(jnp.int8)
+
+        def build_valid(shape, base):
+            """Per-row validity for a score tile whose slot axis maps to
+            absolute cache slot base + s (same mask composition as the
+            single-chip stack kernel: SMEM offsets selected with
+            static-B where over a row iota; ring map and window bound
+            as pure &/| — Mosaic layout constraints)."""
+            pos = base + jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+            row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+            off3 = jnp.full(shape, jnp.int32(0))
+            for b in range(B):
+                off3 = jnp.where(row // n_kv_l == b, offs_ref[b], off3)
+            if ring is None:
+                p_abs = pos
+                valid = pos < off3
+            else:
+                # Head+ring cache, same slot->position map as the
+                # single-chip stack kernel: slots [0, head) are
+                # permanent; ring slot r holds the largest
+                # p = head + r + size*c below offs.
+                head_n, size = ring
+                r = pos - head_n
+                wr = off3 - head_n
+                cycles = jnp.maximum(wr - 1 - r, 0) // size
+                in_head = pos < head_n
+                p_abs = jnp.where(in_head, pos, head_n + r + size * cycles)
+                valid = ((in_head & (pos < off3))
+                         | ((pos >= head_n) & (r < size) & (r < wr)))
+            if window is not None:
+                valid &= (off3 - p_abs) <= window
+            return valid
+
+        def scores_of(kcc, sc, base):
+            """Masked scores for one K tile [B*Hkv_l, Sc, hd]."""
+            if cache_q:
+                sc_ = jax.lax.dot_general(
+                    qq, kcc,
+                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32) * sq * sc[:, None, :]
+            else:
+                sc_ = jax.lax.dot_general(
+                    qg.astype(kcc.dtype), kcc,
+                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)  # [B*Hkv_l, G, Sc]
+            return jnp.where(build_valid(sc_.shape, base), sc_, -jnp.inf)
+
+        def ctx_of(e, vcc, vsc):
+            """softmax-weight x V tile contraction (int8 folds the
+            per-position V scale into the weights and requantizes)."""
+            if cache_q:
+                e_w = e * vsc[:, None, :]
+                ea = jnp.max(jnp.abs(e_w), axis=-1, keepdims=True)
+                se = jnp.maximum(ea, 1e-30) / 127.0
+                eq = jnp.clip(jnp.round(e_w / se), -127, 127
+                              ).astype(jnp.int8)
+                return jax.lax.dot_general(
+                    eq, vcc,
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32) * se
+            return jax.lax.dot_general(
+                e.astype(vcc.dtype), vcc,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+
         kf = k.reshape(B * n_kv_l, 1, head_dim)
         self_s = jnp.sum(qg * kf, axis=-1)
 
-        m = jnp.maximum(jnp.max(scores, axis=-1), self_s)
-        e_cache = jnp.exp(scores - m[..., None])
-        e_self = jnp.exp(self_s - m)
-        denom = jnp.sum(e_cache, axis=-1) + e_self
-        ctx = jax.lax.dot_general(
-            e_cache.astype(vc.dtype), vc,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
-        ctx = ctx + e_self[..., None] * v.reshape(B * n_kv_l, 1, head_dim)
+        if cache_chunk:
+            # HBM-resident local cache stack, streamed in double-buffered
+            # S-chunks with an online softmax (decode_step_pallas's
+            # chunked mode applied to the head shard).  Dynamic chunk
+            # bounds: only chunks intersecting the union of the rows'
+            # valid slot ranges are streamed.
+            Sc = cache_chunk
+            n_ch = S // Sc
+            max_off = offs_ref[0]
+            min_off = offs_ref[0]
+            for b in range(1, B):
+                max_off = jnp.maximum(max_off, offs_ref[b])
+                min_off = jnp.minimum(min_off, offs_ref[b])
+            if ring is None:
+                used = max_off
+                lo_pos = (jnp.maximum(min_off - window, 0)
+                          if window is not None else 0)
+            else:
+                used = jnp.minimum(max_off, ring[0] + ring[1])
+                lo_pos = 0
+            c_lo = lo_pos // Sc
+            n_used = jnp.minimum((used + Sc - 1) // Sc, n_ch)
+
+            def kv_dma(ci, slot):
+                return (
+                    pltpu.make_async_copy(
+                        kc_ref.at[layer, :, :, pl.ds(ci * Sc, Sc), :],
+                        kbuf.at[slot], sem_kv.at[0, slot]),
+                    pltpu.make_async_copy(
+                        vc_ref.at[layer, :, :, pl.ds(ci * Sc, Sc), :],
+                        vbuf.at[slot], sem_kv.at[1, slot]),
+                )
+
+            @pl.when(c_lo < n_used)
+            def _():
+                for cp in kv_dma(c_lo, jax.lax.rem(c_lo, 2)):
+                    cp.start()
+
+            # Finite -1e30 init keeps every carry finite (an all-masked
+            # chunk leaves m at -1e30; its weights are exactly 0).
+            m0 = jnp.full((B * n_kv_l, groups), -1e30, jnp.float32)
+            d0 = jnp.zeros((B * n_kv_l, groups), jnp.float32)
+            c0 = jnp.zeros((B * n_kv_l, groups, head_dim), jnp.float32)
+
+            def chunk_body(ci, carry):
+                m_r, d_r, ctx_r = carry
+
+                @pl.when(ci + 1 < n_used)
+                def _():
+                    nxt = jax.lax.rem(ci + 1, 2)
+                    for cp in kv_dma(ci + 1, nxt):
+                        cp.start()
+
+                slot = jax.lax.rem(ci, 2)
+                for cp in kv_dma(ci, slot):
+                    cp.wait()
+                kcc = kbuf[slot].reshape(B * n_kv_l, Sc, head_dim)
+                vcc = vbuf[slot].reshape(B * n_kv_l, Sc, head_dim)
+                if cache_q:
+                    ksc = ks_ref[:, :, pl.ds(ci * Sc, Sc)].reshape(
+                        B * n_kv_l, Sc)
+                    vsc = vs_ref[:, :, pl.ds(ci * Sc, Sc)].reshape(
+                        B * n_kv_l, Sc)
+                else:
+                    ksc = vsc = None
+                sc_ = scores_of(kcc, ksc, ci * Sc)
+                m_new = jnp.maximum(m_r, jnp.max(sc_, axis=-1))
+                alpha = jnp.exp(m_r - m_new)
+                e = jnp.exp(sc_ - m_new[..., None])
+                d_new = d_r * alpha + jnp.sum(e, axis=-1)
+                ctx_new = ctx_r * alpha[..., None] + ctx_of(e, vcc, vsc)
+                return m_new, d_new, ctx_new
+
+            m, denom, ctx = jax.lax.fori_loop(
+                c_lo, n_used, chunk_body, (m0, d0, c0))
+            m_f = jnp.maximum(m, self_s)
+            alpha = jnp.exp(m - m_f)
+            e_self = jnp.exp(self_s - m_f)
+            denom = denom * alpha + e_self
+            ctx = (ctx * alpha[..., None]
+                   + e_self[..., None] * v.reshape(B * n_kv_l, 1, head_dim))
+        else:
+            kc = kc_ref[:].reshape(B * n_kv_l, S, head_dim)
+            vc = vc_ref[:].reshape(B * n_kv_l, S, head_dim)
+            if cache_q:
+                ks = ks_ref[:].reshape(B * n_kv_l, S)
+                vs = vs_ref[:].reshape(B * n_kv_l, S)
+            else:
+                ks = vs = None
+            scores = scores_of(kc, ks, 0)
+            m = jnp.maximum(jnp.max(scores, axis=-1), self_s)
+            e_cache = jnp.exp(scores - m[..., None])
+            e_self = jnp.exp(self_s - m)
+            denom = jnp.sum(e_cache, axis=-1) + e_self
+            ctx = ctx_of(e_cache, vc, vs)
+            ctx = ctx + e_self[..., None] * v.reshape(B * n_kv_l, 1,
+                                                      head_dim)
         attn = (ctx / denom[..., None]).reshape(B, nq)
 
         xq, sx = _quant(attn)
@@ -224,13 +372,14 @@ def _make_ffn_half(B, D, hidden_l, plan, eps):
 @functools.partial(
     jax.jit,
     static_argnames=("n_heads_l", "n_kv_l", "head_dim", "eps", "interpret",
-                     "window", "ring"),
+                     "window", "ring", "cache_chunk"),
 )
 def attn_half_step(
     x, layer, offsets, attn_norm, sqkv, so, cos_b, sin_b,
     k_cache_l, v_cache_l, wqkv, wo,
+    k_scales_l=None, v_scales_l=None,
     n_heads_l=16, n_kv_l=4, head_dim=128, eps=1e-5, interpret=False,
-    window=None, ring=None,
+    window=None, ring=None, cache_chunk=None,
 ):
     """One layer's attention half on this shard's heads.
 
@@ -239,16 +388,34 @@ def attn_half_step(
     weights wqkv [L, nqkv_l, D] int8, wo [L, D, nq_l]; cos_b/sin_b [hd]
     or per-row [B, hd].  offsets scalar or per-row [B].
     Returns (wo_partial [B, D], k_new, v_new [B, Hkv_l, hd]).
+
+    int8 KV cache: pass int8 caches + per-vector ``k_scales_l`` /
+    ``v_scales_l`` [B, Hkv_l, S] f32 — k_new/v_new come back bf16 for
+    the caller to quantize + append (decode_stack_step semantics).
+    ``cache_chunk``: the caches are the FULL local stacks
+    [L, B, Hkv_l, S, hd], kept in HBM and streamed through
+    double-buffered S-chunks (S must be a multiple of the chunk).
     """
     B, D = x.shape
-    S = k_cache_l.shape[2]
+    S = k_cache_l.shape[-2]
     nq = n_heads_l * head_dim
     nqkv = nq + 2 * n_kv_l * head_dim
     plan = _half_plan({"qkv": (nqkv, D), "wo": (D, nq)})
     if plan is None:
         raise ValueError("attn_half_step: dims not tileable")
+    cache_q = k_cache_l.dtype == jnp.int8
+    if cache_q and (k_scales_l is None or v_scales_l is None):
+        raise ValueError("int8 KV cache needs k_scales_l/v_scales_l")
+    if cache_chunk is not None:
+        if S % cache_chunk:
+            raise ValueError(
+                f"cache_chunk {cache_chunk} must divide S {S}")
+        if k_cache_l.ndim != 5:
+            raise ValueError(
+                "chunked mode takes the full [L, B, Hkv_l, S, hd] stacks")
     kernel = _make_attn_half(B, D, S, n_heads_l, n_kv_l, head_dim, plan,
-                             eps, window, ring)
+                             eps, window, ring, cache_q=cache_q,
+                             cache_chunk=cache_chunk)
 
     offs = jnp.broadcast_to(jnp.asarray(offsets, jnp.int32).reshape(-1), (B,))
     cos3 = jnp.broadcast_to(
@@ -258,38 +425,66 @@ def attn_half_step(
         jnp.asarray(sin_b, jnp.float32).reshape(-1, 1, head_dim),
         (B, n_heads_l, head_dim))
 
+    cache_space = pl.ANY if cache_chunk else pltpu.VMEM
+    in_specs = (
+        [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6
+        + [pl.BlockSpec(memory_space=cache_space)] * 2
+        + ([pl.BlockSpec(memory_space=pltpu.VMEM)] * 2 if cache_q else [])
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 2
+    )
+    scratch = [
+        pltpu.VMEM((2, plan["qkv"][0], D), jnp.int8),
+        pltpu.VMEM((2, plan["wo"][0], nq), jnp.int8),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if cache_chunk:
+        scratch += [
+            pltpu.VMEM((2, B, n_kv_l, cache_chunk, head_dim),
+                       k_cache_l.dtype),
+            pltpu.VMEM((2, B, n_kv_l, cache_chunk, head_dim),
+                       v_cache_l.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 8
-        + [pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        in_specs=in_specs,
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 3,
-        scratch_shapes=[
-            pltpu.VMEM((2, plan["qkv"][0], D), jnp.int8),
-            pltpu.VMEM((2, plan["wo"][0], nq), jnp.int8),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
     )
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((B, D), jnp.float32),
-            jax.ShapeDtypeStruct((B, n_kv_l, head_dim), k_cache_l.dtype),
-            jax.ShapeDtypeStruct((B, n_kv_l, head_dim), v_cache_l.dtype),
-        ),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
-        interpret=interpret,
-    )(
-        jnp.asarray(layer, jnp.int32).reshape(1), offs,
+    kv_out = jnp.bfloat16 if cache_q else k_cache_l.dtype
+    operands = [
         x.astype(jnp.float32),
         attn_norm.astype(jnp.float32).reshape(1, D),
         sqkv.astype(jnp.float32).reshape(1, nqkv),
         so.astype(jnp.float32).reshape(1, D),
         cos3, sin3,
         k_cache_l, v_cache_l,
+    ]
+    if cache_q:
+        operands += [
+            k_scales_l.astype(jnp.float32).reshape(B, n_kv_l, S),
+            v_scales_l.astype(jnp.float32).reshape(B, n_kv_l, S),
+        ]
+    need = tp_attn_half_vmem(B, S, D, n_heads_l, n_kv_l, head_dim,
+                             jnp.dtype(k_cache_l.dtype).itemsize,
+                             cache_chunk)
+    limit = max(64 * 2**20, min(116 * 2**20, need))
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, n_kv_l, head_dim), kv_out),
+            jax.ShapeDtypeStruct((B, n_kv_l, head_dim), kv_out),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=limit),
+        interpret=interpret,
+    )(
+        jnp.asarray(layer, jnp.int32).reshape(1), offs,
+        *operands,
         wqkv, wo,
     )
 
@@ -404,8 +599,10 @@ def tp_decode_step(
     mesh, x, offsets,
     attn_norms, ffn_norms, ada_vecs, tp_w,
     cos_b, sin_b, k_cache, v_cache,
+    k_scales=None, v_scales=None,
     n_heads=32, n_kv=8, head_dim=128, eps=1e-5, interpret=False,
-    window=None, ring=None, model_axis="model", data_axis=None,
+    window=None, ring=None, cache_chunk=None,
+    model_axis="model", data_axis=None,
 ):
     """All decoder layers of one decode token, tensor-parallel.
 
@@ -420,6 +617,13 @@ def tp_decode_step(
     (head, size) head+ring cache layout for unbounded streams, same
     slot->position semantics as the single-chip stack kernel.
 
+    int8 KV cache: int8 caches + per-vector ``k_scales``/``v_scales``
+    [L, B, Hkv, S] f32 (sharded on the head axis like the caches);
+    k_new/v_new come back bf16 for the caller to quantize + append —
+    exactly decode_stack_step's contract.  ``cache_chunk`` keeps the
+    caches in HBM, streamed through double-buffered S-chunks inside the
+    attention halves (VMEM no longer bounds S under TP).
+
     ``data_axis``: optionally ALSO shard the batch dimension over a
     second mesh axis (DP x TP composition on one mesh — each (data,
     model) shard decodes B/dp rows against its weight shard; the psums
@@ -431,6 +635,9 @@ def tp_decode_step(
     tp = mesh.shape[model_axis]
     n_heads_l, n_kv_l = n_heads // tp, n_kv // tp
     L = attn_norms.shape[0]
+    cache_q = k_cache.dtype == jnp.int8
+    if cache_q and (k_scales is None or v_scales is None):
+        raise ValueError("int8 KV cache needs k_scales/v_scales")
     offs = jnp.broadcast_to(
         jnp.asarray(offsets, jnp.int32).reshape(-1), (x.shape[0],))
     cos2 = jnp.broadcast_to(
@@ -450,20 +657,33 @@ def tp_decode_step(
     vec_spec = P()                  # per-layer norm/scale vectors
     shard0 = P(model_axis)          # leading shard axis (squeezed inside)
     cache_spec = P(None, da, model_axis, None, None)
+    scale_spec = P(None, da, model_axis, None)
 
     def shard_fn(x, offs, cos2, sin2, an, fn, ad,
-                 wqkv, sqkv, wo, so, w13, s13, w2, s2, kc, vc):
+                 wqkv, sqkv, wo, so, w13, s13, w2, s2, kc, vc, ks, vs):
         wqkv, sqkv, wo, so = wqkv[0], sqkv[0], wo[0], so[0]
         w13, s13, w2, s2 = w13[0], s13[0], w2[0], s2[0]
 
         def layer_body(xc, inp):
-            (l, an_l, fn_l, ad_l, sq_l, so_l, s13_l, s2_l,
-             k_l, v_l) = inp
+            if cache_chunk:
+                # Chunked mode: the attention half DMA-slices layer l
+                # out of the FULL HBM-resident local stacks itself —
+                # scanning the caches would materialize an HBM->VMEM
+                # copy of a whole layer's cache per step.
+                (l, an_l, fn_l, ad_l, sq_l, so_l, s13_l, s2_l,
+                 *per_l) = inp
+                k_l, v_l = kc, vc
+            else:
+                (l, an_l, fn_l, ad_l, sq_l, so_l, s13_l, s2_l,
+                 k_l, v_l, *per_l) = inp
+            scale_kw = (dict(k_scales_l=per_l[-2], v_scales_l=per_l[-1])
+                        if cache_q else {})
             y, k_new, v_new = attn_half_step(
                 xc, l, offs, an_l, sq_l, so_l, cos2, sin2, k_l, v_l,
                 wqkv, wo, n_heads_l=n_heads_l, n_kv_l=n_kv_l,
                 head_dim=head_dim, eps=eps, interpret=interpret,
-                window=window, ring=ring)
+                window=window, ring=ring, cache_chunk=cache_chunk,
+                **scale_kw)
             xc = xc + jax.lax.psum(y, model_axis)
             z = ffn_half_step(
                 xc, l, fn_l, ad_l, s13_l, s2_l, w13, w2,
@@ -472,16 +692,25 @@ def tp_decode_step(
             return xc, (k_new, v_new)
 
         xs = (jnp.arange(L, dtype=jnp.int32), an, fn, ad,
-              sqkv, so, s13, s2, kc, vc)
+              sqkv, so, s13, s2)
+        if not cache_chunk:
+            xs += (kc, vc)
+        if cache_q:
+            xs += (ks, vs)
         x_out, (kn, vn) = jax.lax.scan(layer_body, x, xs)
         return x_out, kn, vn
 
+    if not cache_q:
+        # Zero-size placeholders keep shard_fn's arity static (shard_map
+        # in_specs must match positionally).
+        k_scales = v_scales = jnp.zeros((L, x.shape[0], n_kv, 0),
+                                        jnp.float32)
     return jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(rep, offs_spec, rep, rep, vec_spec, vec_spec, vec_spec,
                   shard0, shard0, shard0, shard0,
                   shard0, shard0, shard0, shard0,
-                  cache_spec, cache_spec),
+                  cache_spec, cache_spec, scale_spec, scale_spec),
         out_specs=(rep,
                    P(None, da, model_axis, None),
                    P(None, da, model_axis, None)),
@@ -491,7 +720,7 @@ def tp_decode_step(
       ada_vecs.astype(jnp.float32),
       tp_w["wqkv"], tp_w["sqkv"], tp_w["wo"], tp_w["so"],
       tp_w["w13"], tp_w["s13"], tp_w["w2"], tp_w["s2"],
-      k_cache, v_cache)
+      k_cache, v_cache, k_scales, v_scales)
 
 
 # ---------------------------------------------------------------------------
@@ -501,14 +730,37 @@ def tp_decode_step(
 # ---------------------------------------------------------------------------
 
 
+def tp_attn_half_vmem(B, S, D, n_heads_l, n_kv_l, head_dim,
+                      cache_itemsize=2, cache_chunk=None) -> int:
+    """VMEM bytes the attention half-kernel needs at this LOCAL shard
+    geometry (cache blocks or chunk double-buffers + weight tile buffers
+    + activations) — used to size its ``vmem_limit_bytes``."""
+    if cache_chunk:
+        cache = 4 * B * n_kv_l * cache_chunk * head_dim * cache_itemsize
+        if cache_itemsize == 1:
+            cache += 2 * B * n_kv_l * S * 4  # resident scale operands
+    else:
+        cache = 2 * B * n_kv_l * S * head_dim * cache_itemsize
+        if cache_itemsize == 1:
+            cache += 2 * B * n_kv_l * S * 4
+    bufs = 2 * 2 * 3 * 2**19          # 2 phases x 2 slots x tile budget
+    nqkv_l = (n_heads_l + 2 * n_kv_l) * head_dim
+    acts = 4 * B * max(D, nqkv_l) * 4
+    return cache + bufs + acts + 4 * 2**20
+
+
 def tp_vmem_need(B, S, D, n_heads, n_kv, head_dim, hidden, tp,
-                 cache_itemsize=2) -> Optional[int]:
+                 cache_itemsize=2, cache_chunk=None) -> Optional[int]:
     """Estimated per-layer VMEM bytes for the TP half-kernels at this
     geometry (the binding term is the attention half's local K+V cache
-    blocks [B, Hkv/tp, S, hd], VMEM-resident per call; the rotating
-    weight buffers are bounded by the 3*2^19 tile budget).  Callers
-    gate on ``need <= TP_VMEM_CAP`` before choosing the TP-fused pooled
-    path.  Returns None when the shard dims don't tile."""
+    blocks [B, Hkv/tp, S, hd], VMEM-resident per call — unless
+    ``cache_chunk`` keeps the cache in HBM, in which case only the
+    double-buffered S-chunks (+ resident int8 scale blocks) count; the
+    rotating weight buffers are bounded by the 3*2^19 tile budget).
+    ``cache_itemsize=1`` is the int8-KV variant, which adds per-vector
+    f32 scale blocks.  Callers gate on ``need <= TP_VMEM_CAP`` before
+    choosing the TP-fused pooled path.  Returns None when the shard
+    dims don't tile."""
     if n_kv % tp or hidden % tp:
         return None
     nq_l = (n_heads // tp) * head_dim
@@ -517,15 +769,25 @@ def tp_vmem_need(B, S, D, n_heads, n_kv, head_dim, hidden, tp,
                    "w13": (2 * hidden // tp, D),
                    "w2": (D, hidden // tp)}) is None:
         return None
-    cache = 2 * B * (n_kv // tp) * S * head_dim * cache_itemsize
+    if cache_chunk and S % cache_chunk:
+        return None
+    if cache_chunk:
+        cache = 4 * B * (n_kv // tp) * cache_chunk * head_dim * cache_itemsize
+        if cache_itemsize == 1:
+            cache += 2 * B * (n_kv // tp) * S * 4
+    else:
+        cache = 2 * B * (n_kv // tp) * S * head_dim * cache_itemsize
+        if cache_itemsize == 1:
+            cache += 2 * B * (n_kv // tp) * S * 4
     bufs = 4 * 2 * 3 * 2**19          # 4 phases x 2 slots x tile budget
     acts = 4 * B * max(D, 2 * hidden // tp, nqkv_l) * 4
     return cache + bufs + acts
 
 
-# The half-kernels request vmem_limit_bytes=64 MB; leave headroom for
-# Mosaic's own allocations.
-TP_VMEM_CAP = 56 * 2**20
+# The half-kernels raise vmem_limit_bytes up to 116 MB for big cache
+# geometries (decode_stack_step's validated ceiling on v5e); leave
+# headroom for Mosaic's own allocations.
+TP_VMEM_CAP = 108 * 2**20
 
 
 def tp_shard_lm_head(w8: Params, tp: int) -> Params:

@@ -357,11 +357,9 @@ def _fused_plan(model, batch: int, cache_s: int, itemsize: int = None,
     if par is not None and par.tp > 1:
         # Tensor-parallel fused decode (solo sessions AND pools): the
         # attn/ffn half-kernels under shard_map (ring-capable), greedy
-        # tokens via the vocab-sharded lm fold.  Model-dtype resident
-        # caches only (the halves have no int8-KV or chunked-cache
-        # mode).
-        if itemsize == 1 or chunk is not None:
-            return None
+        # tokens via the vocab-sharded lm fold.  The halves take the
+        # same cache ladder as the single-chip stack kernel: int8 KV
+        # (itemsize=1, per-vector scales) and/or the HBM-chunked cache.
         if getattr(model, "fused_tp", None) is None:
             return None
         if pool and par.dp > 1 and batch % par.dp:
@@ -373,10 +371,12 @@ def _fused_plan(model, batch: int, cache_s: int, itemsize: int = None,
 
         lm = model.config.language_model
         rows = batch // par.dp if pool and par.dp > 1 else batch
+        if itemsize is None:
+            itemsize = jnp.dtype(model.cache_dtype).itemsize
         need = tp_vmem_need(
             rows, cache_s, lm.dim,
             lm.n_heads, lm.n_kv_heads, lm.head_dim, lm.hidden_dim,
-            par.tp, jnp.dtype(model.cache_dtype).itemsize)
+            par.tp, itemsize, cache_chunk=chunk)
         if need is None or need > TP_VMEM_CAP:
             return None
         return {"w": model.fused_tp, "tp": par.tp,
@@ -750,7 +750,6 @@ class StreamPool:
                         tp_lm_head_token,
                     )
 
-                    step_kw.pop("cache_chunk")  # tp halves: resident only
                     xo, k_new, v_new = tp_decode_step(
                         self._tp_mesh, x, offs,
                         fused_w["attn_norm"], fused_w["ffn_norm"],
