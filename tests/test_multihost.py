@@ -1,0 +1,101 @@
+"""Multi-host (multi-process) DP: two JAX processes, collectives over
+Gloo, batch rows sharded across hosts — tokens must be identical to a
+single-process run of the same global batch.
+
+This is the DCN seam the single-process virtual mesh cannot exercise:
+``jax.distributed`` cluster init, cross-process device visibility,
+``make_array_from_process_local_data`` batch assembly, and per-host
+result fetch (``parallel/multihost.py``), all driven through the
+production runner ``scripts/multihost_dp.py``.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).parent.parent
+
+TINY_PARAMS = {
+    # Upstream params.json schema (config.VoxtralConfig.from_json):
+    # LM fields at top level, encoder under multimodal.whisper_model_args.
+    "dim": 32, "n_layers": 2, "n_heads": 4, "n_kv_heads": 2,
+    "head_dim": 8, "hidden_dim": 64, "vocab_size": 1280,
+    "sliding_window": 32, "rope_theta": 1e6, "norm_eps": 1e-5,
+    "tied_embeddings": True,
+    "ada_rms_norm_t_cond": True, "ada_rms_norm_t_cond_dim": 8,
+    "multimodal": {
+        "whisper_model_args": {
+            "encoder_args": {
+                "dim": 64, "n_layers": 2, "n_heads": 4, "n_kv_heads": 4,
+                "head_dim": 16, "hidden_dim": 128, "sliding_window": 32,
+                "max_source_positions": 1500,
+            },
+            "downsample_args": {"downsample_factor": 4},
+        }
+    },
+}
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _run_worker(args, out_path, extra_env=None, timeout=600):
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    env["XLA_FLAGS"] = ""  # don't inherit the conftest's 8-device flag
+    env["VOXTRAL_MEGAKERNEL"] = "force"  # fused DP decode path
+    env.update(extra_env or {})
+    cmd = [sys.executable, str(REPO / "scripts" / "multihost_dp.py"),
+           "--platform", "cpu", "--random-weights", "--dtype", "w8",
+           "--synthetic-rows", "4", "--seconds", "3",
+           "--out", str(out_path)] + args
+    return subprocess.Popen(cmd, cwd=REPO, env=env,
+                            stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT, text=True)
+
+
+def test_two_process_dp_matches_single_process(tmp_path):
+    params = tmp_path / "params.json"
+    params.write_text(json.dumps(TINY_PARAMS))
+    common = ["--params", str(params)]
+
+    # Single-process reference over the same 4 global rows (4 virtual
+    # devices so the DP sharding matches a 2x2 split too).
+    ref_out = tmp_path / "ref.json"
+    p = _run_worker(common + ["--virtual-devices", "4"], ref_out)
+    out, _ = p.communicate(timeout=600)
+    assert p.returncode == 0, out
+    ref = json.loads(ref_out.read_text())
+    assert sorted(ref) == ["0", "1", "2", "3"]
+    assert any(len(v) > 10 for v in ref.values())
+
+    # Two processes x 2 virtual devices = the same 4-way data axis,
+    # now spanning process boundaries (Gloo collectives).
+    port = _free_port()
+    coord = ["--coordinator", f"127.0.0.1:{port}", "--num-processes", "2",
+             "--virtual-devices", "2"]
+    outs = [tmp_path / "rows_0.json", tmp_path / "rows_1.json"]
+    procs = [
+        _run_worker(common + coord + ["--process-id", str(i)], outs[i])
+        for i in range(2)
+    ]
+    logs = [p.communicate(timeout=700)[0] for p in procs]
+    assert procs[0].returncode == 0, logs[0]
+    assert procs[1].returncode == 0, logs[1]
+
+    merged = {}
+    for o in outs:
+        rows = json.loads(o.read_text())
+        assert len(rows) == 2  # each host fetches only its local rows
+        merged.update(rows)
+    assert sorted(merged) == sorted(ref)
+    for k in ref:
+        assert merged[k] == ref[k], (k, merged[k], ref[k])

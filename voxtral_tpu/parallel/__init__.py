@@ -18,6 +18,15 @@ from voxtral_tpu.parallel.mesh import (
     replicate,
     shard_params,
 )
+from voxtral_tpu.parallel.multihost import (
+    global_batch,
+    init_multihost,
+    local_rows,
+    make_multihost_mesh,
+    process_row_range,
+)
 
 __all__ = ["DATA_AXIS", "MODEL_AXIS", "ParallelPlan", "dp_decode_stack_step",
-           "make_mesh", "param_shardings", "replicate", "shard_params"]
+           "global_batch", "init_multihost", "local_rows", "make_mesh",
+           "make_multihost_mesh", "param_shardings", "process_row_range",
+           "replicate", "shard_params"]
