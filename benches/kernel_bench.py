@@ -754,12 +754,132 @@ def suite_tp_lm(tps=(2, 4, 8), batches=(1, 8), short=20, long=220):
     return results
 
 
+def suite_tp_halves(tps=(2, 4), batches=(1, 4), seq=160,
+                    variants=("bf16", "int8", "int8-chunk"),
+                    short=8, long=40, chunk=512):
+    """Per-shard cost of ONE decoder layer under tensor parallelism —
+    attn_half_step + ffn_half_step chained at production tp-local
+    shapes, for each cache variant (bf16/int8 resident, int8
+    HBM-chunked).  This is the single-chip-measurable half of
+    tp_decode_step (the two psums need real multi-chip ICI); it is ALSO
+    the Mosaic compile+run validation for the TP cache modes (interpret
+    mode does not catch layout faults — CLAUDE.md).  The chunked
+    variant runs at ring-scale fill (S ~ 8.7k) since that is its
+    production geometry."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from voxtral_tpu.ops.decode_step_pallas import (
+        quantize_kv,
+        rope_pair_vectors,
+    )
+    from voxtral_tpu.ops.decode_tp_pallas import (
+        attn_half_step,
+        ffn_half_step,
+    )
+
+    D, H, HKV, HD, F = 3072, 32, 8, 128, 9216
+    L = 2  # stacked layers: alternate indices to exercise the DMA slicing
+    results = []
+    rng = np.random.RandomState(0)
+    for tp in tps:
+        h_l, hkv_l, f_l = H // tp, HKV // tp, F // tp
+        nq_l = h_l * HD
+        nqkv_l = nq_l + 2 * hkv_l * HD
+        w = {
+            "wqkv": jnp.asarray(rng.randint(-127, 128, (L, nqkv_l, D)),
+                                jnp.int8),
+            "sqkv": jnp.asarray(rng.rand(nqkv_l) * 1e-3, jnp.float32),
+            "wo": jnp.asarray(rng.randint(-127, 128, (L, D, nq_l)),
+                              jnp.int8),
+            "so": jnp.asarray(rng.rand(D) * 1e-3, jnp.float32),
+            "w13": jnp.asarray(rng.randint(-127, 128, (L, 2 * f_l, D)),
+                               jnp.int8),
+            "s13": jnp.asarray(rng.rand(2 * f_l) * 1e-3, jnp.float32),
+            "w2": jnp.asarray(rng.randint(-127, 128, (L, D, f_l)),
+                              jnp.int8),
+            "s2": jnp.asarray(rng.rand(D) * 1e-3, jnp.float32),
+            "norm": jnp.asarray(1 + rng.randn(D) * 0.05, jnp.float32),
+            "ada": jnp.asarray(1 + rng.randn(D) * 0.05, jnp.float32),
+        }
+        interp = jax.default_backend() != "tpu"
+        for variant in variants:
+            chunked = variant.endswith("chunk")
+            int8 = variant.startswith("int8")
+            S = -(-8448 // chunk) * chunk if chunked else seq
+            for b in batches:
+                kv = rng.randn(L, b, hkv_l, S, HD).astype(np.float32) * 0.3
+                kc_f = jnp.asarray(kv, jnp.bfloat16)
+                vc_f = jnp.asarray(kv[..., ::-1], jnp.bfloat16)
+                if int8:
+                    kc, ks = quantize_kv(kc_f)
+                    vc, vs = quantize_kv(vc_f)
+                else:
+                    kc, vc = kc_f, vc_f
+                    ks = vs = jnp.zeros((L, b, hkv_l, S), jnp.float32)
+                x0 = jnp.asarray(rng.randn(b, D) * 0.5, jnp.float32)
+                offs = jnp.full((b,), S - 8, jnp.int32)
+                cos_p, sin_p = rope_pair_vectors(
+                    jnp.asarray(S - 8), HD, 1e6)
+                kw = dict(n_heads_l=h_l, n_kv_l=hkv_l, head_dim=HD,
+                          eps=1e-5, interpret=interp, window=8192,
+                          cache_chunk=chunk if chunked else None)
+
+                def run(x0, w, kc, vc, ks, vs, length, b=b, kw=kw):
+                    def body(x, i):
+                        li = jax.lax.rem(i, L)
+                        k_l = kc if kw["cache_chunk"] else kc[li]
+                        v_l = vc if kw["cache_chunk"] else vc[li]
+                        sc = (dict(k_scales_l=ks[li], v_scales_l=vs[li])
+                              if int8 else {})
+                        y, kn, vn = attn_half_step(
+                            x, li, offs, w["norm"], w["sqkv"], w["so"],
+                            cos_p, sin_p, k_l, v_l,
+                            w["wqkv"], w["wo"], **sc, **kw)
+                        x = x + y
+                        z = ffn_half_step(
+                            x, li, w["norm"], w["ada"], w["s13"],
+                            w["s2"], w["w13"], w["w2"], eps=1e-5,
+                            interpret=kw["interpret"])
+                        # Data-chain the next iteration through the
+                        # outputs (defeats XLA folding across steps).
+                        x = x + z + 1e-6 * jnp.mean(
+                            kn.astype(jnp.float32)) * jnp.ones((b, D))
+                        return x, ()
+
+                    x, _ = jax.lax.scan(
+                        body, x0, jnp.arange(length, dtype=jnp.int32))
+                    return x[0, 0]
+
+                @functools.lru_cache(maxsize=None)
+                def _jitted(length, run=run):
+                    return jax.jit(functools.partial(run, length=length))
+
+                def runner(length):
+                    return _jitted(length)(x0, w, kc, vc, ks, vs)
+
+                per = _timed_slope(runner, short, long)
+                wbytes = (nqkv_l * D + D * nq_l + 2 * f_l * D + D * f_l)
+                cbytes = 2 * b * hkv_l * S * HD * (1 if int8 else 2)
+                if int8:
+                    cbytes += 2 * b * hkv_l * S * 4
+                r = {"bench": "tp_halves", "tp": tp, "variant": variant,
+                     "batch": b, "seq": S,
+                     "ms_per_layer": round(per * 1e3, 3),
+                     "eff_gbps": round((wbytes + cbytes) / per / 1e9, 1)}
+                results.append(r)
+                print(json.dumps(r), flush=True)
+    return results
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--suite", default="all",
                     choices=["all", "matmul", "step", "step-fused",
                              "step-int8kv", "step-chunked", "encode",
-                             "tp-lm"])
+                             "tp-lm", "tp-halves"])
     ap.add_argument("--m", default="1,2,8")
     ap.add_argument("--batch", default="1,2,4")
     ap.add_argument("--seq", type=int, default=160,
@@ -801,6 +921,9 @@ def main():
         suite_encode()
     if args.suite == "tp-lm":
         suite_tp_lm(batches=[int(x) for x in args.batch.split(",")])
+    if args.suite == "tp-halves":
+        suite_tp_halves(batches=[int(x) for x in args.batch.split(",")],
+                        seq=args.seq)
 
 
 if __name__ == "__main__":
