@@ -99,3 +99,27 @@ def test_two_process_dp_matches_single_process(tmp_path):
     assert sorted(merged) == sorted(ref)
     for k in ref:
         assert merged[k] == ref[k], (k, merged[k], ref[k])
+
+    # DP x TP across processes: the data axis spans hosts while each
+    # host's 2 devices form an intra-host model group (TP psums never
+    # cross the process boundary; the host boundary carries only the
+    # collective-free DP sharding).  Tokens must still match the
+    # single-process reference (TP's per-shard activation quant is
+    # finer-grained; these seeds have robust argmax margins).
+    port = _free_port()
+    coord = ["--coordinator", f"127.0.0.1:{port}", "--num-processes", "2",
+             "--virtual-devices", "2", "--tp", "2"]
+    outs = [tmp_path / "tp_rows_0.json", tmp_path / "tp_rows_1.json"]
+    procs = [
+        _run_worker(common + coord + ["--process-id", str(i)], outs[i])
+        for i in range(2)
+    ]
+    logs = [p.communicate(timeout=700)[0] for p in procs]
+    assert procs[0].returncode == 0, logs[0]
+    assert procs[1].returncode == 0, logs[1]
+    merged = {}
+    for o in outs:
+        merged.update(json.loads(o.read_text()))
+    assert sorted(merged) == sorted(ref)
+    for k in ref:
+        assert merged[k] == ref[k], (k, merged[k], ref[k])
