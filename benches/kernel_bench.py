@@ -756,7 +756,7 @@ def suite_tp_lm(tps=(2, 4, 8), batches=(1, 8), short=20, long=220):
 
 def suite_tp_halves(tps=(2, 4), batches=(1, 4), seq=160,
                     variants=("bf16", "int8", "int8-chunk"),
-                    short=8, long=40, chunk=512):
+                    short=None, long=None, chunk=512):
     """Per-shard cost of ONE decoder layer under tensor parallelism —
     attn_half_step + ffn_half_step chained at production tp-local
     shapes, for each cache variant (bf16/int8 resident, int8
@@ -765,7 +765,13 @@ def suite_tp_halves(tps=(2, 4), batches=(1, 4), seq=160,
     the Mosaic compile+run validation for the TP cache modes (interpret
     mode does not catch layout faults — CLAUDE.md).  The chunked
     variant runs at ring-scale fill (S ~ 8.7k) since that is its
-    production geometry."""
+    production geometry.
+
+    short/long (scan lengths) default to auto-sizing per shape: the
+    measured delta targets ~25 GB of layer traffic (~35 ms at HBM
+    speed) so tunnel jitter cannot swamp the slope (_timed_slope
+    contract) — at tp=4 a layer shard is <15 MB so fixed small windows
+    produce garbage."""
     import functools
 
     import jax
@@ -860,11 +866,16 @@ def suite_tp_halves(tps=(2, 4), batches=(1, 4), seq=160,
                 def runner(length):
                     return _jitted(length)(x0, w, kc, vc, ks, vs)
 
-                per = _timed_slope(runner, short, long)
                 wbytes = (nqkv_l * D + D * nq_l + 2 * f_l * D + D * f_l)
                 cbytes = 2 * b * hkv_l * S * HD * (1 if int8 else 2)
                 if int8:
                     cbytes += 2 * b * hkv_l * S * 4
+                if long is None:
+                    diff = max(64, min(6000, int(25e9 / (wbytes + cbytes))))
+                    lo, hi = max(16, diff // 10), max(16, diff // 10) + diff
+                else:
+                    lo, hi = short, long
+                per = _timed_slope(runner, lo, hi)
                 r = {"bench": "tp_halves", "tp": tp, "variant": variant,
                      "batch": b, "seq": S,
                      "ms_per_layer": round(per * 1e3, 3),
