@@ -111,6 +111,60 @@ def main() -> None:
     rtf = total / AUDIO_SECS
     tok_s = n_tokens / total
 
+    # Decode-stage tok/s — the reference's tok/s definition
+    # (e2e_bench.rs:236: tokens / decode-stage time).  Stage split via
+    # forced value fetches, same methodology as benches/e2e_bench.py.
+    from voxtral_tpu.audio import MelSpectrogram
+
+    mel_x = MelSpectrogram.voxtral()
+    chunks = chunk_audio(audio.samples, pipeline.chunk_config)
+    decode_s, stage_tokens = 0.0, 0
+
+    def stage_pass():
+        dec, toks = 0.0, 0
+        for ch in chunks:
+            padded = pad_audio(AudioBuffer(ch.samples, sr),
+                               pipeline.pad_config)
+            logmel = mel_x.compute_log_batch(padded.samples)
+            t0 = time.perf_counter()
+            embeds = model.encode_audio(model._cast_mel(logmel))
+            np.asarray(embeds[0, 0, :1])  # true sync (tunnel-safe)
+            enc = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            tokens = model.transcribe_streaming(logmel, delay_tokens=6.0)
+            full = time.perf_counter() - t0
+            dec += max(0.0, full - enc)
+            toks += len(tokens)
+        return dec, toks
+
+    stage_pass()  # warmup (separate encode entry point compiles here)
+    stage_runs = [stage_pass() for _ in range(ITERATIONS)]
+    decode_s = float(np.median([d for d, _ in stage_runs]))
+    stage_tokens = stage_runs[0][1]
+    tok_s_decode = stage_tokens / max(decode_s, 1e-9)
+    print(f"# decode stage: {decode_s*1000:.0f} ms, {stage_tokens} tokens "
+          f"-> {tok_s_decode:.1f} tok/s (reference definition)",
+          file=sys.stderr)
+
+    # Batch-8 aggregate throughput (one on-device scan decodes 8 files;
+    # decode weights stream once per step for the whole batch).
+    batch8_tok_s = None
+    if len(chunks) == 1:
+        padded = pad_audio(AudioBuffer(chunks[0].samples, sr),
+                           pipeline.pad_config)
+        logmel = mel_x.compute_log_batch(padded.samples)
+        mel8 = jnp.tile(jnp.asarray(logmel), (8, 1, 1))
+        tok8 = model.transcribe_streaming_batch(mel8, 6.0)  # warm/compile
+        bt = []
+        for _ in range(ITERATIONS):
+            t0 = time.perf_counter()
+            tok8 = model.transcribe_streaming_batch(mel8, 6.0)
+            bt.append(time.perf_counter() - t0)
+        bsecs = float(np.median(bt))
+        batch8_tok_s = int(tok8.shape[0] * tok8.shape[1]) / bsecs
+        print(f"# batch 8: {bsecs*1000:.0f} ms -> {batch8_tok_s:.0f} tok/s "
+              f"aggregate", file=sys.stderr)
+
     # Definitions (they differ, and the reference reports the second):
     #  * tok/s (total)  = tokens / WALL time of the whole pipeline call —
     #    mel + encode + decode + tunnel roundtrip + host fetch.
@@ -133,8 +187,14 @@ def main() -> None:
                 "unit": "ratio",
                 "vs_baseline": round(BASELINE_RTF / rtf, 2),
                 "tok_s_total_walltime": round(tok_s, 1),
+                "tok_s_decode_stage": round(tok_s_decode, 1),
+                "batch8_tok_s_aggregate": (
+                    round(batch8_tok_s, 1) if batch8_tok_s else None
+                ),
                 "definition": "RTF = wall/audio on the full pipeline "
-                "(mel+encode+decode+fetch, 16 s audio)",
+                "(mel+encode+decode+fetch, 16 s audio); tok_s_decode_stage "
+                "= tokens/decode-stage time (the reference's tok/s, "
+                "e2e_bench.rs:236)",
             }
         )
     )

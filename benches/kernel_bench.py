@@ -93,7 +93,7 @@ def bench_matmul_variant(name, make_fn, m, n, k, weight_bytes,
     import jax
     import jax.numpy as jnp
 
-    if long is None:
+    if short is None or long is None:
         # Size the measured iteration delta to ~40 GB of weight traffic
         # (~60 ms at HBM speed) so tunnel jitter cannot swamp the slope.
         diff = max(64, min(4000, int(4e10 / weight_bytes)))
@@ -770,8 +770,25 @@ def suite_tp_halves(tps=(2, 4), batches=(1, 4), seq=160,
     short/long (scan lengths) default to auto-sizing per shape: the
     measured delta targets ~25 GB of layer traffic (~35 ms at HBM
     speed) so tunnel jitter cannot swamp the slope (_timed_slope
-    contract) — at tp=4 a layer shard is <15 MB so fixed small windows
-    produce garbage."""
+    contract) — at tp=4 a HALF-kernel shard (one attn or ffn half) is
+    <15 MB (~29 MB for the full layer shard, ~58 MB at tp=2) so fixed
+    small windows produce garbage.
+
+    TP step projection (explicit, so the ICI assumption is auditable):
+
+        t_step = 26 * ms_per_layer + t_lm_fold + N_psum * t_psum
+        N_psum = 26 layers * 2 (post-attn-half, post-ffn-half)
+                 + 2 (lm fold pmax/pmin pair)  ~= 54
+        t_psum = ASSUMED 5-25 us on v5e ICI for a [B,3072] bf16
+                 activation (~6 KB/row): latency-bound small-message
+                 allreduce, NOT measured — this box has one chip.
+
+    At t_psum=10 us: tp=2 ~= 2.6 + 0.54 ~= 3.2 ms; tp=4 ~= 1.5 + 0.8
+    (larger ring) ~= 2.3 ms.  At 25 us, tp=2 ~= 4.0 ms — barely under
+    the 4.48 ms single-chip step, so TP only clearly pays if psums are
+    cheap/fusable.  tp=4 per-shard bandwidth already sags (553-641
+    GB/s vs 643-713 at tp=2); treat its projection as an upper bound
+    of benefit until real multi-chip hardware."""
     import functools
 
     import jax
@@ -870,7 +887,7 @@ def suite_tp_halves(tps=(2, 4), batches=(1, 4), seq=160,
                 cbytes = 2 * b * hkv_l * S * HD * (1 if int8 else 2)
                 if int8:
                     cbytes += 2 * b * hkv_l * S * 4
-                if long is None:
+                if short is None or long is None:
                     diff = max(64, min(6000, int(25e9 / (wbytes + cbytes))))
                     lo, hi = max(16, diff // 10), max(16, diff // 10) + diff
                 else:

@@ -15,9 +15,35 @@ FIXTURES = Path(__file__).parent / "fixtures"
 
 def test_normalize():
     assert normalize_text("Hello, World!") == "hello world"
-    assert normalize_text("don't  stop") == "don't stop"
+    # jiwer.RemovePunctuation deletes apostrophes with no space substitution
+    # (reference eval_wer.py:93-96): "don't" scores as "dont".
+    assert normalize_text("don't  stop") == "dont stop"
     assert normalize_text("'quoted' words") == "quoted words"
     assert normalize_text("a\tb\nc") == "a b c"
+    assert normalize_text("end.Start") == "endstart"
+    # Unicode punctuation (category P*) is removed too.
+    assert normalize_text("naïve — café’s") == "naïve cafés"
+
+
+def test_normalize_matches_jiwer():
+    """Bit-exact vs jiwer on a punctuation-heavy corpus (skips if absent)."""
+    jiwer = pytest.importorskip("jiwer")
+
+    def jiwer_norm(text):
+        return jiwer.RemoveMultipleSpaces()(
+            jiwer.Strip()(jiwer.ToLowerCase()(jiwer.RemovePunctuation()(text)))
+        )
+
+    corpus = [
+        "Don't stop -- it's John's dog!",
+        "Hello,   World?!  (yes)",
+        "end.Start; semi:colon — em–dash ‘curly’ “quotes”",
+        "  leading/trailing  ",
+        "numbers 1,234.56 and 100%",
+        "café's naïve résumé...",
+    ]
+    for text in corpus:
+        assert normalize_text(text) == jiwer_norm(text), text
 
 
 def test_edit_distance():

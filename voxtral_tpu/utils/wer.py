@@ -8,17 +8,24 @@ characters (CER).
 
 from __future__ import annotations
 
-import re
 import unicodedata
 
 
 def normalize_text(text: str) -> str:
-    """jiwer-equivalent normalization for ASR scoring."""
+    """jiwer-exact normalization for ASR scoring.
+
+    Mirrors the reference harness's pipeline
+    (``/root/reference/scripts/eval_wer.py:93-96``)::
+
+        RemoveMultipleSpaces()(Strip()(ToLowerCase()(RemovePunctuation()(text))))
+
+    ``jiwer.RemovePunctuation`` deletes every Unicode punctuation character
+    (category ``P*``) with NO space substitution — ``"don't" -> "dont"``,
+    ``"end.Start" -> "endstart"``.  Matching this exactly keeps our WER
+    numbers directly comparable to the reference's 8.49%/4.90% bars.
+    """
+    text = "".join(ch for ch in text if not unicodedata.category(ch).startswith("P"))
     text = text.lower()
-    text = unicodedata.normalize("NFKC", text)
-    # Strip punctuation but keep in-word apostrophes ("don't").
-    text = re.sub(r"[^\w\s']", " ", text)
-    text = re.sub(r"(?<!\w)'|'(?!\w)", " ", text)
     return " ".join(text.split())
 
 
