@@ -419,6 +419,122 @@ def suite_step_fused(batches, seq=160, short=8, long=40, lm_argmax=False):
     return results
 
 
+def suite_step_bf16(batches, seq=160, short=None, long=None):
+    """Full decode step through the stack kernel with DENSE bf16 weights
+    (the W8A8 accuracy hedge — ops/decode_step_pallas.py bf16 mode):
+    same schedule, bf16 weight tiles (256 rows vs 512 at the same byte
+    budget), bf16 x bf16 MXU dots, folded dense lm_head (the bf16
+    embedding table streams directly, no scales).  Expected ~2x the w8
+    step's bytes: 26 bf16 layers (~5.9 GB) + the 805 MB lm table
+    ~= 6.7 GB/step -> ~9 ms at the w8 path's 750 GB/s.  Slope windows
+    auto-size to ~60 GB of traffic (bench-timing contract)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from voxtral_tpu.config import VoxtralConfig
+    from voxtral_tpu.models.decoder import (
+        create_cache,
+        embed_tokens,
+        init_decoder_params,
+    )
+    from voxtral_tpu.models.layers import KVCache
+    from voxtral_tpu.ops.decode_step_pallas import (
+        decode_stack_step,
+        fuse_decode_weights_bf16,
+        rope_pair_vectors,
+    )
+
+    cfg = VoxtralConfig.voxtral()
+    lm_cfg = cfg.language_model
+    params = init_decoder_params(jax.random.PRNGKey(0), lm_cfg,
+                                 dtype=jnp.bfloat16)
+    fused = fuse_decode_weights_bf16(params)  # in-place nt rewrite
+    ada_vecs = jnp.ones((lm_cfg.n_layers, lm_cfg.dim), jnp.float32)
+
+    nq = lm_cfg.n_heads * lm_cfg.head_dim
+    nkv = lm_cfg.n_kv_heads * lm_cfg.head_dim
+    layer_bytes = 2 * (lm_cfg.dim * (nq + 2 * nkv) + nq * lm_cfg.dim
+                       + 3 * lm_cfg.dim * lm_cfg.hidden_dim)
+    step_bytes = lm_cfg.n_layers * layer_bytes \
+        + 2 * lm_cfg.vocab_size * lm_cfg.dim
+
+    results = []
+    for b in batches:
+        audio = jnp.asarray(
+            np.random.RandomState(0).randn(b, seq, lm_cfg.dim) * 0.05,
+            jnp.bfloat16,
+        )
+        cache0 = create_cache(lm_cfg, b, seq, dtype=jnp.bfloat16)
+        ck0 = jnp.transpose(cache0.k, (0, 1, 3, 2, 4))
+        cv0 = jnp.transpose(cache0.v, (0, 1, 3, 2, 4))
+
+        def run(params, fused, ada_vecs, audio, cache_k, cache_v, length, b):
+            tok0 = jnp.full((b,), 32, jnp.int32)
+            cache = KVCache(cache_k, cache_v, jnp.asarray(38, jnp.int32))
+
+            def step(carry, i):
+                prev, cache = carry
+                offset = cache.length
+                apos = jax.lax.dynamic_slice_in_dim(audio, 38, 1, axis=1)
+                text = embed_tokens(params, prev[:, None])
+                x = (apos + text)[:, 0, :].astype(jnp.float32)
+                cos_p, sin_p = rope_pair_vectors(
+                    offset, lm_cfg.head_dim, lm_cfg.rope_theta)
+
+                x, k_new, v_new, logits = decode_stack_step(
+                    x, offset,
+                    fused["attn_norm"], fused["ffn_norm"], ada_vecs,
+                    None, None, None, None,
+                    cos_p, sin_p, cache.k, cache.v,
+                    fused["wqkv"], fused["wo"], fused["w13"], fused["w2"],
+                    final_norm=params["norm"],
+                    lm_codes=params["tok_embeddings"], lm_scale=None,
+                    n_heads=lm_cfg.n_heads, n_kv=lm_cfg.n_kv_heads,
+                    head_dim=lm_cfg.head_dim, eps=lm_cfg.norm_eps,
+                )
+                zero = jnp.zeros((), jnp.int32)
+                start = (zero, zero, zero, offset, zero)
+                k_c = jax.lax.dynamic_update_slice(
+                    cache.k, k_new[:, :, :, None].astype(cache.k.dtype),
+                    start)
+                v_c = jax.lax.dynamic_update_slice(
+                    cache.v, v_new[:, :, :, None].astype(cache.v.dtype),
+                    start)
+                cache = KVCache(k_c, v_c, offset + 1)
+                token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                return (token, cache), token
+
+            (_, _), toks = jax.lax.scan(
+                step, (tok0, cache), jnp.arange(length, dtype=jnp.int32))
+            return toks[-1, 0]
+
+        @functools.lru_cache(maxsize=None)
+        def _jitted(length, b):
+            return jax.jit(functools.partial(run, length=length, b=b))
+
+        def runner(length, b=b, audio=audio, ck0=ck0, cv0=cv0):
+            return _jitted(length, b)(
+                params, fused, ada_vecs, audio, ck0, cv0)
+
+        if short is None or long is None:
+            diff = max(6, int(6e10 / step_bytes))
+            lo, hi = max(3, diff // 4), max(3, diff // 4) + diff
+        else:
+            lo, hi = short, long
+        per_step = _timed_slope(runner, lo, hi)
+        r = {
+            "bench": "decode_step_bf16", "batch": b, "seq": seq,
+            "ms_per_step": round(per_step * 1e3, 3),
+            "eff_gbps": round(step_bytes / per_step / 1e9, 1),
+            "tok_s_equiv": round(b / per_step, 1),
+        }
+        results.append(r)
+        print(json.dumps(r), flush=True)
+    return results
+
+
 def suite_step_int8kv(batches, seq=160, short=8, long=40):
     """Whole-stack decode step with the int8 KV cache (per-vector scales,
     both attention contractions on the int8 MXU, quantize-at-append).
@@ -906,8 +1022,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--suite", default="all",
                     choices=["all", "matmul", "step", "step-fused",
-                             "step-int8kv", "step-chunked", "encode",
-                             "tp-lm", "tp-halves"])
+                             "step-bf16", "step-int8kv", "step-chunked",
+                             "encode", "tp-lm", "tp-halves"])
     ap.add_argument("--m", default="1,2,8")
     ap.add_argument("--batch", default="1,2,4")
     ap.add_argument("--seq", type=int, default=160,
@@ -940,6 +1056,9 @@ def main():
     if args.suite == "step-fused":
         suite_step_fused([int(x) for x in args.batch.split(",")],
                          seq=args.seq, lm_argmax=args.lm_argmax)
+    if args.suite == "step-bf16":
+        suite_step_bf16([int(x) for x in args.batch.split(",")],
+                        seq=args.seq)
     if args.suite == "step-int8kv":
         suite_step_int8kv([int(x) for x in args.batch.split(",")],
                           seq=args.seq)

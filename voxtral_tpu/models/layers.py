@@ -49,15 +49,27 @@ Params = dict[str, Any]
 def linear(x: jax.Array, w, b: Optional[jax.Array] = None) -> jax.Array:
     """y = x @ w (+ b). Accumulates in f32 on the MXU.
 
-    ``w`` is either a dense [in, out] array or a Q4_0 dict
+    ``w`` is either a dense [in, out] array, a Q4_0 dict
     ``{"q4": {codes, scales, ...}}`` (stored [out, in] — see
-    :mod:`voxtral_tpu.ops.q4`), dispatched to the fused dequant matmul.
+    :mod:`voxtral_tpu.ops.q4`) dispatched to the fused dequant matmul,
+    a w8 dict likewise, or ``{"nt": w}`` — a dense [out, in] array (the
+    bf16 stack kernel's streaming layout, shared buffer-for-buffer with
+    the fused decode stacks; see
+    ops.decode_step_pallas.fuse_decode_weights_bf16) contracted directly
+    without materializing a transpose.
     """
     if isinstance(w, dict):
         if "q4" in w:
             from voxtral_tpu.ops.q4 import q4_matmul
 
             y = q4_matmul(x, w["q4"])
+        elif "nt" in w:
+            wt = w["nt"]
+            y = jax.lax.dot_general(
+                x, wt,
+                dimension_numbers=(((x.ndim - 1,), (wt.ndim - 1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
         else:
             from voxtral_tpu.ops.w8 import w8_matmul
 

@@ -196,13 +196,16 @@ def transcribe_streaming_fn(
         # reduction points); DP wraps the stack kernel in a batch-sharded
         # shard_map.  tp takes precedence on a combined mesh (dp x tp
         # fused composition rides the XLA path).
+        bf16_w = isinstance(fused["wqkv"], tuple)
+        witem = 2 if bf16_w else 1
         use_tp = (parallel is not None and parallel.tp > 1
-                  and fused["wqkv"].ndim == 4)
+                  and not bf16_w and fused["wqkv"].ndim == 4)
         use_dp = (parallel is not None and not use_tp and parallel.dp > 1
                   and batch % parallel.dp == 0)
-        use_stack = not use_tp and supports_stack_kernel(lm_cfg)
+        use_stack = not use_tp and supports_stack_kernel(lm_cfg, witem)
         # Fold final norm + tied lm_head into the stack kernel when the
-        # embedding table is w8 and the vocab tiles cleanly.
+        # embedding table matches the weight mode (w8 dict / dense bf16)
+        # and the vocab tiles cleanly.
         from voxtral_tpu.ops.decode_step_pallas import (
             STACK_VMEM_CAP,
             _lm_tile,
@@ -211,10 +214,13 @@ def transcribe_streaming_fn(
 
         emb = params["decoder"]["tok_embeddings"]
         lm_w8 = emb.get("w8") if isinstance(emb, dict) else None
-        fold_lm = (
-            use_stack
-            and lm_w8 is not None
-            and _lm_tile(lm_w8["codes"].shape[0], lm_cfg.dim) is not None
+        lm_dense = (emb if bf16_w and not isinstance(emb, dict) else None)
+        fold_lm = use_stack and (
+            (lm_w8 is not None and not bf16_w
+             and _lm_tile(lm_w8["codes"].shape[0], lm_cfg.dim) is not None)
+            or (lm_dense is not None
+                and _lm_tile(lm_dense.shape[0], lm_cfg.dim, witem)
+                is not None)
         )
         # VMEM gate (same rule as streaming._fused_plan): the pipeline can
         # merge many chunks into one batch, and per-row cache + logits VMEM
@@ -231,19 +237,26 @@ def transcribe_streaming_fn(
                 return stack_vmem_need(
                     gate_batch, seq_len, lm_cfg.dim, lm_cfg.n_heads,
                     lm_cfg.n_kv_heads, lm_cfg.head_dim, lm_cfg.hidden_dim,
-                    vocab, itemsize,
+                    vocab, itemsize, weight_itemsize=witem,
                 )
 
             if fold_lm:
-                need = _need(lm_w8["codes"].shape[0])
+                vocab = (lm_dense.shape[0] if lm_dense is not None
+                         else lm_w8["codes"].shape[0])
+                need = _need(vocab)
                 if need is None or need > STACK_VMEM_CAP:
                     fold_lm = False
             if not fold_lm:
                 need = _need(None)
                 if need is None or need > STACK_VMEM_CAP:
                     use_stack = False
+        if bf16_w and not use_stack:
+            # The per-layer fallback kernel is w8-only; dense models
+            # without a stack plan ride the XLA step.
+            fused = None
         use_dp = use_dp and use_stack
-        if parallel is not None and not (use_tp or use_stack):
+        if fused is not None and parallel is not None \
+                and not (use_tp or use_stack):
             # A sharded model must never hit the per-layer Pallas fallback
             # (pallas_call cannot be auto-partitioned); the XLA step path
             # below partitions automatically from the parameter shardings.
@@ -321,7 +334,13 @@ def transcribe_streaming_fn(
                 # carries the cache head-major ([L, B, Hkv, S, hd]) so
                 # the kernel's attention dots need no transpose.
                 lm_kw = {}
-                if fold_lm:
+                if fold_lm and lm_dense is not None:
+                    lm_kw = dict(
+                        final_norm=params["decoder"]["norm"],
+                        lm_codes=lm_dense.astype(jnp.bfloat16),
+                        lm_scale=None,
+                    )
+                elif fold_lm:
                     lm_kw = dict(
                         final_norm=params["decoder"]["norm"],
                         lm_codes=lm_w8["codes"],
@@ -502,22 +521,42 @@ class VoxtralModel:
         # disables, =force enables off-TPU (interpret mode, tests only).
         import os
 
-        from voxtral_tpu.ops.decode_step_pallas import supports_megakernel
+        from voxtral_tpu.ops.decode_step_pallas import megakernel_mode
 
         mk_env = os.environ.get("VOXTRAL_MEGAKERNEL", "1")
         on_tpu = jax.default_backend() == "tpu"
         lm = cfg.language_model
+        mode = megakernel_mode(params["decoder"], lm.head_dim)
         use_mk = (
             mk_env != "0"
-            and supports_megakernel(params["decoder"], lm.head_dim)
+            and mode is not None
             and ((on_tpu and lm.head_dim == 128) or mk_env == "force")
         )
+        if mode == "bf16" and mesh is not None:
+            # Sharded dense models ride the GSPMD-partitioned XLA path;
+            # the nt-rewrite would break the named sharding specs.
+            use_mk = False
         self.fused_decode = None
+        self.megakernel_weights = None
         self._mk_interpret = False
         if use_mk:
-            from voxtral_tpu.ops.decode_step_pallas import fuse_decode_weights
+            if mode == "w8":
+                from voxtral_tpu.ops.decode_step_pallas import (
+                    fuse_decode_weights,
+                )
 
-            self.fused_decode = fuse_decode_weights(params["decoder"])
+                self.fused_decode = fuse_decode_weights(params["decoder"])
+            else:
+                # bf16 dense: memory-neutral — the decoder layer leaves
+                # are rewritten in place to the kernel's [L, N, K]
+                # layout ({"nt": w}), shared by prefill and the kernel.
+                from voxtral_tpu.ops.decode_step_pallas import (
+                    fuse_decode_weights_bf16,
+                )
+
+                self.fused_decode = fuse_decode_weights_bf16(
+                    params["decoder"])
+            self.megakernel_weights = mode
             self._mk_interpret = not on_tpu
 
         # Multi-chip surface: shard the params onto the mesh and prepare

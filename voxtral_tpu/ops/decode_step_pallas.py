@@ -315,7 +315,21 @@ def decode_layer_step(
 # ---------------------------------------------------------------------------
 
 
-def _stack_plan(D, nqkv, nq, hidden):
+def _stack_segs(nqkv, nq, nkv, hidden, wq8: bool):
+    """Per-phase HBM source segments (row counts along the streamed N
+    axis).  The w8 path streams CONCATENATED stacks (one array per
+    phase); the bf16 path streams each transposed dense leaf directly
+    (wq/wk/wv, w1/w3) so fusing never duplicates the 6 GB of decoder
+    weights — the same arrays serve prefill via the ``{"nt": w}``
+    leaves (models/layers.linear)."""
+    if wq8:
+        return {"qkv": [nqkv], "wo": [nq], "w13": [2 * hidden],
+                "w2": [hidden]}
+    return {"qkv": [nq, nkv, nkv], "wo": [nq], "w13": [hidden, hidden],
+            "w2": [hidden]}
+
+
+def _stack_plan(D, nqkv, nq, hidden, itemsize=1, segs=None):
     """Per-phase weight-tile plan for the stacked kernel.
 
     Each phase (qkv, wo, w13, w2) gets its OWN rotating buffer
@@ -323,6 +337,12 @@ def _stack_plan(D, nqkv, nq, hidden):
     next phases' leading tiles prefetch during the current phase's last
     iterations — so the DMA pipe stays busy through the inter-phase
     epilogues (attention / SwiGLU VPU work) and across layer boundaries.
+
+    ``itemsize`` is the WEIGHT dtype's (1 = int8, 2 = bf16 — the tile
+    budget is in bytes, so bf16 tiles carry half the rows).  ``segs``
+    optionally lists per-phase HBM segment row counts (bf16 streams
+    separate per-leaf arrays); a tile must never straddle a segment
+    boundary, so the tile height must divide every segment.
     Returns {phase: (tile, n_tiles, K, N)} or None if any phase can't
     tile.
     """
@@ -334,13 +354,15 @@ def _stack_plan(D, nqkv, nq, hidden):
     }
     plan = {}
     for name, (n_out, k_in) in phases.items():
+        rows = segs[name] if segs else [n_out]
         t = 512
         # The 1.5 MB tile budget is LOAD-BEARING: raising it to 2 MB
         # (wo -> 512x4096 tiles) hard-faults the TPU worker ("kernel
         # fault", r2 + r3 tuning experiments) — do not bump without a
         # fault-isolated bisect.  VOXTRAL_STACK_TILE_KB overrides for
         # such experiments only.  Measured healthy: 4.48 ms/step.
-        while t >= 8 and (n_out % t or t * k_in > _TILE_BUDGET):
+        while t >= 8 and (any(r % t for r in rows)
+                          or t * k_in * itemsize > _TILE_BUDGET):
             t //= 2
         if t < 8:
             return None
@@ -405,10 +427,10 @@ LM_PRE, LM_SLOTS = _env_int("VOXTRAL_LM_PRE", 2), _env_int("VOXTRAL_LM_PRE", 2) 
 STACK_TAILS = _build_schedule(STACK_PRE)
 
 
-def _lm_tile(V, D):
+def _lm_tile(V, D, itemsize=1):
     """Row-tile for the folded lm_head phase (own rotating buffer)."""
     t = 512
-    while t >= 8 and (V % t or t * D > 2 * 2**20):
+    while t >= 8 and (V % t or t * D * itemsize > 2 * 2**20):
         t //= 2
     return t if t >= 8 else None
 
@@ -419,7 +441,7 @@ STACK_VMEM_CAP = 116 * 2**20
 
 def stack_vmem_need(B, S, D, n_heads, n_kv, head_dim, hidden,
                     vocab=None, cache_itemsize=2,
-                    cache_chunk=None) -> Optional[int]:
+                    cache_chunk=None, weight_itemsize=1) -> Optional[int]:
     """Estimated VMEM bytes for ``decode_stack_step`` at this geometry.
 
     Dominated by (a) the per-layer weight-tile rotating buffers and
@@ -432,11 +454,15 @@ def stack_vmem_need(B, S, D, n_heads, n_kv, head_dim, hidden,
     ``need <= STACK_VMEM_CAP`` before choosing the fused path.
     """
     nq = n_heads * head_dim
-    nqkv = nq + 2 * n_kv * head_dim
-    plan = _stack_plan(D, nqkv, nq, hidden)
+    nkv = n_kv * head_dim
+    nqkv = nq + 2 * nkv
+    plan = _stack_plan(D, nqkv, nq, hidden, itemsize=weight_itemsize,
+                       segs=_stack_segs(nqkv, nq, nkv, hidden,
+                                        weight_itemsize == 1))
     if plan is None:
         return None
-    need = sum(STACK_SLOTS[n] * plan[n][0] * plan[n][2] for n in plan)
+    need = sum(STACK_SLOTS[n] * plan[n][0] * plan[n][2] * weight_itemsize
+               for n in plan)
     if cache_chunk:
         # k+v chunk double buffers (cache itself stays in HBM).
         need += 4 * B * n_kv * cache_chunk * head_dim * cache_itemsize
@@ -450,17 +476,19 @@ def stack_vmem_need(B, S, D, n_heads, n_kv, head_dim, hidden,
             # int8 cache carries per-position f32 scale blocks.
             need += 4 * B * n_kv * S * 4
     if vocab is not None:
-        t = _lm_tile(vocab, D)
+        t = _lm_tile(vocab, D, weight_itemsize)
         if t is None:
             return None
-        need += LM_SLOTS * t * D + 2 * B * vocab * 4  # lm buffer + logits
+        # lm buffer + logits
+        need += LM_SLOTS * t * D * weight_itemsize + 2 * B * vocab * 4
     need += 8 * 2**20  # x scratch, vector blocks, margin
     return need
 
 
 def _make_stack_kernel(B, D, S, L, n_heads, n_kv, head_dim, hidden, plan,
                        eps, lm, window, ring, cache_q=False,
-                       lm_argmax=False, cache_chunk=None):
+                       lm_argmax=False, cache_chunk=None, wq8=True,
+                       seg_rows=None, spec=1):
     """Kernel body for one grid step = one decoder layer.
 
     The residual stream lives in VMEM scratch across grid steps (the TPU
@@ -483,6 +511,9 @@ def _make_stack_kernel(B, D, S, L, n_heads, n_kv, head_dim, hidden, plan,
     scale = head_dim ** -0.5
     order = ("qkv", "wo", "w13", "w2")
     pidx = {name: i for i, name in enumerate(order)}
+    if seg_rows is None:
+        seg_rows = _stack_segs(nqkv, nq, nkv, hidden, wq8)
+    n_wrefs = sum(len(seg_rows[name]) for name in order)
 
     def kernel(*refs):
         # Optional int8-cache scale refs sit right after vc_ref; chunked
@@ -491,39 +522,61 @@ def _make_stack_kernel(B, D, S, L, n_heads, n_kv, head_dim, hidden, plan,
         if cache_chunk:
             kbuf, vbuf, sem_kv = refs[-3:]
             refs = refs[:-3]
+        (offs_ref,
+         x_ref, attn_norm_ref, ffn_norm_ref, ada_ref,
+         sqkv_ref, so_ref, s13_ref, s2_ref, cos_ref, sin_ref,
+         kc_ref, vc_ref) = refs[:13]
+        rest = list(refs[13 + nsc:])
         if lm is not None:
-            (offs_ref,
-             x_ref, attn_norm_ref, ffn_norm_ref, ada_ref,
-             sqkv_ref, so_ref, s13_ref, s2_ref, cos_ref, sin_ref,
-             kc_ref, vc_ref) = refs[:13]
-            (fnorm_ref, lms_ref,
-             wqkv_hbm, wo_hbm, w13_hbm, w2_hbm, lm_hbm,
-             xo_ref, kn_ref, vn_ref, logits_ref,
-             buf_qkv, buf_wo, buf_w13, buf_w2, buf_lm, x_s, sem) = \
-                refs[13 + nsc:]
+            fnorm_ref, lms_ref = rest[:2]
+            rest = rest[2:]
+        w_refs, rest = rest[:n_wrefs], rest[n_wrefs:]
+        if lm is not None:
+            lm_hbm = rest[0]
+            (xo_ref, kn_ref, vn_ref, logits_ref,
+             buf_qkv, buf_wo, buf_w13, buf_w2, buf_lm, x_s, sem) = rest[1:]
         else:
-            (offs_ref,
-             x_ref, attn_norm_ref, ffn_norm_ref, ada_ref,
-             sqkv_ref, so_ref, s13_ref, s2_ref, cos_ref, sin_ref,
-             kc_ref, vc_ref) = refs[:13]
-            (wqkv_hbm, wo_hbm, w13_hbm, w2_hbm,
-             xo_ref, kn_ref, vn_ref,
-             buf_qkv, buf_wo, buf_w13, buf_w2, x_s, sem) = refs[13 + nsc:]
+            (xo_ref, kn_ref, vn_ref,
+             buf_qkv, buf_wo, buf_w13, buf_w2, x_s, sem) = rest
         if cache_q:
             ks_ref, vs_ref = refs[13:15]
 
         l = pl.program_id(0)
-        hbm = {"qkv": wqkv_hbm, "wo": wo_hbm, "w13": w13_hbm, "w2": w2_hbm}
+        hbm = {}
+        wi = 0
+        for name in order:
+            n = len(seg_rows[name])
+            hbm[name] = list(zip(w_refs[wi:wi + n], seg_rows[name]))
+            wi += n
         bufs = {"qkv": buf_qkv, "wo": buf_wo, "w13": buf_w13, "w2": buf_w2}
 
         def dma(name, li, j):
+            # Tile j of the phase's virtual N axis may live in any of the
+            # phase's HBM segments (bf16 streams separate per-leaf
+            # arrays); the plan guarantees a tile never straddles a
+            # boundary, so the segment walk is static Python.
             t = plan[name][0]
             s = STACK_SLOTS[name]
+            row = j * t
+            src = None
+            for ref, rows in hbm[name]:
+                if row < rows:
+                    src = ref.at[li, pl.ds(row, t), :]
+                    break
+                row -= rows
             return pltpu.make_async_copy(
-                hbm[name].at[li, pl.ds(j * t, t), :],
+                src,
                 bufs[name].at[j % s],
                 sem.at[pidx[name], j % s],
             )
+
+        def prep(h):
+            """Activation prep for the streamed matmuls: int8 rowwise
+            quant on the w8 path; a bf16 cast (f32 MXU accumulate) on
+            the dense path."""
+            if wq8:
+                return _quant(h)
+            return h.astype(jnp.bfloat16), None
 
         def lm_dma(j):
             t = lm[1]
@@ -574,12 +627,16 @@ def _make_stack_kernel(B, D, S, L, n_heads, n_kv, head_dim, hidden, plan,
                     z = jax.lax.dot_general(
                         xq, bufs[name][j % STACK_SLOTS[name]],
                         dimension_numbers=(((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.int32,
+                        preferred_element_type=(jnp.int32 if wq8
+                                                else jnp.float32),
                     )
-                    outs.append(
-                        z.astype(jnp.float32) * sx
-                        * scale_ref[0, 0, j * t:(j + 1) * t][None, :]
-                    )
+                    if wq8:
+                        outs.append(
+                            z.astype(jnp.float32) * sx
+                            * scale_ref[0, 0, j * t:(j + 1) * t][None, :]
+                        )
+                    else:
+                        outs.append(z)  # bf16 weights carry no row scales
                 return jnp.concatenate(outs, axis=-1)
 
             tails = {
@@ -592,7 +649,7 @@ def _make_stack_kernel(B, D, S, L, n_heads, n_kv, head_dim, hidden, plan,
             # ---- attention block -----------------------------------------
             var = jnp.mean(x * x, axis=-1, keepdims=True)
             h = x * jax.lax.rsqrt(var + eps) * attn_norm_ref[0]
-            xq, sx = _quant(h)
+            xq, sx = prep(h)
             qkv = stream("qkv", xq, sx, sqkv_ref, tails["qkv"])
             q = qkv[:, :nq].reshape(B, n_heads, head_dim)
             k = qkv[:, nq:nq + nkv].reshape(B, n_kv, head_dim)
@@ -608,6 +665,154 @@ def _make_stack_kernel(B, D, S, L, n_heads, n_kv, head_dim, hidden, plan,
             k = k * ck + _rope_swap(k) * sk_
             kn_ref[0] = k.astype(kn_ref.dtype)
             vn_ref[0] = v.astype(vn_ref.dtype)
+
+            if spec > 1:
+                # ---- speculative K-token verification --------------------
+                # Rows are (stream b, draft slot j): row = b*spec + j.
+                # All K rows of a stream share ONE cache (positions
+                # < offs[b]); row j's query sits at offs[b] + j and
+                # additionally attends the FRESH K/V of rows i <= j of
+                # the same stream — a tiny causal block among the drafts
+                # computed in-register (K(K+1)/2 VPU dots).  One weight
+                # pass verifies K drafted tokens: exact greedy semantics
+                # regardless of draft quality (the caller accepts the
+                # longest matching prefix).  ROADMAP r4 #5.
+                Bl = B // spec
+                kcS = kc_ref[0].reshape(Bl * n_kv, S, head_dim)
+                vcS = vc_ref[0].reshape(Bl * n_kv, S, head_dim)
+                if cache_q:
+                    ksS = ks_ref[0].reshape(Bl * n_kv, S)
+                    vsS = vs_ref[0].reshape(Bl * n_kv, S)
+                qS = q.reshape(Bl, spec, n_heads, head_dim)
+                kS = k.reshape(Bl, spec, n_kv, head_dim)
+                vS = v.reshape(Bl, spec, n_kv, head_dim)
+
+                def valid_spec(shape, j):
+                    """Cache validity for draft row j (query position
+                    offs[b] + j); same layout rules as build_valid."""
+                    pos = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+                    row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+                    off3 = jnp.full(shape, jnp.int32(0))
+                    for b in range(Bl):
+                        off3 = jnp.where(row // n_kv == b, offs_ref[b],
+                                         off3)
+                    if ring is None:
+                        p_abs = pos
+                        valid = pos < off3
+                    else:
+                        head_n, size = ring
+                        r = pos - head_n
+                        wr = off3 - head_n
+                        cycles = jnp.maximum(wr - 1 - r, 0) // size
+                        in_head = pos < head_n
+                        p_abs = jnp.where(in_head, pos,
+                                          head_n + r + size * cycles)
+                        valid = ((in_head & (pos < off3))
+                                 | ((pos >= head_n) & (r < size)
+                                    & (r < wr)))
+                    if window is not None:
+                        valid &= (off3 + j - p_abs) <= window
+                    return valid
+
+                attn_js = []
+                for j in range(spec):
+                    qj = qS[:, j].reshape(Bl * n_kv, groups,
+                                          head_dim) * scale
+                    if cache_q:
+                        qa = jnp.max(jnp.abs(qj), axis=-1, keepdims=True)
+                        sqj = jnp.maximum(qa, 1e-8) / 127.0
+                        qqj = jnp.clip(jnp.round(qj / sqj), -127, 127
+                                       ).astype(jnp.int8)
+                        sj = jax.lax.dot_general(
+                            qqj, kcS,
+                            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.int32,
+                        ).astype(jnp.float32) * sqj * ksS[:, None, :]
+                    else:
+                        sj = jax.lax.dot_general(
+                            qj.astype(kcS.dtype), kcS,
+                            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32,
+                        )
+                    sj = jnp.where(valid_spec(sj.shape, j), sj, -jnp.inf)
+
+                    selfs = []
+                    for i in range(j + 1):
+                        if window is not None and (j - i) > window:
+                            continue  # static: drafts beyond the band
+                        ki = kS[:, i].reshape(Bl * n_kv, 1, head_dim)
+                        selfs.append(
+                            (i, jnp.sum(qj * ki, axis=-1)))  # [Bl*Hkv, G]
+
+                    m = jnp.max(sj, axis=-1)
+                    for _, si in selfs:
+                        m = jnp.maximum(m, si)
+                    e_cache = jnp.exp(sj - m[..., None])
+                    denom = jnp.sum(e_cache, axis=-1)
+                    if cache_q:
+                        e_w = e_cache * vsS[:, None, :]
+                        ea = jnp.max(jnp.abs(e_w), axis=-1, keepdims=True)
+                        se = jnp.maximum(ea, 1e-30) / 127.0
+                        eq = jnp.clip(jnp.round(e_w / se), -127, 127
+                                      ).astype(jnp.int8)
+                        ctx = jax.lax.dot_general(
+                            eq, vcS,
+                            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                            preferred_element_type=jnp.int32,
+                        ).astype(jnp.float32) * se
+                    else:
+                        ctx = jax.lax.dot_general(
+                            e_cache.astype(vcS.dtype), vcS,
+                            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32,
+                        )
+                    for i, si in selfs:
+                        e_i = jnp.exp(si - m)
+                        denom = denom + e_i
+                        ctx = ctx + e_i[..., None] * vS[:, i].reshape(
+                            Bl * n_kv, 1, head_dim)
+                    attn_js.append(
+                        (ctx / denom[..., None]).reshape(Bl, nq))
+                attn = jnp.stack(attn_js, axis=1).reshape(B, nq)
+
+                xq, sx = prep(attn)
+                x = x + stream("wo", xq, sx, so_ref, tails["wo"])
+
+                # ---- FFN block -----------------------------------------
+                var = jnp.mean(x * x, axis=-1, keepdims=True)
+                h = x * jax.lax.rsqrt(var + eps) * ffn_norm_ref[0]
+                h = h * ada_ref[0]
+                xq, sx = prep(h)
+                up = stream("w13", xq, sx, s13_ref, tails["w13"])
+                gate, upv = up[:, :hidden], up[:, hidden:]
+                hmid = gate * jax.nn.sigmoid(gate) * upv
+                xq, sx = prep(hmid)
+
+                def issue_next_spec(i):
+                    def issue():
+                        if i < STACK_PRE["qkv"]:
+                            @pl.when(l + 1 < L)
+                            def _():
+                                if i < plan["qkv"][1]:
+                                    dma("qkv", l + 1, i).start()
+
+                        if lm is not None and i < LM_PRE:
+                            @pl.when(l + 1 == L)
+                            def _():
+                                if i < lm[0] // lm[1]:
+                                    lm_dma(i).start()
+                    return issue
+
+                w2_tail = [issue_next_spec(i)
+                           for i in range(max(STACK_PRE["qkv"], LM_PRE))]
+                x = x + stream("w2", xq, sx, s2_ref, w2_tail)
+
+                x_s[:] = x
+
+                @pl.when(l == L - 1)
+                def _():
+                    xo_ref[:] = x
+                return
 
             # Cache arrives pre-transposed [B, Hkv, S, hd] so score/ctx
             # contractions hit the MXU directly (no per-step VPU
@@ -820,18 +1025,18 @@ def _make_stack_kernel(B, D, S, L, n_heads, n_kv, head_dim, hidden, plan,
                                                           head_dim)
             attn = (ctx / denom[..., None]).reshape(B, nq)
 
-            xq, sx = _quant(attn)
+            xq, sx = prep(attn)
             x = x + stream("wo", xq, sx, so_ref, tails["wo"])
 
             # ---- FFN block -----------------------------------------------
             var = jnp.mean(x * x, axis=-1, keepdims=True)
             h = x * jax.lax.rsqrt(var + eps) * ffn_norm_ref[0]
             h = h * ada_ref[0]
-            xq, sx = _quant(h)
+            xq, sx = prep(h)
             up = stream("w13", xq, sx, s13_ref, tails["w13"])
             gate, upv = up[:, :hidden], up[:, hidden:]
             hmid = gate * jax.nn.sigmoid(gate) * upv
-            xq, sx = _quant(hmid)
+            xq, sx = prep(hmid)
 
             def issue_next(i):
                 def issue():
@@ -877,7 +1082,7 @@ def _make_stack_kernel(B, D, S, L, n_heads, n_kv, head_dim, hidden, plan,
                 x = x_s[:]
                 var = jnp.mean(x * x, axis=-1, keepdims=True)
                 h = x * jax.lax.rsqrt(var + eps) * fnorm_ref[0]
-                xq, sx = _quant(h)
+                xq, sx = prep(h)
 
                 # Tiles 0..LM_PRE-1 were pre-issued during the last
                 # layer's w2 tail; issuing j+LM_PRE before waiting on j
@@ -893,8 +1098,11 @@ def _make_stack_kernel(B, D, S, L, n_heads, n_kv, head_dim, hidden, plan,
                     z = jax.lax.dot_general(
                         xq, buf_lm[slot],
                         dimension_numbers=(((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.int32,
+                        preferred_element_type=(jnp.int32 if wq8
+                                                else jnp.float32),
                     )
+                    if not wq8:
+                        return z  # dense bf16 table: no row scales
                     return (z.astype(jnp.float32) * sx
                             * lms_ref[0, pl.ds(j * t, t)][None, :])
 
@@ -979,26 +1187,61 @@ def decode_stack_step(
     head_dim dot, and the V scale folds into the softmax weights before
     they are requantized.  k_new/v_new come back bf16 for the caller to
     quantize + append.
+
+    bf16 weight mode (the W8A8 accuracy hedge — dense models keep the
+    fused single-kernel step): pass ``wqkv`` as a TUPLE (wq, wk, wv) of
+    [L, N, K] bf16 arrays and ``w13`` as (w1, w3) (the transposed dense
+    leaves from :func:`fuse_decode_weights_bf16` — streamed directly so
+    nothing is duplicated), ``wo``/``w2`` as single bf16 arrays, and the
+    scale stacks as None.  The matmuls then run bf16 x bf16 with f32
+    accumulation on the MXU; the tile schedule is identical (tiles carry
+    half the rows — the byte budget is what matters).  A folded lm_head
+    takes ``lm_codes`` as the bf16 [V, D] embedding table with
+    ``lm_scale=None``.
     """
     B, D = x.shape
     L, _, _, S = k_cache.shape[:4]
-    hidden = w2.shape[2]
+    wqkv_segs = wqkv if isinstance(wqkv, tuple) else (wqkv,)
+    wo_segs = wo if isinstance(wo, tuple) else (wo,)
+    w13_segs = w13 if isinstance(w13, tuple) else (w13,)
+    w2_segs = w2 if isinstance(w2, tuple) else (w2,)
+    wdtype = wqkv_segs[0].dtype
+    wq8 = wdtype == jnp.int8
+    witem = jnp.dtype(wdtype).itemsize
+    hidden = w2_segs[0].shape[2]
     nq = n_heads * head_dim
     nqkv = nq + 2 * n_kv * head_dim
-    plan = _stack_plan(D, nqkv, nq, hidden)
+    seg_rows = {
+        "qkv": [w.shape[1] for w in wqkv_segs],
+        "wo": [w.shape[1] for w in wo_segs],
+        "w13": [w.shape[1] for w in w13_segs],
+        "w2": [w.shape[1] for w in w2_segs],
+    }
+    plan = _stack_plan(D, nqkv, nq, hidden, itemsize=witem, segs=seg_rows)
     if plan is None:
         raise ValueError("decode_stack_step: dims not tileable")
     cache_q = k_cache.dtype == jnp.int8
     if cache_q and (k_scales is None or v_scales is None):
         raise ValueError("int8 KV cache needs k_scales/v_scales")
+    if not wq8:
+        # Dense weights carry no row scales; the kernel never reads the
+        # scale refs in bf16 mode, but the ref plumbing stays uniform.
+        sqkv = jnp.ones((L, nqkv), jnp.float32) if sqkv is None else sqkv
+        so = jnp.ones((L, D), jnp.float32) if so is None else so
+        s13 = jnp.ones((L, 2 * hidden), jnp.float32) if s13 is None else s13
+        s2 = jnp.ones((L, D), jnp.float32) if s2 is None else s2
 
     lm = None
     if lm_codes is not None:
+        if (lm_codes.dtype == jnp.int8) != wq8:
+            raise ValueError("lm_codes dtype must match the weight mode")
         V = lm_codes.shape[0]
-        t_lm = _lm_tile(V, D)
+        t_lm = _lm_tile(V, D, witem)
         if t_lm is None:
             raise ValueError("decode_stack_step: vocab not tileable")
         lm = (V, t_lm)
+        if not wq8 and lm_scale is None:
+            lm_scale = jnp.ones((V,), jnp.float32)
 
     lm_argmax = bool(lm_argmax and lm is not None)
     if cache_chunk is not None and S % cache_chunk:
@@ -1007,7 +1250,7 @@ def decode_stack_step(
     kernel = _make_stack_kernel(
         B, D, S, L, n_heads, n_kv, head_dim, hidden, plan, eps, lm,
         window, ring, cache_q=cache_q, lm_argmax=lm_argmax,
-        cache_chunk=cache_chunk)
+        cache_chunk=cache_chunk, wq8=wq8, seg_rows=seg_rows)
 
     def vmem(shape, idx):
         return pl.BlockSpec(shape, idx, memory_space=pltpu.VMEM)
@@ -1093,7 +1336,7 @@ def decode_stack_step(
     ]
     scratch = [
         pltpu.VMEM((STACK_SLOTS[name], plan[name][0], plan[name][2]),
-                   jnp.int8)
+                   wdtype)
         for name in ("qkv", "wo", "w13", "w2")
     ]
     if lm is not None:
@@ -1113,10 +1356,11 @@ def decode_stack_step(
         else:
             out_specs.append(vmem((B, V), const2))  # logits
             out_shape.append(jax.ShapeDtypeStruct((B, V), jnp.float32))
-        scratch.append(pltpu.VMEM((LM_SLOTS, t_lm, D), jnp.int8))
+        scratch.append(pltpu.VMEM((LM_SLOTS, t_lm, D), wdtype))
 
-    weight_specs = [pl.BlockSpec(memory_space=pl.ANY)] * (4 + (lm is not None))
-    weights = [wqkv, wo, w13, w2] + ([lm_codes] if lm is not None else [])
+    weights = [*wqkv_segs, *wo_segs, *w13_segs, *w2_segs] + (
+        [lm_codes] if lm is not None else [])
+    weight_specs = [pl.BlockSpec(memory_space=pl.ANY)] * len(weights)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -1139,7 +1383,7 @@ def decode_stack_step(
     need = stack_vmem_need(B, S, D, n_heads, n_kv, head_dim, hidden,
                            lm[0] if lm is not None else None,
                            jnp.dtype(k_cache.dtype).itemsize,
-                           cache_chunk=cache_chunk)
+                           cache_chunk=cache_chunk, weight_itemsize=witem)
     limit = max(64 * 2**20, min(STACK_VMEM_CAP, need))
     out = pl.pallas_call(
         kernel,
@@ -1169,11 +1413,17 @@ def quantize_kv(vecs):
     return q, s
 
 
-def supports_stack_kernel(lm_cfg) -> bool:
-    """True when the whole-stack kernel can tile this geometry."""
+def supports_stack_kernel(lm_cfg, weight_itemsize: int = 1) -> bool:
+    """True when the whole-stack kernel can tile this geometry
+    (``weight_itemsize``: 1 = w8 concatenated stacks, 2 = bf16 per-leaf
+    segments)."""
     nq = lm_cfg.n_heads * lm_cfg.head_dim
-    nqkv = nq + 2 * lm_cfg.n_kv_heads * lm_cfg.head_dim
-    return _stack_plan(lm_cfg.dim, nqkv, nq, lm_cfg.hidden_dim) is not None
+    nkv = lm_cfg.n_kv_heads * lm_cfg.head_dim
+    nqkv = nq + 2 * nkv
+    segs = _stack_segs(nqkv, nq, nkv, lm_cfg.hidden_dim,
+                       weight_itemsize == 1)
+    return _stack_plan(lm_cfg.dim, nqkv, nq, lm_cfg.hidden_dim,
+                       itemsize=weight_itemsize, segs=segs) is not None
 
 
 def rope_pair_vectors(position, head_dim, theta=1_000_000.0):
@@ -1225,15 +1475,76 @@ def fuse_decode_weights(decoder_params: Params) -> Params:
 
 
 def supports_megakernel(decoder_params: Params, head_dim: int) -> bool:
-    """The fused kernel needs w8 layers and even head_dim (pair RoPE)."""
+    """The fused W8A8 kernel needs w8 layers and even head_dim."""
+    return megakernel_mode(decoder_params, head_dim) == "w8"
+
+
+def megakernel_mode(decoder_params: Params, head_dim: int):
+    """Which stack-kernel weight mode this model supports.
+
+    Returns "w8" (rowwise-int8 leaves -> the 4.48 ms W8A8 path), "bf16"
+    (dense bf16/f32 leaves, or already nt-rewritten — the accuracy-hedge
+    dense path, ~2x the bytes/step), or None (q4 dicts / odd head_dim —
+    pair RoPE needs even lanes).
+    """
+    if head_dim % 2:
+        return None
     lyr = decoder_params.get("layers", {})
-    att = lyr.get("attention", {})
-    if not (isinstance(att.get("wq"), dict) and "w8" in att["wq"]):
-        return False
-    ffn = lyr.get("ffn", {})
-    if not (isinstance(ffn.get("w1"), dict) and "w8" in ffn["w1"]):
-        return False
-    return head_dim % 2 == 0
+    att, ffn = lyr.get("attention", {}), lyr.get("ffn", {})
+    wq, w1 = att.get("wq"), ffn.get("w1")
+    if wq is None or w1 is None:
+        return None
+    if isinstance(wq, dict):
+        if "w8" in wq and isinstance(w1, dict) and "w8" in w1:
+            return "w8"
+        if "nt" in wq and isinstance(w1, dict) and "nt" in w1:
+            return "bf16"
+        return None
+    if wq.dtype == jnp.bfloat16 and not isinstance(w1, dict):
+        # f32 dense models keep the exact XLA path (the kernel computes
+        # in bf16); bf16 models lose nothing to the fused step.
+        return "bf16"
+    return None
+
+
+def fuse_decode_weights_bf16(decoder_params: Params) -> Params:
+    """Prepare bf16 fused stacks from DENSE decoder params, memory-neutrally.
+
+    Each dense [L, K, N] leaf is transposed once to the kernel's
+    [L, N, K] layout (bf16) and the ORIGINAL leaf is replaced in-place by
+    ``{"nt": w}`` — the prefill/XLA paths contract the transposed layout
+    directly (models/layers.linear), so the 6 GB of decoder weights exist
+    exactly once.  The returned fused dict references the SAME arrays:
+    ``wqkv`` is the tuple (wq, wk, wv) and ``w13`` is (w1, w3) — the
+    kernel streams the segments in sequence instead of a concatenated
+    copy.  Scale keys are None (dense weights carry no row scales).
+
+    Peak extra memory during the rewrite = one transposed leaf (~1.5 GB
+    for w1/w3 at production shapes), freed leaf-by-leaf.
+    """
+    lyr = decoder_params["layers"]
+    att, ffn = lyr["attention"], lyr["ffn"]
+
+    def nt(leaf_dict, name):
+        w = leaf_dict[name]
+        if isinstance(w, dict):  # already rewritten
+            return w["nt"]
+        wt = jnp.swapaxes(w, 1, 2).astype(jnp.bfloat16)
+        leaf_dict[name] = {"nt": wt}  # frees the [L, K, N] original
+        return wt
+
+    wq, wk, wv = nt(att, "wq"), nt(att, "wk"), nt(att, "wv")
+    wo = nt(att, "wo")
+    w1, w3 = nt(ffn, "w1"), nt(ffn, "w3")
+    w2 = nt(ffn, "w2")
+    return {
+        "wqkv": (wq, wk, wv), "sqkv": None,
+        "wo": wo, "so": None,
+        "w13": (w1, w3), "s13": None,
+        "w2": w2, "s2": None,
+        "attn_norm": lyr["attention_norm"].astype(jnp.float32),
+        "ffn_norm": lyr["ffn_norm"].astype(jnp.float32),
+    }
 
 
 def ada_vectors(decoder_params: Params, t_embed) -> jax.Array:

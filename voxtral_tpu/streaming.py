@@ -403,29 +403,44 @@ def _fused_plan(model, batch: int, cache_s: int, itemsize: int = None,
     )
 
     lm = model.config.language_model
+    bf16_w = isinstance(model.fused_decode.get("wqkv"), tuple)
+    witem = 2 if bf16_w else 1
     emb = model.params["decoder"]["tok_embeddings"]
     lm_w8 = emb.get("w8") if isinstance(emb, dict) else None
-    fold = (lm_w8 is not None
-            and _lm_tile(lm_w8["codes"].shape[0], lm.dim) is not None)
+    if bf16_w:
+        fold = (not isinstance(emb, dict)
+                and _lm_tile(emb.shape[0], lm.dim, witem) is not None)
+        vocab = emb.shape[0] if fold else None
+    else:
+        fold = (lm_w8 is not None
+                and _lm_tile(lm_w8["codes"].shape[0], lm.dim) is not None)
+        vocab = lm_w8["codes"].shape[0] if fold else None
     if itemsize is None:
         itemsize = jnp.dtype(model.cache_dtype).itemsize
     need = stack_vmem_need(
         gate_batch, cache_s, lm.dim, lm.n_heads, lm.n_kv_heads,
-        lm.head_dim, lm.hidden_dim,
-        lm_w8["codes"].shape[0] if fold else None,
-        itemsize, cache_chunk=chunk,
+        lm.head_dim, lm.hidden_dim, vocab,
+        itemsize, cache_chunk=chunk, weight_itemsize=witem,
     )
-    if (not supports_stack_kernel(lm) or need is None
+    if (not supports_stack_kernel(lm, witem) or need is None
             or need > STACK_VMEM_CAP):
         return None
     return {"w": model.fused_decode, "fold": fold}
 
 
 def _fused_lm_kwargs(params, fold: bool):
-    """kwargs folding final norm + tied w8 lm_head into the kernel."""
+    """kwargs folding final norm + tied lm_head (w8 or dense bf16) into
+    the kernel."""
     if not fold:
         return {}
-    emb_w8 = params["decoder"]["tok_embeddings"]["w8"]
+    emb = params["decoder"]["tok_embeddings"]
+    if not isinstance(emb, dict):
+        return dict(
+            final_norm=params["decoder"]["norm"],
+            lm_codes=emb.astype(jnp.bfloat16),
+            lm_scale=None,
+        )
+    emb_w8 = emb["w8"]
     return dict(
         final_norm=params["decoder"]["norm"],
         lm_codes=emb_w8["codes"],
