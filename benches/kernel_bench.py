@@ -535,6 +535,136 @@ def suite_step_bf16(batches, seq=160, short=None, long=None):
     return results
 
 
+def suite_step_spec(ks=(2, 4, 8), streams=1, seq=1024, short=None,
+                    long=None):
+    """Speculative K-token decode step (``decode_stack_step(spec=K)``)
+    at forced full acceptance: every chained step verifies K drafts in
+    ONE weight pass and advances the cache by K — the K-x throughput
+    CEILING during silence (the dominant streaming regime; real
+    acceptance needs real weights).  The chain feeds each step's argmax
+    tokens back as the next step's drafts, so XLA cannot fold steps.
+    Weight bytes per step are identical to spec=1 (the stream dominates)
+    -> expect ms/step ~flat in K and tok_s_equiv ~K-x."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from voxtral_tpu.config import VoxtralConfig
+    from voxtral_tpu.models.decoder import create_cache, embed_tokens
+    from voxtral_tpu.models.layers import KVCache
+    from voxtral_tpu.ops.decode_step_pallas import (
+        decode_stack_step,
+        rope_pair_vectors,
+    )
+    from voxtral_tpu.utils.quantize import random_w8_params
+    from voxtral_tpu.ops.decode_step_pallas import fuse_decode_weights
+
+    cfg = VoxtralConfig.voxtral()
+    lm_cfg = cfg.language_model
+    params = random_w8_params(cfg)["decoder"]
+    fused = fuse_decode_weights(params)
+    ada_vecs = jnp.ones((lm_cfg.n_layers, lm_cfg.dim), jnp.float32)
+
+    layer_bytes = sum(n * k + 4 * n for n, k in LAYER_SHAPES)
+    step_bytes = 26 * layer_bytes + 131072 * 3072 + 4 * 131072
+
+    results = []
+    for K in ks:
+        b = streams
+        rows = b * K
+        audio = jnp.asarray(
+            np.random.RandomState(0).randn(b, seq, lm_cfg.dim) * 0.05,
+            jnp.bfloat16,
+        )
+        cache0 = create_cache(lm_cfg, b, seq, dtype=jnp.bfloat16)
+        ck0 = jnp.transpose(cache0.k, (0, 1, 3, 2, 4))
+        cv0 = jnp.transpose(cache0.v, (0, 1, 3, 2, 4))
+
+        def run(params, fused, ada_vecs, audio, cache_k, cache_v, length,
+                b=b, K=K, rows=rows):
+            tok0 = jnp.full((rows,), 32, jnp.int32)
+            cache = KVCache(cache_k, cache_v, jnp.asarray(38, jnp.int32))
+
+            def step(carry, i):
+                drafts, cache = carry
+                offset = cache.length  # per-stream scalar
+                # Row (b, j) input: audio slice + embed(draft row).
+                apos = jax.lax.dynamic_slice_in_dim(audio, 38, K, axis=1)
+                text = embed_tokens(params, drafts.reshape(b, K))
+                x = (apos + text).reshape(rows, lm_cfg.dim).astype(
+                    jnp.float32)
+                # Per-row RoPE at offs + j.
+                cs = [rope_pair_vectors(offset + j, lm_cfg.head_dim,
+                                        lm_cfg.rope_theta)
+                      for j in range(K)]
+                cos_r = jnp.tile(jnp.stack([c for c, _ in cs]), (b, 1))
+                sin_r = jnp.tile(jnp.stack([sv for _, sv in cs]), (b, 1))
+
+                # lm table from the ARG params dict — a closure constant
+                # would be serialized into the program (tunnel 413).
+                emb = params["tok_embeddings"]["w8"]
+                x, k_new, v_new, tok = decode_stack_step(
+                    x, jnp.full((b,), offset, jnp.int32),
+                    fused["attn_norm"], fused["ffn_norm"], ada_vecs,
+                    fused["sqkv"], fused["so"], fused["s13"], fused["s2"],
+                    cos_r, sin_r, cache.k, cache.v,
+                    fused["wqkv"], fused["wo"], fused["w13"], fused["w2"],
+                    final_norm=params["norm"], lm_codes=emb["codes"],
+                    lm_scale=emb["scale"], lm_argmax=True, spec=K,
+                    n_heads=lm_cfg.n_heads, n_kv=lm_cfg.n_kv_heads,
+                    head_dim=lm_cfg.head_dim, eps=lm_cfg.norm_eps,
+                )
+                # Append all K fresh rows at offs..offs+K-1 (head-major:
+                # [L, rows, Hkv, hd] -> [L, b, Hkv, K, hd] slice update).
+                kn = jnp.transpose(
+                    k_new.reshape(-1, b, K, lm_cfg.n_kv_heads,
+                                  lm_cfg.head_dim), (0, 1, 3, 2, 4))
+                vn = jnp.transpose(
+                    v_new.reshape(-1, b, K, lm_cfg.n_kv_heads,
+                                  lm_cfg.head_dim), (0, 1, 3, 2, 4))
+                zero = jnp.zeros((), jnp.int32)
+                start = (zero, zero, zero, offset, zero)
+                k_c = jax.lax.dynamic_update_slice(
+                    cache.k, kn.astype(cache.k.dtype), start)
+                v_c = jax.lax.dynamic_update_slice(
+                    cache.v, vn.astype(cache.v.dtype), start)
+                # Forced acceptance: advance by K, next drafts = tokens.
+                cache = KVCache(k_c, v_c, offset + K)
+                return (tok[:, 0], cache), tok[:, 0]
+
+            (_, _), toks = jax.lax.scan(
+                step, (tok0, cache), jnp.arange(length, dtype=jnp.int32))
+            return toks[-1, 0]
+
+        @functools.lru_cache(maxsize=None)
+        def _jitted(length, K=K):
+            return jax.jit(functools.partial(run, length=length))
+
+        def runner(length):
+            return _jitted(length)(
+                params, fused, ada_vecs, audio, ck0, cv0)
+
+        if short is None or long is None:
+            diff = max(8, int(6e10 / step_bytes))
+            lo, hi = max(4, diff // 4), max(4, diff // 4) + diff
+        else:
+            lo, hi = short, long
+        # The cache must hold prefix + hi*K appended positions.
+        hi = min(hi, (seq - 40) // K)
+        lo = min(lo, max(2, hi // 4))
+        per_step = _timed_slope(runner, lo, hi)
+        r = {
+            "bench": "decode_step_spec", "k": K, "streams": b, "seq": seq,
+            "ms_per_step": round(per_step * 1e3, 3),
+            "eff_gbps": round(step_bytes / per_step / 1e9, 1),
+            "tok_s_ceiling": round(b * K / per_step, 1),
+        }
+        results.append(r)
+        print(json.dumps(r), flush=True)
+    return results
+
+
 def suite_step_int8kv(batches, seq=160, short=8, long=40):
     """Whole-stack decode step with the int8 KV cache (per-vector scales,
     both attention contractions on the int8 MXU, quantize-at-append).
@@ -1022,8 +1152,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--suite", default="all",
                     choices=["all", "matmul", "step", "step-fused",
-                             "step-bf16", "step-int8kv", "step-chunked",
-                             "encode", "tp-lm", "tp-halves"])
+                             "step-bf16", "step-spec", "step-int8kv",
+                             "step-chunked", "encode", "tp-lm",
+                             "tp-halves"])
     ap.add_argument("--m", default="1,2,8")
     ap.add_argument("--batch", default="1,2,4")
     ap.add_argument("--seq", type=int, default=160,
@@ -1058,6 +1189,9 @@ def main():
                          seq=args.seq, lm_argmax=args.lm_argmax)
     if args.suite == "step-bf16":
         suite_step_bf16([int(x) for x in args.batch.split(",")],
+                        seq=args.seq)
+    if args.suite == "step-spec":
+        suite_step_spec(ks=[int(x) for x in args.batch.split(",")],
                         seq=args.seq)
     if args.suite == "step-int8kv":
         suite_step_int8kv([int(x) for x in args.batch.split(",")],

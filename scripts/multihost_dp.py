@@ -39,6 +39,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="host:port of process 0 (omit for single-process)")
     p.add_argument("--num-processes", type=int, default=1)
     p.add_argument("--process-id", type=int, default=0)
+    p.add_argument("--init-timeout", type=int, default=None,
+                   help="seconds to wait for the full cluster at startup "
+                   "(fail fast on dead/missing workers)")
     p.add_argument("--platform", choices=["default", "cpu", "tpu"],
                    default="default")
     p.add_argument("--virtual-devices", type=int, default=0,
@@ -102,7 +105,9 @@ def main(argv=None) -> int:
             return 2
         from voxtral_tpu.parallel.multihost import init_multihost
 
-        init_multihost(args.coordinator, args.num_processes, args.process_id)
+        init_multihost(args.coordinator, args.num_processes,
+                       args.process_id,
+                       initialization_timeout=args.init_timeout)
 
     import numpy as np
     import jax.numpy as jnp

@@ -1,0 +1,311 @@
+#!/usr/bin/env python
+"""THE day-one real-weights validation command (docs/RUNBOOK.md §one-shot).
+
+Chains every accuracy-axis check into one run with one JSON verdict:
+
+  1. weights   — SafeTensors name/shape inventory vs the loader's
+                 canonical tables + config + tokenizer parse
+                 (scripts/dump_weight_names.py logic).
+  2. fixtures  — torch golden fixtures from the real weights
+                 (scripts/generate_fixtures.py) consumed by
+                 tests/test_golden_fixtures.py (component-level parity).
+  3. clip      — transcribe a known clip on each weight path (bf16, w8,
+                 and q4 when --gguf is given); paths must agree with
+                 each other (WER between transcripts).
+  4. wer       — FLEURS-en WER per weight path vs the reference bars
+                 (scripts/eval_wer.py; 8.49 % Q4 / 4.90 % f32 —
+                 /root/reference/README.md:22).  Skips cleanly when the
+                 dataset is unreachable (zero-egress environments).
+
+Dry run (no weights needed; exercises all plumbing end-to-end):
+
+  python scripts/validate_real.py --synthetic
+
+Real weights:
+
+  python scripts/validate_real.py models/voxtral \\
+      [--gguf voxtral-q4.gguf] [--clip known.wav] [--num-samples 647]
+      [--output verdict.json]
+
+Exit 0 = every non-skipped stage passed; 2 = a stage failed.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).parent.parent
+sys.path.insert(0, str(REPO))
+
+# Reference accuracy bars (/root/reference/README.md:22, eval_wer.py:19-20)
+WER_BAR_F32 = 0.0540   # published 4.90 % + 0.5 pt slack
+WER_BAR_W8_DELTA = 0.005  # w8 may cost at most +0.5 pt absolute vs dense
+WER_BAR_Q4 = 0.085     # the reference's own Q4_0 number
+
+
+def _stage(verdict, name):
+    verdict["stages"][name] = {"status": "running"}
+    print(f"\n=== stage: {name} ===", flush=True)
+    return verdict["stages"][name]
+
+
+def _finish(st, ok, skipped=None, **info):
+    st.update(info)
+    if skipped:
+        st["status"] = "skipped"
+        st["reason"] = skipped
+    else:
+        st["status"] = "pass" if ok else "FAIL"
+    print(f"--- {st['status']}"
+          + (f" ({st.get('reason')})" if skipped else ""), flush=True)
+
+
+def make_synthetic_dir(tmp: Path) -> Path:
+    """Tiny production-structured checkpoint dir (weights + params.json +
+    tekken.json) so the whole harness dry-runs without real weights."""
+    import base64
+
+    import numpy as np
+    from safetensors.numpy import save_file
+
+    from tests.test_golden_full_model import golden_cfg
+    from tests.test_safetensors_loader import synth_checkpoint
+
+    cfg = golden_cfg()
+    d = tmp / "model"
+    d.mkdir()
+    tensors = synth_checkpoint(cfg, np.random.default_rng(42))
+    tensors = {k: (v * 0.25).astype(np.float32) for k, v in tensors.items()}
+    save_file(tensors, str(d / "consolidated.safetensors"))
+    (d / "params.json").write_text(cfg.to_params_json())
+    vocab = [{"rank": i,
+              "token_bytes": base64.b64encode(f"w{i} ".encode()).decode()}
+             for i in range(cfg.language_model.vocab_size - 1000)]
+    tekken = {"vocab": vocab, "special_tokens": [],
+              "config": {"default_vocab_size": cfg.language_model.vocab_size,
+                         "default_num_special_tokens": 1000}}
+    (d / "tekken.json").write_text(json.dumps(tekken))
+    return d
+
+
+def synth_clip(tmp: Path) -> Path:
+    import numpy as np
+
+    from voxtral_tpu.audio import AudioBuffer, save_wav
+
+    sr = 16000
+    t = np.arange(int(2.0 * sr)) / sr
+    sig = (0.4 * np.sin(2 * np.pi * 440 * t)
+           + 0.2 * np.sin(2 * np.pi * 1320 * t)).astype(np.float32)
+    p = tmp / "clip.wav"
+    save_wav(AudioBuffer(sig, sr), p)
+    return p
+
+
+def stage_weights(st, model_dir: Path):
+    from scripts.dump_weight_names import expected_names
+    from voxtral_tpu.config import VoxtralConfig
+    from voxtral_tpu.loaders.safetensors_loader import SafeTensorsFile
+    from voxtral_tpu.tokenizer import VoxtralTokenizer
+
+    cfg = VoxtralConfig.from_model_dir(model_dir)
+    stf = SafeTensorsFile(model_dir / "consolidated.safetensors")
+    expect = expected_names(cfg)
+    present = set(stf.names())
+    missing = sorted(set(expect) - present)
+    tok = VoxtralTokenizer.from_file(model_dir / "tekken.json")
+    _finish(st, ok=not missing,
+            tensors=len(present), missing=missing[:20],
+            unexpected=len(present - set(expect)),
+            vocab=tok.vocab_size,
+            lm=dict(dim=cfg.language_model.dim,
+                    n_layers=cfg.language_model.n_layers,
+                    vocab=cfg.language_model.vocab_size))
+    return cfg
+
+
+def stage_fixtures(st, model_dir: Path, keep: bool):
+    test_data = REPO / "test_data"
+    created = not test_data.exists()
+    try:
+        r = subprocess.run(
+            [sys.executable, "scripts/generate_fixtures.py",
+             str(model_dir), str(test_data)],
+            cwd=REPO, capture_output=True, text=True, timeout=3600)
+        if r.returncode != 0:
+            _finish(st, ok=False, error=r.stderr[-2000:])
+            return
+        r = subprocess.run(
+            [sys.executable, "-m", "pytest",
+             "tests/test_golden_fixtures.py", "-q", "--no-header"],
+            cwd=REPO, capture_output=True, text=True, timeout=3600)
+        tail = r.stdout.strip().splitlines()[-1] if r.stdout else ""
+        _finish(st, ok=r.returncode == 0, pytest=tail)
+    finally:
+        if created and not keep:
+            shutil.rmtree(test_data, ignore_errors=True)
+
+
+def stage_clip(st, model_dir: Path, gguf, clip: Path, platform: str,
+               synthetic: bool):
+    from voxtral_tpu.utils.wer import wer
+
+    texts = {}
+    fmts = ["bfloat16", "w8"] + (["q4"] if gguf else [])
+    for fmt in fmts:
+        cmd = [sys.executable, "-m", "voxtral_tpu.cli",
+               "--audio", str(clip), "--platform", platform]
+        if fmt == "q4":
+            cmd += ["--gguf", str(gguf),
+                    "--tokenizer", str(model_dir / "tekken.json"),
+                    "--weight-format", "q4"]
+        else:
+            cmd += ["--model", str(model_dir), "--dtype", fmt]
+        t0 = time.time()
+        r = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True,
+                           timeout=7200)
+        if r.returncode != 0:
+            _finish(st, ok=False, fmt=fmt, error=r.stderr[-2000:])
+            return
+        lines = r.stdout.strip().splitlines()
+        texts[fmt] = lines[-1] if lines else ""
+        print(f"  [{fmt}] ({time.time()-t0:.0f}s) {texts[fmt][:100]}")
+    agree = {}
+    ok = True
+    base = texts.get("bfloat16", "")
+    for fmt, text in texts.items():
+        if fmt == "bfloat16":
+            continue
+        agree[fmt] = round(wer(base, text), 3)
+        # Synthetic weights babble; only real weights must agree.
+        if not synthetic and agree[fmt] > 0.3:
+            ok = False
+    if not synthetic and not base.strip():
+        ok = False
+    _finish(st, ok=ok, texts={k: v[:200] for k, v in texts.items()},
+            wer_vs_bf16=agree)
+
+
+def stage_wer(st, model_dir: Path, gguf, num_samples: int, platform: str,
+              workdir: Path, synthetic: bool):
+    try:
+        import datasets  # noqa: F401
+    except Exception as e:
+        _finish(st, ok=True,
+                skipped=f"datasets unavailable ({e}); zero-egress env — "
+                "run this stage where HF datasets are reachable")
+        return
+    if synthetic:
+        _finish(st, ok=True,
+                skipped="synthetic weights produce no real WER")
+        return
+    results, ok = {}, True
+    runs = [("float32", ["--model", str(model_dir), "--dtype", "float32"]),
+            ("w8", ["--model", str(model_dir), "--dtype", "w8"])]
+    if gguf:
+        runs.append(("q4", ["--gguf", str(gguf),
+                            "--tokenizer", str(model_dir / "tekken.json"),
+                            "--weight-format", "q4"]))
+    for fmt, extra in runs:
+        out = workdir / f"wer_{fmt}.json"
+        cmd = [sys.executable, "scripts/eval_wer.py",
+               "--dataset", "fleurs", "--num-samples", str(num_samples),
+               "--delay", "6", "--platform", platform,
+               "--workdir", str(workdir / fmt), "--output", str(out)] + extra
+        r = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True)
+        if r.returncode != 0:
+            results[fmt] = {"error": r.stderr[-1000:]}
+            ok = False
+            continue
+        rep = json.loads(out.read_text())
+        results[fmt] = {"wer": rep["wer"], "rtf": rep.get("rtf")}
+        print(f"  [{fmt}] WER {rep['wer']:.2%}")
+    f32 = results.get("float32", {}).get("wer")
+    if f32 is not None and f32 > WER_BAR_F32:
+        ok = False
+    w8 = results.get("w8", {}).get("wer")
+    if w8 is not None and f32 is not None and w8 > f32 + WER_BAR_W8_DELTA:
+        ok = False
+    q4 = results.get("q4", {}).get("wer")
+    if q4 is not None and q4 > WER_BAR_Q4:
+        ok = False
+    _finish(st, ok=ok, results=results,
+            bars={"f32": WER_BAR_F32, "w8_delta": WER_BAR_W8_DELTA,
+                  "q4": WER_BAR_Q4})
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("model_dir", nargs="?",
+                    help="downloaded model dir (omit with --synthetic)")
+    ap.add_argument("--synthetic", action="store_true",
+                    help="dry-run the whole harness on a synthetic "
+                    "checkpoint (no weights / egress needed)")
+    ap.add_argument("--gguf", help="Q4_0 GGUF for the q4 path")
+    ap.add_argument("--clip", help="known wav for the smoke transcription")
+    ap.add_argument("--num-samples", type=int, default=647)
+    ap.add_argument("--platform", default="default")
+    ap.add_argument("--skip-wer", action="store_true")
+    ap.add_argument("--skip-fixtures", action="store_true")
+    ap.add_argument("--keep-fixtures", action="store_true",
+                    help="leave generated test_data/ in place")
+    ap.add_argument("--output", default="validate_real.json")
+    args = ap.parse_args()
+
+    if not args.synthetic and not args.model_dir:
+        ap.error("model_dir required (or pass --synthetic)")
+
+    tmp = Path(tempfile.mkdtemp(prefix="validate_real_"))
+    model_dir = (make_synthetic_dir(tmp) if args.synthetic
+                 else Path(args.model_dir))
+    clip = Path(args.clip) if args.clip else synth_clip(tmp)
+    platform = args.platform if not args.synthetic else (
+        "cpu" if args.platform == "default" else args.platform)
+
+    verdict = {"model_dir": str(model_dir), "synthetic": args.synthetic,
+               "stages": {}}
+    try:
+        cfg = stage_weights(_stage(verdict, "weights"), model_dir)
+        del cfg
+        if args.skip_fixtures:
+            _finish(_stage(verdict, "fixtures"), ok=True,
+                    skipped="--skip-fixtures")
+        else:
+            stage_fixtures(_stage(verdict, "fixtures"), model_dir,
+                           args.keep_fixtures)
+        stage_clip(_stage(verdict, "clip"), model_dir, args.gguf, clip,
+                   platform, args.synthetic)
+        if args.skip_wer:
+            _finish(_stage(verdict, "wer"), ok=True, skipped="--skip-wer")
+        else:
+            stage_wer(_stage(verdict, "wer"), model_dir, args.gguf,
+                      args.num_samples, platform, tmp / "wer",
+                      args.synthetic)
+    except Exception as e:  # a stage crash is a failure, not a stack dump
+        import traceback
+
+        name = next((k for k, v in verdict["stages"].items()
+                     if v.get("status") == "running"), "?")
+        verdict["stages"].setdefault(name, {})["status"] = "FAIL"
+        verdict["stages"][name]["error"] = \
+            f"{e}\n{traceback.format_exc()[-1500:]}"
+
+    statuses = [v["status"] for v in verdict["stages"].values()]
+    verdict["pass"] = all(s1 in ("pass", "skipped") for s1 in statuses)
+    Path(args.output).write_text(json.dumps(verdict, indent=2))
+    summary = ", ".join(
+        f"{k}={v['status']}" for k, v in verdict["stages"].items())
+    print(f"\n== verdict: {'PASS' if verdict['pass'] else 'FAIL'} "
+          f"({summary}) -> {args.output}")
+    return 0 if verdict["pass"] else 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,259 @@
+"""Malformed/hostile-input hardening for the parsers (VERDICT r3 #5).
+
+The reference's GGUF/WAV/tekken parsers get memory safety from Rust
+(defensive parse: gguf/reader.rs:327-376); the Python ports must die
+with a CLEAN typed error on corrupt input — never a hang, a multi-GB
+allocation, or an opaque crash deeper in the stack.  No test here may
+allocate more than ~100 MB.
+"""
+
+import json
+import struct
+
+import numpy as np
+import pytest
+
+from voxtral_tpu.loaders.gguf import (
+    GGML_F32,
+    GGUF_MAGIC,
+    GgufReader,
+    write_gguf,
+)
+
+
+def _valid_gguf() -> bytes:
+    import io
+
+    f = io.BytesIO()
+    data = np.arange(32, dtype=np.float32).tobytes()
+    write_gguf(f, {"t": ((8, 4), GGML_F32, data)})
+    return f.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# GGUF
+# ---------------------------------------------------------------------------
+
+
+def test_gguf_valid_roundtrip():
+    r = GgufReader.from_bytes(_valid_gguf())
+    assert r.tensor_names() == ["t"]
+    # write_gguf takes the torch shape; the reader restores it
+    # (dims stored reversed on disk, reader reverses back).
+    assert r.tensor_f32("t").shape == (8, 4)
+
+
+def test_gguf_bad_magic():
+    with pytest.raises(ValueError, match="magic"):
+        GgufReader.from_bytes(b"NOPE" + b"\x00" * 100)
+
+
+def test_gguf_bad_version():
+    buf = bytearray(_valid_gguf())
+    struct.pack_into("<I", buf, 4, 99)
+    with pytest.raises(ValueError, match="version"):
+        GgufReader.from_bytes(bytes(buf))
+
+
+def test_gguf_truncated_everywhere():
+    """Every truncation point must raise EOFError/ValueError cleanly."""
+    full = _valid_gguf()
+    for cut in (2, 6, 10, 20, len(full) // 2, len(full) - 1):
+        with pytest.raises((EOFError, ValueError)):
+            GgufReader.from_bytes(full[:cut])
+
+
+def test_gguf_absurd_tensor_count_does_not_hang():
+    """tensor_count = 2^60 must die instantly, not loop."""
+    buf = bytearray(_valid_gguf())
+    struct.pack_into("<Q", buf, 8, 1 << 60)
+    with pytest.raises(ValueError, match="tensor_count"):
+        GgufReader.from_bytes(bytes(buf))
+
+
+def test_gguf_absurd_metadata_count():
+    buf = bytearray(_valid_gguf())
+    struct.pack_into("<Q", buf, 16, 1 << 60)
+    with pytest.raises(ValueError, match="metadata"):
+        GgufReader.from_bytes(bytes(buf))
+
+
+def test_gguf_dims_past_file_size():
+    """Dims that multiply past the file must raise at OPEN, without
+    allocating."""
+    import io
+
+    f = io.BytesIO()
+    data = np.zeros(32, dtype=np.float32).tobytes()
+    write_gguf(f, {"t": ((8, 4), GGML_F32, data)})
+    buf = bytearray(f.getvalue())
+    # The tensor index is after the header; find the dims (8, 4) as
+    # consecutive u64s and inflate the first to 2^40.
+    idx = bytes(buf).find(struct.pack("<QQ", 4, 8))  # reversed on disk
+    assert idx > 0
+    struct.pack_into("<Q", buf, idx, 1 << 40)
+    with pytest.raises(ValueError, match="extends"):
+        GgufReader.from_bytes(bytes(buf))
+
+
+def test_gguf_absurd_ndims():
+    import io
+
+    f = io.BytesIO()
+    write_gguf(f, {"t": ((8, 4), GGML_F32,
+                         np.zeros(32, np.float32).tobytes())})
+    buf = bytearray(f.getvalue())
+    idx = bytes(buf).find(struct.pack("<QQ", 4, 8)) - 4  # ndims u32
+    assert idx > 0
+    struct.pack_into("<I", buf, idx, 1 << 30)
+    with pytest.raises((ValueError, EOFError)):
+        GgufReader.from_bytes(bytes(buf))
+
+
+def test_gguf_huge_string_length():
+    """A metadata/tensor-name length of 2^60 must not allocate."""
+    buf = bytearray(_valid_gguf())
+    # tensor name length sits right after the two counts for tensor #1;
+    # corrupt the FIRST u64 after the 24-byte header that is a string
+    # length: metadata count is 0 in write_gguf's output, so the name
+    # length is at offset 24.
+    struct.pack_into("<Q", buf, 24, 1 << 60)
+    with pytest.raises((EOFError, ValueError)):
+        GgufReader.from_bytes(bytes(buf))
+
+
+def test_gguf_loader_rejects_corrupt_file(tmp_path):
+    p = tmp_path / "bad.gguf"
+    p.write_bytes(b"GGUF" + b"\x00" * 8)
+    with pytest.raises((EOFError, ValueError)):
+        GgufReader.from_file(p)
+
+
+# ---------------------------------------------------------------------------
+# WAV
+# ---------------------------------------------------------------------------
+
+
+def test_wav_truncated(tmp_path):
+    """Header truncation raises cleanly; a cut INSIDE the data
+    chunk degrades gracefully to the available samples (scipy semantics
+    — reasonable for partial uploads), never crashes."""
+    import warnings
+
+    from voxtral_tpu.audio import AudioBuffer, load_wav, save_wav
+
+    p = tmp_path / "ok.wav"
+    save_wav(AudioBuffer(np.zeros(1600, np.float32), 16000), p)
+    full = p.read_bytes()
+    for cut in (4, 20, 40):
+        q = tmp_path / f"cut{cut}.wav"
+        q.write_bytes(full[:cut])
+        with pytest.raises(ValueError, match="WAV"):
+            load_wav(q)
+    q = tmp_path / "half.wav"
+    q.write_bytes(full[: len(full) // 2])
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        buf = load_wav(q)
+    assert 0 < len(buf.samples) < 1600
+
+
+def test_wav_garbage(tmp_path):
+    from voxtral_tpu.audio import load_wav
+
+    p = tmp_path / "garbage.wav"
+    p.write_bytes(b"RIFFxxxxWAVE" + bytes(range(256)) * 4)
+    with pytest.raises(ValueError, match="WAV"):
+        load_wav(p)
+
+
+# ---------------------------------------------------------------------------
+# tekken.json
+# ---------------------------------------------------------------------------
+
+
+def test_tekken_not_json():
+    from voxtral_tpu.tokenizer import VoxtralTokenizer
+
+    with pytest.raises(ValueError, match="JSON"):
+        VoxtralTokenizer.from_json("{not json")
+
+
+def test_tekken_wrong_shape():
+    from voxtral_tpu.tokenizer import VoxtralTokenizer
+
+    with pytest.raises(ValueError, match="malformed"):
+        VoxtralTokenizer.from_json("[1, 2, 3]")
+    with pytest.raises(ValueError, match="malformed"):
+        VoxtralTokenizer.from_json(json.dumps({"vocab": "nope"}))
+    with pytest.raises(ValueError, match="default_vocab_size"):
+        VoxtralTokenizer.from_json(json.dumps({"vocab": [], "config": {}}))
+
+
+def test_tekken_corrupt_base64_entry_is_tolerated():
+    """A single corrupt token_bytes entry degrades (that token decodes
+    to nothing), it does not kill the tokenizer."""
+    from voxtral_tpu.tokenizer import VoxtralTokenizer
+
+    tekken = {
+        "vocab": [{"rank": 0, "token_bytes": "!!!not-base64!!!"},
+                  {"rank": 1, "token_bytes": "aGk="}],  # "hi"
+        "config": {"default_vocab_size": 1002,
+                   "default_num_special_tokens": 1000},
+    }
+    tok = VoxtralTokenizer.from_json(json.dumps(tekken))
+    assert tok.decode([1001]) == "hi"
+    assert tok.decode([1000]) == ""
+
+
+# ---------------------------------------------------------------------------
+# HTTP surface
+# ---------------------------------------------------------------------------
+
+
+def test_server_rejects_garbage_bodies():
+    import threading
+
+    import jax
+    import jax.numpy as jnp
+
+    from tests.test_model import tiny_config
+    from tests.test_serving import request
+    from voxtral_tpu.models.voxtral import VoxtralModel
+    from voxtral_tpu.pipeline import PipelineConfig, TranscribePipeline
+    from voxtral_tpu.serving import make_server
+    from voxtral_tpu.tokenizer import VoxtralTokenizer
+
+    model = VoxtralModel.init_random(jax.random.PRNGKey(0), tiny_config(),
+                                     dtype=jnp.float32)
+    tokenizer = VoxtralTokenizer([None] * 500, {}, 500)
+    pipeline = TranscribePipeline(model, tokenizer, PipelineConfig())
+    srv = make_server(pipeline, "127.0.0.1", 0)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        addr = srv.server_address
+        # Garbage WAV body.
+        status, data = request(addr, "POST", "/transcribe",
+                               body=b"RIFF" + bytes(100))
+        assert status == 400, data
+        # PCM: not a float32 multiple.
+        status, data = request(addr, "POST", "/transcribe_pcm",
+                               body=b"abc")
+        assert status == 400 and b"multiple of 4" in data
+        # PCM: NaN flood.
+        nans = np.full(256, np.nan, np.float32).tobytes()
+        status, data = request(addr, "POST", "/transcribe_pcm", body=nans)
+        assert status == 400 and b"NaN" in data
+        # PCM: absurd rate.
+        status, data = request(
+            addr, "POST", "/transcribe_pcm?rate=999999999",
+            body=np.zeros(256, np.float32).tobytes())
+        assert status == 400
+        # PCM: non-integer rate.
+        status, data = request(
+            addr, "POST", "/transcribe_pcm?rate=abc",
+            body=np.zeros(256, np.float32).tobytes())
+        assert status == 400
+    finally:
+        srv.shutdown()

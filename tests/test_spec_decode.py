@@ -1,0 +1,246 @@
+"""Speculative K-token decode (VERDICT r3 next #1, ROADMAP r4 #5).
+
+``decode_stack_step(spec=K)`` verifies K drafted tokens in ONE weight
+pass: rows (stream b, draft slot j) share stream b's cache and row j
+attends the fresh K/V of rows i <= j in-register.  Exactness is
+draft-independent — the kernel's row-j outputs must equal running the
+non-speculative step j times with the drafted feedback, for ARBITRARY
+inputs.  The streaming integration (``StreamingSession(speculative=K)``,
+all-[STREAMING_PAD] draft policy) must be token-identical to the
+sequential session on any audio; acceptance only moves throughput.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests.test_decode_megakernel import (
+    B,
+    D,
+    HEAD_DIM,
+    HIDDEN,
+    EPS,
+    L,
+    N_HEADS,
+    N_KV,
+    S,
+    build_setup,
+)
+from voxtral_tpu.ops.decode_step_pallas import (
+    ada_vectors,
+    decode_stack_step,
+    fuse_decode_weights,
+    quantize_kv,
+    rope_pair_vectors,
+)
+
+OFF = 5
+
+
+@pytest.fixture(scope="module")
+def setup():
+    return build_setup()
+
+
+def _append(kc, vc, kn, vn, off):
+    z = jnp.zeros((), jnp.int32)
+    o = jnp.asarray(off, jnp.int32)
+    kc = jax.lax.dynamic_update_slice(
+        kc, kn[:, :, :, None].astype(kc.dtype), (z, z, z, o, z))
+    vc = jax.lax.dynamic_update_slice(
+        vc, vn[:, :, :, None].astype(vc.dtype), (z, z, z, o, z))
+    return kc, vc
+
+
+def _sequential_reference(lyr, fused, adav, xs, kt, vt, K, common):
+    """K non-speculative steps with cache appends (the exact semantics
+    the spec kernel must reproduce)."""
+    kc, vc = kt, vt
+    ref_x, ref_k, ref_v = [], [], []
+    for j in range(K):
+        off = jnp.asarray(OFF + j, jnp.int32)
+        cos, sin = rope_pair_vectors(off, HEAD_DIM, theta=1e6)
+        ox, kn, vn = decode_stack_step(
+            xs[:, j], off, lyr["attention_norm"], lyr["ffn_norm"], adav,
+            fused["sqkv"], fused["so"], fused["s13"], fused["s2"],
+            cos, sin, kc, vc,
+            fused["wqkv"], fused["wo"], fused["w13"], fused["w2"],
+            **common)
+        ref_x.append(ox)
+        ref_k.append(kn)
+        ref_v.append(vn)
+        kc, vc = _append(kc, vc, kn, vn, OFF + j)
+    return ref_x, ref_k, ref_v
+
+
+def _spec_rope(K):
+    cs = [rope_pair_vectors(jnp.asarray(OFF + j, jnp.int32), HEAD_DIM,
+                            theta=1e6) for j in range(K)]
+    cos_r = jnp.tile(jnp.stack([c for c, _ in cs]), (B, 1))
+    sin_r = jnp.tile(jnp.stack([s for _, s in cs]), (B, 1))
+    return cos_r, sin_r
+
+
+@pytest.mark.parametrize("window", [None, 4])
+def test_spec_kernel_matches_sequential(setup, window):
+    """spec=K row outputs == K sequential steps, arbitrary inputs,
+    with and without a binding sliding window."""
+    params, t_embed, k_cache, v_cache, _ = setup
+    lyr = params["layers"]
+    fused = fuse_decode_weights(params)
+    adav = ada_vectors(params, t_embed)
+    K = 3
+    rng = np.random.default_rng(5)
+    xs = jnp.asarray(rng.normal(size=(B, K, D)) * 0.5, jnp.float32)
+
+    kt = jnp.transpose(k_cache, (0, 1, 3, 2, 4))
+    vt = jnp.transpose(v_cache, (0, 1, 3, 2, 4))
+    mask = (np.arange(S) < OFF)[None, None, None, :, None]
+    kt, vt = kt * mask, vt * mask
+
+    common = dict(n_heads=N_HEADS, n_kv=N_KV, head_dim=HEAD_DIM, eps=EPS,
+                  interpret=True, window=window)
+    ref_x, ref_k, ref_v = _sequential_reference(
+        lyr, fused, adav, xs, kt, vt, K, common)
+
+    cos_r, sin_r = _spec_rope(K)
+    sx, skn, svn = decode_stack_step(
+        xs.reshape(B * K, D), jnp.full((B,), OFF, jnp.int32),
+        lyr["attention_norm"], lyr["ffn_norm"], adav,
+        fused["sqkv"], fused["so"], fused["s13"], fused["s2"],
+        cos_r, sin_r, kt, vt,
+        fused["wqkv"], fused["wo"], fused["w13"], fused["w2"],
+        spec=K, **common)
+
+    for j in range(K):
+        np.testing.assert_allclose(
+            np.asarray(sx.reshape(B, K, D)[:, j]), np.asarray(ref_x[j]),
+            rtol=2e-3, atol=2e-3, err_msg=f"x j={j}")
+        np.testing.assert_allclose(
+            np.asarray(skn.reshape(L, B, K, N_KV, HEAD_DIM)[:, :, j]),
+            np.asarray(ref_k[j]), rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(
+            np.asarray(svn.reshape(L, B, K, N_KV, HEAD_DIM)[:, :, j]),
+            np.asarray(ref_v[j]), rtol=2e-3, atol=2e-3)
+
+
+def test_spec_rejects_int8_cache(setup):
+    """int8 KV + spec must refuse: the sequential int8 path attends
+    earlier fresh tokens through the QUANTIZED cache, so a full-precision
+    in-register self-block would silently diverge from it."""
+    params, t_embed, k_cache, v_cache, _ = setup
+    lyr = params["layers"]
+    fused = fuse_decode_weights(params)
+    adav = ada_vectors(params, t_embed)
+    kt = jnp.transpose(k_cache, (0, 1, 3, 2, 4))
+    kq, ks = quantize_kv(kt)
+    cos_r, sin_r = _spec_rope(2)
+    with pytest.raises(ValueError, match="int8"):
+        decode_stack_step(
+            jnp.zeros((B * 2, D), jnp.float32), jnp.full((B,), OFF),
+            lyr["attention_norm"], lyr["ffn_norm"], adav,
+            fused["sqkv"], fused["so"], fused["s13"], fused["s2"],
+            cos_r, sin_r, kq, kq,
+            fused["wqkv"], fused["wo"], fused["w13"], fused["w2"],
+            k_scales=ks, v_scales=ks, spec=2, n_heads=N_HEADS, n_kv=N_KV,
+            head_dim=HEAD_DIM, eps=EPS, interpret=True)
+
+
+def test_spec_rejects_chunked_cache(setup):
+    params, t_embed, k_cache, v_cache, _ = setup
+    lyr = params["layers"]
+    fused = fuse_decode_weights(params)
+    adav = ada_vectors(params, t_embed)
+    kt = jnp.transpose(k_cache, (0, 1, 3, 2, 4))
+    cos_r, sin_r = _spec_rope(2)
+    with pytest.raises(ValueError, match="cache_chunk"):
+        decode_stack_step(
+            jnp.zeros((B * 2, D), jnp.float32), jnp.full((B,), OFF),
+            lyr["attention_norm"], lyr["ffn_norm"], adav,
+            fused["sqkv"], fused["so"], fused["s13"], fused["s2"],
+            cos_r, sin_r, kt, kt,
+            fused["wqkv"], fused["wo"], fused["w13"], fused["w2"],
+            spec=2, cache_chunk=8, n_heads=N_HEADS, n_kv=N_KV,
+            head_dim=HEAD_DIM, eps=EPS, interpret=True)
+
+
+# ---------------------------------------------------------------------------
+# Streaming integration
+# ---------------------------------------------------------------------------
+
+
+def _spec_env(monkeypatch):
+    import dataclasses
+
+    from voxtral_tpu.config import VoxtralConfig
+    from voxtral_tpu.models.voxtral import VoxtralModel
+    from voxtral_tpu.utils.quantize import quantize_params_w8
+
+    cfg = VoxtralConfig.from_file("tests/fixtures/params_tiny.json")
+    cfg = dataclasses.replace(
+        cfg, language_model=dataclasses.replace(
+            cfg.language_model, vocab_size=1280))
+    monkeypatch.setenv("VOXTRAL_MEGAKERNEL", "force")
+    f32 = VoxtralModel.init_random(jax.random.PRNGKey(3), cfg,
+                                   dtype=jnp.float32)
+    w8 = quantize_params_w8(f32.params)
+    model = VoxtralModel(w8, cfg)
+    assert model.fused_decode is not None
+    rng = np.random.default_rng(11)
+    # Noise then silence: exercises both rejection and full acceptance.
+    audio = np.concatenate([
+        rng.normal(size=16000 * 3).astype(np.float32) * 0.25,
+        np.zeros(16000 * 3, np.float32)])
+    return model, audio
+
+
+@pytest.mark.parametrize("k", [2, 8])
+def test_streaming_speculative_token_identity(monkeypatch, k):
+    from voxtral_tpu.streaming import StreamingSession
+
+    model, audio = _spec_env(monkeypatch)
+    ref = StreamingSession(model, step_positions=8, max_duration_s=30)
+    ref.feed(audio)
+    ref.finish()
+    s = StreamingSession(model, step_positions=8, max_duration_s=30,
+                         speculative=k)
+    s.feed(audio)
+    s.finish()
+    assert s.tokens == ref.tokens
+
+
+def test_streaming_speculative_unbounded(monkeypatch):
+    from voxtral_tpu.streaming import StreamingSession
+
+    model, audio = _spec_env(monkeypatch)
+    ref = StreamingSession(model, step_positions=8, unbounded=True)
+    ref.feed(audio)
+    ref.finish()
+    s = StreamingSession(model, step_positions=8, unbounded=True,
+                         speculative=4)
+    s.feed(audio)
+    s.finish()
+    assert s.tokens == ref.tokens
+
+
+def test_speculative_guards(monkeypatch):
+    from voxtral_tpu.streaming import StreamingSession, StreamPool
+
+    model, _ = _spec_env(monkeypatch)
+    with pytest.raises(ValueError, match="<= step_positions"):
+        StreamingSession(model, step_positions=8, speculative=9)
+    pool = StreamPool(model, max_streams=2, step_positions=8,
+                      max_duration_s=30)
+    with pytest.raises(ValueError, match="solo-session"):
+        StreamingSession(model, step_positions=8, pool=pool,
+                         speculative=2)
+    # Without fused weights the flag must refuse, not silently fall back
+    # (the XLA path has no spec step).
+    monkeypatch.setenv("VOXTRAL_MEGAKERNEL", "0")
+    from voxtral_tpu.models.voxtral import VoxtralModel
+
+    plain = VoxtralModel(model.params, model.config)
+    with pytest.raises(ValueError, match="fused"):
+        StreamingSession(plain, step_positions=8, speculative=2)

@@ -54,10 +54,23 @@ class AudioBuffer:
 
 
 def load_wav(path: str | Path) -> AudioBuffer:
-    """Load a WAV file as mono float32 in [-1, 1]."""
+    """Load a WAV file as mono float32 in [-1, 1].
+
+    Malformed/truncated files raise ``ValueError`` with context (the
+    reference gets this from hound's typed errors; a corrupt upload must
+    die cleanly, not crash deeper in the pipeline)."""
     from scipy.io import wavfile
 
-    sample_rate, data = wavfile.read(str(path))
+    try:
+        sample_rate, data = wavfile.read(str(path))
+    except ValueError as e:
+        raise ValueError(f"failed to parse WAV {path}: {e}") from e
+    except Exception as e:  # struct.error / EOFError from truncation
+        raise ValueError(
+            f"failed to parse WAV {path}: truncated or not a WAV ({e})"
+        ) from e
+    if sample_rate <= 0:
+        raise ValueError(f"WAV {path}: invalid sample rate {sample_rate}")
 
     if data.dtype == np.uint8:
         samples = (data.astype(np.float32) - 128.0) / 128.0

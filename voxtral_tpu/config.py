@@ -259,6 +259,57 @@ class VoxtralConfig:
     def from_model_dir(cls, dirpath: str | Path) -> "VoxtralConfig":
         return cls.from_file(Path(dirpath) / "params.json")
 
+    def to_params_json(self) -> str:
+        """Serialize to the nested params.json schema ``from_json``
+        parses (round-trip tested) — used to synthesize model dirs for
+        the day-one validation dry run (scripts/validate_real.py) and
+        as a forensic dump of the parsed architecture."""
+        lm, enc, au = self.language_model, self.audio_encoder, self.audio
+        v: dict[str, Any] = {
+            "dim": lm.dim, "n_layers": lm.n_layers,
+            "head_dim": lm.head_dim, "hidden_dim": lm.hidden_dim,
+            "n_heads": lm.n_heads, "n_kv_heads": lm.n_kv_heads,
+            "use_biases": lm.use_biases, "causal": lm.causal,
+            "rope_theta": lm.rope_theta, "norm_eps": lm.norm_eps,
+            "vocab_size": lm.vocab_size,
+            "tied_embeddings": lm.tied_embeddings,
+            "sliding_window": lm.sliding_window,
+            "multimodal": {
+                "whisper_model_args": {
+                    "encoder_args": {
+                        "audio_encoding_args": {
+                            "sampling_rate": au.sampling_rate,
+                            "frame_rate": au.frame_rate,
+                            "num_mel_bins": au.num_mel_bins,
+                            "hop_length": au.hop_length,
+                            "window_size": au.window_size,
+                            "global_log_mel_max": au.global_log_mel_max,
+                            "transcription_format":
+                                au.transcription_format,
+                        },
+                        "dim": enc.dim, "n_layers": enc.n_layers,
+                        "head_dim": enc.head_dim,
+                        "hidden_dim": enc.hidden_dim,
+                        "n_heads": enc.n_heads,
+                        "n_kv_heads": enc.n_kv_heads,
+                        "use_biases": enc.use_biases,
+                        "rope_theta": enc.rope_theta,
+                        "causal": enc.causal, "norm_eps": enc.norm_eps,
+                        "max_source_positions": enc.max_source_positions,
+                        "ffn_type": enc.ffn_type,
+                        "norm_type": enc.norm_type,
+                        "sliding_window": enc.sliding_window,
+                    },
+                    "downsample_args": {
+                        "downsample_factor": self.downsample_factor,
+                    },
+                },
+            },
+            "ada_rms_norm_t_cond": self.ada_rms_norm_t_cond_dim > 0,
+            "ada_rms_norm_t_cond_dim": self.ada_rms_norm_t_cond_dim or 32,
+        }
+        return json.dumps(v, indent=2)
+
     @classmethod
     def voxtral(cls) -> "VoxtralConfig":
         """Defaults matching the published Voxtral Mini 4B Realtime model."""

@@ -441,7 +441,8 @@ STACK_VMEM_CAP = 116 * 2**20
 
 def stack_vmem_need(B, S, D, n_heads, n_kv, head_dim, hidden,
                     vocab=None, cache_itemsize=2,
-                    cache_chunk=None, weight_itemsize=1) -> Optional[int]:
+                    cache_chunk=None, weight_itemsize=1,
+                    spec=1) -> Optional[int]:
     """Estimated VMEM bytes for ``decode_stack_step`` at this geometry.
 
     Dominated by (a) the per-layer weight-tile rotating buffers and
@@ -463,18 +464,19 @@ def stack_vmem_need(B, S, D, n_heads, n_kv, head_dim, hidden,
         return None
     need = sum(STACK_SLOTS[n] * plan[n][0] * plan[n][2] * weight_itemsize
                for n in plan)
+    Bc = B // spec  # cache rows: speculative rows share their stream's
     if cache_chunk:
         # k+v chunk double buffers (cache itself stays in HBM).
-        need += 4 * B * n_kv * cache_chunk * head_dim * cache_itemsize
+        need += 4 * Bc * n_kv * cache_chunk * head_dim * cache_itemsize
         if cache_itemsize == 1:
             # scale blocks stay VMEM-resident, double-buffered.
-            need += 4 * B * n_kv * S * 4
+            need += 4 * Bc * n_kv * S * 4
     else:
         # k+v blocks, double-buffered across grid steps
-        need += 4 * B * n_kv * S * head_dim * cache_itemsize
+        need += 4 * Bc * n_kv * S * head_dim * cache_itemsize
         if cache_itemsize == 1:
             # int8 cache carries per-position f32 scale blocks.
-            need += 4 * B * n_kv * S * 4
+            need += 4 * Bc * n_kv * S * 4
     if vocab is not None:
         t = _lm_tile(vocab, D, weight_itemsize)
         if t is None:
@@ -1140,7 +1142,7 @@ def _make_stack_kernel(B, D, S, L, n_heads, n_kv, head_dim, hidden, plan,
 @functools.partial(
     jax.jit,
     static_argnames=("n_heads", "n_kv", "head_dim", "eps", "interpret",
-                     "window", "ring", "lm_argmax", "cache_chunk"),
+                     "window", "ring", "lm_argmax", "cache_chunk", "spec"),
 )
 def decode_stack_step(
     x, offset,
@@ -1151,7 +1153,7 @@ def decode_stack_step(
     final_norm=None, lm_codes=None, lm_scale=None,
     k_scales=None, v_scales=None,
     n_heads=32, n_kv=8, head_dim=128, eps=1e-5, interpret=False,
-    window=None, ring=None, lm_argmax=False, cache_chunk=None,
+    window=None, ring=None, lm_argmax=False, cache_chunk=None, spec=1,
 ):
     """All decoder layers of a single-token decode step in ONE kernel.
 
@@ -1198,9 +1200,40 @@ def decode_stack_step(
     half the rows — the byte budget is what matters).  A folded lm_head
     takes ``lm_codes`` as the bf16 [V, D] embedding table with
     ``lm_scale=None``.
+
+    Speculative K-token verification (``spec=K > 1``): x carries
+    B_l * K rows ordered (stream b, draft slot j); the caches keep
+    B_l rows (one per stream, shared by its K draft rows); ``offset``
+    is per-STREAM [B_l]; cos_p/sin_p are per-ROW at positions
+    offs[b] + j.  Row j attends the shared cache (positions < offs[b])
+    plus the fresh K/V of rows i <= j of its stream — exact greedy
+    logits for K drafted tokens in ONE weight pass (the weight stream
+    dominates the step, so K rides nearly free).  The caller accepts
+    the longest prefix where argmax matches the draft and appends all
+    K fresh K/V rows at slots offs[b]..offs[b]+K-1 (rows past the
+    accepted count are overwritten by later appends and masked by
+    validity meanwhile).  Not supported with ``cache_chunk``.
     """
     B, D = x.shape
     L, _, _, S = k_cache.shape[:4]
+    if spec > 1:
+        if B % spec:
+            raise ValueError(f"spec={spec} must divide the row count {B}")
+        if cache_chunk is not None:
+            raise ValueError("speculative decode + cache_chunk unsupported")
+        if k_cache.dtype == jnp.int8:
+            # The sequential int8 path attends earlier fresh tokens
+            # THROUGH the quantized cache; the spec kernel sees them
+            # full-precision in-register — not bit-identical.  Refuse
+            # rather than silently diverge (solo sessions, the spec
+            # integration target, carry bf16 caches).
+            raise ValueError("speculative decode + int8 KV cache "
+                             "unsupported (would not be token-identical "
+                             "to the sequential int8 path)")
+    Bc = B // spec  # cache rows (= logical streams)
+    if k_cache.shape[1] != Bc:
+        raise ValueError(
+            f"cache rows {k_cache.shape[1]} != streams {Bc} (= B/spec)")
     wqkv_segs = wqkv if isinstance(wqkv, tuple) else (wqkv,)
     wo_segs = wo if isinstance(wo, tuple) else (wo,)
     w13_segs = w13 if isinstance(w13, tuple) else (w13,)
@@ -1250,7 +1283,7 @@ def decode_stack_step(
     kernel = _make_stack_kernel(
         B, D, S, L, n_heads, n_kv, head_dim, hidden, plan, eps, lm,
         window, ring, cache_q=cache_q, lm_argmax=lm_argmax,
-        cache_chunk=cache_chunk, wq8=wq8, seg_rows=seg_rows)
+        cache_chunk=cache_chunk, wq8=wq8, seg_rows=seg_rows, spec=spec)
 
     def vmem(shape, idx):
         return pl.BlockSpec(shape, idx, memory_space=pltpu.VMEM)
@@ -1289,16 +1322,16 @@ def decode_stack_step(
         # resident mode gives Pallas the whole per-layer block.
         [pl.BlockSpec(memory_space=pl.ANY)] * 2
         if cache_chunk else
-        [vmem((1, B, n_kv, S, head_dim), perl5),    # k cache (head-major)
-         vmem((1, B, n_kv, S, head_dim), perl5)]    # v cache
+        [vmem((1, Bc, n_kv, S, head_dim), perl5),   # k cache (head-major)
+         vmem((1, Bc, n_kv, S, head_dim), perl5)]   # v cache
     )
     if cache_q:
         in_specs += [
-            vmem((1, B, n_kv, S), perl4),           # k scales
-            vmem((1, B, n_kv, S), perl4),           # v scales
+            vmem((1, Bc, n_kv, S), perl4),          # k scales
+            vmem((1, Bc, n_kv, S), perl4),          # v scales
         ]
     offs = jnp.broadcast_to(
-        jnp.asarray(offset, jnp.int32).reshape(-1), (B,))
+        jnp.asarray(offset, jnp.int32).reshape(-1), (Bc,))
     cos_b = jnp.broadcast_to(
         cos_p.astype(jnp.float32).reshape(-1, 1, head_dim),
         (B, n_heads, head_dim))
@@ -1320,8 +1353,8 @@ def decode_stack_step(
     ]
     if cache_q:
         operands += [
-            k_scales.astype(jnp.float32).reshape(L, B, n_kv, S),
-            v_scales.astype(jnp.float32).reshape(L, B, n_kv, S),
+            k_scales.astype(jnp.float32).reshape(L, Bc, n_kv, S),
+            v_scales.astype(jnp.float32).reshape(L, Bc, n_kv, S),
         ]
     kv_out = jnp.bfloat16 if cache_q else k_cache.dtype
     out_specs = [
@@ -1383,7 +1416,8 @@ def decode_stack_step(
     need = stack_vmem_need(B, S, D, n_heads, n_kv, head_dim, hidden,
                            lm[0] if lm is not None else None,
                            jnp.dtype(k_cache.dtype).itemsize,
-                           cache_chunk=cache_chunk, weight_itemsize=witem)
+                           cache_chunk=cache_chunk, weight_itemsize=witem,
+                           spec=spec)
     limit = max(64 * 2**20, min(STACK_VMEM_CAP, need))
     out = pl.pallas_call(
         kernel,

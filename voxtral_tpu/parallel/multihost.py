@@ -43,18 +43,37 @@ from voxtral_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
 
 def init_multihost(coordinator_address: str, num_processes: int,
-                   process_id: int) -> None:
+                   process_id: int,
+                   initialization_timeout: Optional[int] = None) -> None:
     """Join the JAX process cluster (call BEFORE any backend use).
 
     ``coordinator_address``: "host:port" of process 0.  After this,
     ``jax.devices()`` is the GLOBAL device list (all hosts) and
     ``jax.local_devices()`` this host's slice.
+
+    ``initialization_timeout``: seconds to wait for EVERY process to
+    join before failing with a clear error — a worker that never starts
+    (crash, bad address, partial deployment) must fail THIS process
+    fast and actionably, not hang the pod (failure-detection contract,
+    tests/test_multihost.py).
     """
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+    kw = {}
+    if initialization_timeout is not None:
+        kw["initialization_timeout"] = int(initialization_timeout)
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+            **kw,
+        )
+    except Exception as e:
+        raise RuntimeError(
+            f"multihost init failed (process {process_id}/{num_processes}"
+            f", coordinator {coordinator_address}): {e}.  Check that all "
+            f"{num_processes} workers started and can reach the "
+            "coordinator; a dead/missing worker stalls the whole cluster."
+        ) from e
 
 
 def make_multihost_mesh(n_model: int = 1,

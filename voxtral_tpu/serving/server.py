@@ -48,9 +48,11 @@ class _State:
 
     def __init__(self, pipeline: TranscribePipeline, step_positions: int = 8,
                  pool_streams: int = 0, pool_unbounded: bool = False,
-                 pool_kv: str = "auto", state_dir: Optional[str] = None):
+                 pool_kv: str = "auto", state_dir: Optional[str] = None,
+                 speculative: int = 0):
         self.pipeline = pipeline
         self.step_positions = step_positions
+        self.speculative = speculative
         self.state_dir = Path(state_dir) if state_dir else None
         self.lock = threading.Lock()
         self.sessions: dict[str, object] = {}
@@ -225,6 +227,9 @@ def _new_session(state: _State):
         delay_tokens=state.pipeline.pcfg.delay_tokens,
         step_positions=state.step_positions,
         pool=pool,
+        # Speculative decode is solo-only; pooled slots amortize the
+        # weight stream over rows instead.
+        speculative=(state.speculative if pool is None else 0),
     )
 
 
@@ -363,6 +368,8 @@ class _Handler(BaseHTTPRequestHandler):
         elif path == "/transcribe_pcm":
             self._transcribe_pcm()
         elif path == "/stream/start":
+            from voxtral_tpu.utils.hbm import HBMBudgetError
+
             with self.state.lock:
                 self.state.evict_idle()
                 if len(self.state.sessions) >= self.state.MAX_SESSIONS:
@@ -372,7 +379,14 @@ class _Handler(BaseHTTPRequestHandler):
                     })
                     return
                 sid = uuid.uuid4().hex[:12]
-                self.state.sessions[sid] = _new_session(self.state)
+                try:
+                    self.state.sessions[sid] = _new_session(self.state)
+                except HBMBudgetError as e:
+                    # Admission control (utils/hbm.py): refuse cleanly
+                    # instead of dying in an XLA OOM mid-request.
+                    self.state.sessions.pop(sid, None)
+                    self._json(503, {"error": str(e)})
+                    return
                 self.state.last_access[sid] = time.time()
             self.state.metrics.inc("voxtral_sessions_started_total")
             self._json(200, {"session": sid})
@@ -477,10 +491,26 @@ class _Handler(BaseHTTPRequestHandler):
         from urllib.parse import parse_qs, urlparse
 
         query = parse_qs(urlparse(self.path).query)
-        rate = int(query.get("rate", ["16000"])[0])
-        samples = np.frombuffer(self._read_body(), dtype=np.float32)
+        try:
+            rate = int(query.get("rate", ["16000"])[0])
+        except ValueError:
+            self._json(400, {"error": "rate must be an integer"})
+            return
+        if not (1 <= rate <= 1_000_000):
+            self._json(400, {"error": f"implausible sample rate {rate}"})
+            return
+        body = self._read_body()
+        if len(body) % 4:
+            self._json(400, {"error": "PCM body length must be a "
+                             "multiple of 4 (float32 little-endian)"})
+            return
+        samples = np.frombuffer(body, dtype=np.float32)
         if samples.size == 0:
             self._json(400, {"error": "empty PCM body"})
+            return
+        if not np.all(np.isfinite(samples)):
+            self._json(400, {"error": "PCM body contains NaN/Inf "
+                             "(not float32 audio?)"})
             return
         self._transcribe_reply(samples, rate)
 
@@ -516,6 +546,7 @@ def make_server(
     pool_unbounded: bool = False,
     pool_kv: str = "auto",
     state_dir: Optional[str] = None,
+    speculative: int = 0,
 ) -> VoxtralHTTPServer:
     """``state_dir`` enables drain/restore: :meth:`VoxtralHTTPServer.
     drain` snapshots live streaming sessions there on shutdown, and the
@@ -524,7 +555,7 @@ def make_server(
     return VoxtralHTTPServer(
         (host, port),
         _State(pipeline, step_positions, pool_streams, pool_unbounded,
-               pool_kv, state_dir),
+               pool_kv, state_dir, speculative),
     )
 
 
@@ -557,6 +588,11 @@ def main(argv: Optional[list[str]] = None) -> int:
                     help="tensor-parallel ways (mesh model axis)")
     ap.add_argument("--dp", type=int, default=1,
                     help="data-parallel ways (mesh data axis)")
+    ap.add_argument("--speculative", type=int, default=0,
+                    help="K>=2: solo sessions verify K [STREAMING_PAD]-"
+                    "drafted tokens per weight pass (exact greedy; up "
+                    "to K-x decode throughput in silence; needs fused "
+                    "megakernel weights)")
     ap.add_argument("--state-dir",
                     help="drain live streaming sessions here on "
                     "SIGTERM/SIGINT and resume any found at startup "
@@ -612,7 +648,8 @@ def main(argv: Optional[list[str]] = None) -> int:
                          pool_streams=args.pool_streams,
                          pool_unbounded=args.pool_unbounded,
                          pool_kv=args.pool_kv,
-                         state_dir=args.state_dir)
+                         state_dir=args.state_dir,
+                         speculative=args.speculative)
     log.info("serving on http://%s:%d", args.host, args.port)
     if args.state_dir:
         import signal

@@ -281,6 +281,100 @@ def _stream_step_fused_fn(params, fused_w, ada_vecs, mel_win, prev_token,
     return tokens, last, audio[:, -1:, :], enc_cache, dec_cache
 
 
+def _stream_step_spec_fn(params, fused_w, ada_vecs, mel_win, prev_token,
+                         prev_audio, enc_base, cfg, enc_rope, enc_cache,
+                         dec_cache, n_positions: int, spec_k: int,
+                         enc_ring=None, dec_ring=None, fold=False,
+                         mk_interpret=False, draft_token=STREAMING_PAD):
+    """Speculative steady-state step (solo session, B=1): each while-loop
+    iteration verifies ``spec_k`` drafted tokens in ONE stack-kernel
+    weight pass (``decode_stack_step(spec=K)``) and advances by the
+    accepted count — EXACT greedy tokens regardless of draft quality
+    (the draft only moves throughput; token identity pinned in
+    tests/test_spec_decode.py).  Draft policy: all-``[STREAMING_PAD]``
+    (the model emits 32 for silence, the dominant streaming regime), so
+    silence decodes at up to K tokens per weight pass at unchanged pass
+    latency — the pass is weight-stream-bound (batch-rides-free,
+    ROADMAP r4 #5).  Worst case (all speech, zero acceptance) degrades
+    to 1 token/pass = exactly the non-speculative cost."""
+    from voxtral_tpu.models.layers import ring_slot, rms_norm
+    from voxtral_tpu.ops.decode_step_pallas import (
+        decode_stack_step,
+        rope_pair_vectors,
+    )
+
+    lmc = cfg.language_model
+    P, K = n_positions, spec_k
+    audio, enc_cache = _encode_window(
+        params, mel_win, enc_cache, cfg, enc_rope, 4 * P, enc_base,
+        enc_ring,
+    )
+    inputs = jnp.concatenate([prev_audio, audio[:, :-1, :]], axis=1)
+    # Pad so the K-row slice at pos = P-1 stays in bounds; the padded
+    # rows' outputs are never accepted (n_acc is clamped to P - pos).
+    inputs = jnp.concatenate(
+        [inputs, jnp.tile(inputs[:, -1:, :], (1, K - 1, 1))], axis=1)
+    lm_kw = _fused_lm_kwargs(params, fold)
+
+    def body(st):
+        pos, prev, dk, dv, off, toks = st
+        a = jax.lax.dynamic_slice_in_dim(inputs, pos, K, axis=1)[0]
+        drafts = jnp.concatenate(
+            [prev[None], jnp.full((K - 1,), draft_token, jnp.int32)])
+        text = embed_tokens(params["decoder"], drafts[None])[0]
+        x = (a + text).astype(jnp.float32)  # [K, D] rows (stream 0, j)
+        cs = [rope_pair_vectors(off + j, lmc.head_dim, lmc.rope_theta)
+              for j in range(K)]
+        cos_r = jnp.stack([c for c, _ in cs])
+        sin_r = jnp.stack([s for _, s in cs])
+        out = decode_stack_step(
+            x, off,
+            fused_w["attn_norm"], fused_w["ffn_norm"], ada_vecs,
+            fused_w["sqkv"], fused_w["so"], fused_w["s13"], fused_w["s2"],
+            cos_r, sin_r, dk, dv,
+            fused_w["wqkv"], fused_w["wo"], fused_w["w13"], fused_w["w2"],
+            n_heads=lmc.n_heads, n_kv=lmc.n_kv_heads,
+            head_dim=lmc.head_dim, eps=lmc.norm_eps,
+            interpret=mk_interpret, window=lmc.sliding_window,
+            ring=dec_ring, spec=K, **lm_kw,
+        )
+        if fold:
+            _, k_new, v_new, logits = out
+        else:
+            xo, k_new, v_new = out
+            hidden = rms_norm(xo, params["decoder"]["norm"], lmc.norm_eps)
+            logits = lm_head(params["decoder"], hidden)
+        y = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [K]
+        # Exact-greedy acceptance: y[j] is valid iff every earlier draft
+        # matched its verified token; y[0] is always valid.
+        match = (y[: K - 1] == drafts[1:]).astype(jnp.int32)
+        n_acc = 1 + jnp.sum(jnp.cumprod(match))
+        n_acc = jnp.minimum(n_acc, P - pos)
+        # Append ALL K fresh K/V rows at positions off..off+K-1: rows
+        # past the accepted count are invisible (validity masks slots
+        # >= off) and are overwritten by later appends at the same
+        # positions (ring slots map deterministically from position).
+        z = jnp.zeros((), jnp.int32)
+        for j in range(K):
+            slot = (ring_slot(off + j, *dec_ring)
+                    if dec_ring is not None else off + j)
+            kj = k_new[:, j][:, None, :, None, :].astype(dk.dtype)
+            vj = v_new[:, j][:, None, :, None, :].astype(dv.dtype)
+            dk = jax.lax.dynamic_update_slice(dk, kj, (z, z, z, slot, z))
+            dv = jax.lax.dynamic_update_slice(dv, vj, (z, z, z, slot, z))
+        toks = jax.lax.dynamic_update_slice(toks, y, (pos,))
+        prev = jnp.take(y, n_acc - 1)
+        return (pos + n_acc, prev, dk, dv, off + n_acc, toks)
+
+    toks0 = jnp.zeros((P + K - 1,), jnp.int32)
+    st = (jnp.zeros((), jnp.int32), prev_token,
+          dec_cache.k, dec_cache.v, dec_cache.length, toks0)
+    st = jax.lax.while_loop(lambda s: s[0] < P, body, st)
+    _, last, dk, dv, off, toks = st
+    dec_cache = KVCache(dk, dv, off)
+    return toks[:P], last, audio[:, -1:, :], enc_cache, dec_cache
+
+
 _STEP_JIT_CACHE: "dict" = {}
 _STEP_JIT_CACHE_MAX = 16  # FIFO-evicted; live sessions keep their refs
 
@@ -294,7 +388,7 @@ def _jit_cache_put(key, value):
 
 def _session_jits(cfg: VoxtralConfig, P: int, enc_ring, dec_ring,
                   rope_positions: int, fold: bool, mk_interpret: bool,
-                  tp_mesh=None):
+                  tp_mesh=None, spec: int = 0):
     """Jitted (init, step, fused_step) + rope tables for a session
     geometry, shared ACROSS sessions.
 
@@ -329,16 +423,26 @@ def _session_jits(cfg: VoxtralConfig, P: int, enc_ring, dec_ring,
                               (init, step, enc_rope, dec_rope))
     init, step, enc_rope, dec_rope = base
 
-    fkey = ("fstep", base_key, fold, mk_interpret, tp_mesh)
+    fkey = ("fstep", base_key, fold, mk_interpret, tp_mesh, spec)
     fstep = _STEP_JIT_CACHE.get(fkey)
     if fstep is None:
-        fstep = _jit_cache_put(fkey, jax.jit(
-            partial(_stream_step_fused_fn, cfg=cfg,
-                    enc_rope=enc_rope, n_positions=P,
-                    enc_ring=enc_ring, dec_ring=dec_ring,
-                    fold=fold, mk_interpret=mk_interpret,
-                    tp_mesh=tp_mesh),
-            donate_argnames=("enc_cache", "dec_cache")))
+        if spec > 1:
+            assert tp_mesh is None, "speculative decode is single-chip"
+            fstep = jax.jit(
+                partial(_stream_step_spec_fn, cfg=cfg,
+                        enc_rope=enc_rope, n_positions=P, spec_k=spec,
+                        enc_ring=enc_ring, dec_ring=dec_ring,
+                        fold=fold, mk_interpret=mk_interpret),
+                donate_argnames=("enc_cache", "dec_cache"))
+        else:
+            fstep = jax.jit(
+                partial(_stream_step_fused_fn, cfg=cfg,
+                        enc_rope=enc_rope, n_positions=P,
+                        enc_ring=enc_ring, dec_ring=dec_ring,
+                        fold=fold, mk_interpret=mk_interpret,
+                        tp_mesh=tp_mesh),
+                donate_argnames=("enc_cache", "dec_cache"))
+        fstep = _jit_cache_put(fkey, fstep)
     return init, step, fstep, enc_rope, dec_rope
 
 
@@ -568,8 +672,6 @@ class StreamPool:
         self.max_enc = 4 * self.max_dec
         cdt = model.cache_dtype
         shape_e = (self.B, enc.n_layers, 1, s_enc, enc.n_kv_heads, enc.head_dim)
-        self.enc_k = jnp.zeros(shape_e, cdt)
-        self.enc_v = jnp.zeros(shape_e, cdt)
 
         # Fused pooled decode: route the decode half of each pooled step
         # through the whole-stack Pallas kernel (per-row offsets/RoPE)
@@ -639,6 +741,38 @@ class StreamPool:
             "data" if par is not None and par.dp > 1
             and self._tp_mesh is not None else None)
 
+        # HBM admission: refuse geometries whose rings + weights exceed
+        # the device (the XLA OOM they would hit at runtime is opaque;
+        # measured ceiling: 16 unbounded int8 rings + w8 weights OOM a
+        # v5e — utils/hbm.py, VERDICT r3 #6).  Computed from the EXACT
+        # shapes allocated below.
+        import math as _math
+
+        from voxtral_tpu.utils.hbm import check_hbm
+
+        cds = jnp.dtype(cdt).itemsize
+        cache_bytes = 2 * _math.prod(shape_e) * cds
+        if self._fused is not None:
+            fitem = 1 if self.cache_int8 else cds
+            cache_bytes += (2 * lm.n_layers * self.B * lm.n_kv_heads
+                            * s_dec * lm.head_dim * fitem)
+            if self.cache_int8:
+                cache_bytes += (2 * lm.n_layers * self.B * lm.n_kv_heads
+                                * s_dec * 4)
+            cache_bytes += (2 * lm.n_layers * s_dec * lm.n_kv_heads
+                            * lm.head_dim * cds)  # shared init-zero slot
+        else:
+            cache_bytes += (2 * self.B * lm.n_layers * s_dec
+                            * lm.n_kv_heads * lm.head_dim * cds)
+        dp = (par.dp if par is not None and self._tp_mesh is None
+              and par.dp > 1 else 1)
+        check_hbm(model, cache_bytes,
+                  f"StreamPool(max_streams={self.B}, "
+                  f"unbounded={unbounded}, kv_dtype={kv_dtype!r})",
+                  rows=self.B, dp=dp)
+
+        self.enc_k = jnp.zeros(shape_e, cdt)
+        self.enc_v = jnp.zeros(shape_e, cdt)
         if self._fused is not None:
             # Head-major stacked layout for the stack kernel.
             shape_f = (lm.n_layers, self.B, lm.n_kv_heads, s_dec, lm.head_dim)
@@ -1167,6 +1301,7 @@ class StreamingSession:
         pad_config: Optional[PadConfig] = None,
         unbounded: bool = False,
         pool: Optional[StreamPool] = None,
+        speculative: int = 0,
     ):
         """``unbounded=True`` lays the KV caches out as head+ring buffers
         INSIDE the jitted step (permanent 38-position prefix head + a
@@ -1189,6 +1324,11 @@ class StreamingSession:
         self._slot: Optional[int] = None
 
         if pool is not None:
+            if speculative:
+                raise ValueError(
+                    "speculative decode is solo-session only (pooled "
+                    "steps already amortize the weight stream over rows)"
+                )
             if unbounded and not pool.unbounded:
                 raise ValueError(
                     "unbounded pooled sessions need an unbounded pool "
@@ -1234,6 +1374,21 @@ class StreamingSession:
             self._max_dec = int(max_duration_s * 6.25) + PREFIX_LEN + 2 * self.P
             self._max_enc = 4 * self._max_dec
             rope_positions = self._max_dec
+        # HBM admission (same gate as StreamPool; utils/hbm.py): a solo
+        # unbounded session allocates window-sized rings up front.
+        from voxtral_tpu.utils.hbm import check_hbm
+
+        cds = jnp.dtype(cache_dtype).itemsize
+        cache_bytes = (
+            2 * enc.n_layers * self._max_enc * enc.n_kv_heads
+            * enc.head_dim * cds
+            + 2 * lm.n_layers * self._max_dec * lm.n_kv_heads
+            * lm.head_dim * cds
+        )
+        check_hbm(model, cache_bytes,
+                  f"StreamingSession(unbounded={unbounded}, "
+                  f"max_duration_s={max_duration_s})", rows=1)
+
         self.enc_cache = create_encoder_cache(enc, 1, self._max_enc, cache_dtype)
         self.dec_cache = create_cache(lm, 1, self._max_dec, cache_dtype)
         self._t_embed = model.t_embed(delay_tokens)
@@ -1258,8 +1413,26 @@ class StreamingSession:
         # Solo fused decode: steady-state steps run the whole-stack
         # Pallas kernel (ring-masked in unbounded mode) when the model
         # carries fused weights and the cache fits the VMEM budget.
+        # ``speculative=K >= 2`` verifies K STREAMING_PAD-drafted tokens
+        # per weight pass (exact greedy; up to K x decode throughput in
+        # silence) — requires the fused plan and K <= P.
         self._mk_interpret = getattr(model, "_mk_interpret", False)
-        self._fused = _fused_plan(model, 1, self._max_dec)
+        self.speculative = int(speculative or 0)
+        if self.speculative > self.P:
+            raise ValueError(
+                f"speculative={self.speculative} must be <= "
+                f"step_positions={self.P}")
+        # The spec step carries K query rows + [K, V] logits; gate the
+        # VMEM plan at that row count (cache rows stay 1 — the estimate
+        # is conservative about the shared-cache term).
+        self._fused = _fused_plan(model, max(1, self.speculative),
+                                  self._max_dec)
+        if self.speculative > 1 and (
+                self._fused is None or self._fused.get("tp")):
+            raise ValueError(
+                "speculative decode needs the single-chip fused stack "
+                "kernel (w8/bf16 megakernel weights, geometry within "
+                "the VMEM budget, no tensor-parallel mesh)")
         if self._fused is not None:
             from voxtral_tpu.ops.decode_step_pallas import ada_vectors
 
@@ -1278,6 +1451,7 @@ class StreamingSession:
             tp_mesh=(model.parallel.mesh
                      if self._fused is not None and self._fused.get("tp")
                      else None),
+            spec=self.speculative,
         )
 
     # -- internals ----------------------------------------------------------

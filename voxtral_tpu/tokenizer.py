@@ -47,9 +47,25 @@ class VoxtralTokenizer:
 
     @classmethod
     def from_json(cls, text: str) -> "VoxtralTokenizer":
-        tekken = json.loads(text)
-        vocab_size = int(tekken["config"]["default_vocab_size"])
+        try:
+            tekken = json.loads(text)
+        except json.JSONDecodeError as e:
+            raise ValueError(f"tekken.json is not valid JSON: {e}") from e
+        if not isinstance(tekken, dict) or "vocab" not in tekken:
+            raise ValueError(
+                "tekken.json malformed: expected an object with 'vocab' "
+                "and 'config' keys")
+        try:
+            vocab_size = int(tekken["config"]["default_vocab_size"])
+        except (KeyError, TypeError, ValueError) as e:
+            raise ValueError(
+                "tekken.json malformed: missing "
+                f"config.default_vocab_size ({e})") from e
         vocab = tekken["vocab"]
+        if not isinstance(vocab, list) or not all(
+                isinstance(v, dict) for v in vocab):
+            raise ValueError(
+                "tekken.json malformed: 'vocab' must be a list of objects")
 
         vocab_bytes: list[Optional[bytes]] = [None] * len(vocab)
         special_tokens: dict[int, str] = {}
