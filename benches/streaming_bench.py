@@ -45,6 +45,15 @@ def main() -> int:
                     help="catch-up throughput: feed ALL audio at once and "
                     "time one backlogged pump (deferred token fetches "
                     "overlap the per-step host roundtrips)")
+    ap.add_argument("--speculative", type=int, default=0,
+                    help="K>=2: solo sessions verify K drafted tokens per "
+                    "weight pass (exact greedy)")
+    ap.add_argument("--draft-token", default="32",
+                    help="draft token id, or 'auto' = probe the model's "
+                    "dominant output on a warmup clip (random weights "
+                    "emit a constant token, so 'auto' yields the "
+                    "forced-acceptance throughput CEILING; real weights "
+                    "keep the default [STREAMING_PAD]=32 silence draft)")
     args = ap.parse_args()
 
     if args.platform != "default":
@@ -81,7 +90,31 @@ def main() -> int:
     total = int(args.seconds * 16000)
     piece = int(step_audio_ms / 1000 * 16000)  # one step of audio per feed
 
+    draft_token = 32
+    if args.speculative > 1 and args.draft_token == "auto":
+        # Probe the model's dominant output token: the streaming-level
+        # acceptance ceiling with random weights (real weights would
+        # draft [STREAMING_PAD] and accept through silence instead).
+        probe = StreamingSession(model, step_positions=args.step)
+        probe.feed(rng.normal(size=16000 * 4).astype(np.float32) * 0.2)
+        probe.finish()
+        vals, counts = np.unique(np.asarray(probe.tokens),
+                                 return_counts=True)
+        draft_token = int(vals[np.argmax(counts)])
+        frac = counts.max() / counts.sum()
+        print(f"# draft-token auto: {draft_token} "
+              f"({frac:.0%} of probe output)", file=sys.stderr)
+    elif args.draft_token != "auto":
+        draft_token = int(args.draft_token)
+    spec_kw = ({"speculative": args.speculative,
+                "draft_token": draft_token}
+               if args.speculative > 1 else {})
+
     if args.sessions > 1:
+        if args.speculative > 1:
+            print("error: --speculative is solo-session only",
+                  file=sys.stderr)
+            return 2
         from voxtral_tpu.streaming import StreamPool
 
         pool = StreamPool(model, max_streams=args.sessions,
@@ -94,7 +127,7 @@ def main() -> int:
         ]
     else:
         sessions = [StreamingSession(model, step_positions=args.step,
-                                     unbounded=args.unbounded)]
+                                     unbounded=args.unbounded, **spec_kw)]
 
     if args.burst:
         # Warmup session compiles init + steady step, then a fresh
@@ -111,7 +144,8 @@ def main() -> int:
                 for _ in range(args.sessions)]
         else:
             burst_sessions = [StreamingSession(
-                model, step_positions=args.step, unbounded=args.unbounded)]
+                model, step_positions=args.step, unbounded=args.unbounded,
+                **spec_kw)]
         audio = rng.normal(size=total).astype(np.float32) * 0.2
         t0 = time.perf_counter()
         for s in burst_sessions[1:]:
@@ -126,6 +160,7 @@ def main() -> int:
         report = {
             "mode": "burst",
             "sessions": args.sessions,
+            "speculative": args.speculative,
             "fused_decode": fused,
             "audio_seconds_total": audio_total,
             "wall_s": round(dt, 2),
@@ -167,6 +202,7 @@ def main() -> int:
     report = {
         "sessions": args.sessions,
         "unbounded": args.unbounded,
+        "speculative": args.speculative,
         "fused_decode": fused,
         "step_audio_ms": step_audio_ms,
         "steady_step_ms_p50": round(float(np.percentile(steady, 50)), 1),

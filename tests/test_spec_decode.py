@@ -244,3 +244,123 @@ def test_speculative_guards(monkeypatch):
     plain = VoxtralModel(model.params, model.config)
     with pytest.raises(ValueError, match="fused"):
         StreamingSession(plain, step_positions=8, speculative=2)
+
+
+def test_speculative_checkpoint_cross_path(monkeypatch, tmp_path):
+    """A snapshot taken mid-stream on a SPECULATIVE session restores
+    onto the sequential path (and vice versa) with token-identical
+    continuations — the session state layout is path-independent."""
+    from voxtral_tpu.streaming import StreamingSession
+
+    model, audio = _spec_env(monkeypatch)
+    ref = StreamingSession(model, step_positions=8, max_duration_s=30)
+    ref.feed(audio)
+    ref.finish()
+
+    # spec -> sequential
+    a = StreamingSession(model, step_positions=8, max_duration_s=30,
+                         speculative=4)
+    a.feed(audio[:60000])
+    assert a.positions_done > 0
+    b = StreamingSession.restore(model, a.state_dict())
+    assert b.speculative == 0
+    b.feed(audio[60000:])
+    b.finish()
+    assert b.tokens == ref.tokens
+
+    # sequential -> spec
+    c = StreamingSession(model, step_positions=8, max_duration_s=30)
+    c.feed(audio[:60000])
+    d = StreamingSession.restore(model, c.state_dict(), speculative=4)
+    assert d.speculative == 4
+    d.feed(audio[60000:])
+    d.finish()
+    assert d.tokens == ref.tokens
+
+
+def test_pool_speculative_matches_solo(monkeypatch):
+    """A speculative pool (per-slot draft-verify, per-slot variable
+    advance) must be token-identical to solo sequential sessions,
+    including MIXED-PROGRESS slots (staggered feeds: one slot finishes
+    its window while the other keeps verifying)."""
+    from voxtral_tpu.streaming import StreamingSession, StreamPool
+
+    model, audio_a = _spec_env(monkeypatch)
+    rng = np.random.default_rng(7)
+    audio_b = np.concatenate([
+        rng.normal(size=16000 * 2).astype(np.float32) * 0.3,
+        np.zeros(16000 * 2, np.float32)])
+
+    monkeypatch.setenv("VOXTRAL_MEGAKERNEL", "0")
+    from voxtral_tpu.models.voxtral import VoxtralModel
+
+    m0 = VoxtralModel(model.params, model.config)
+    ra = StreamingSession(m0, step_positions=8, max_duration_s=30)
+    ra.feed(audio_a)
+    ra.finish()
+    rb = StreamingSession(m0, step_positions=8, max_duration_s=30)
+    rb.feed(audio_b)
+    rb.finish()
+
+    monkeypatch.setenv("VOXTRAL_MEGAKERNEL", "force")
+    pool = StreamPool(model, max_streams=2, step_positions=8,
+                      max_duration_s=30, speculative=4)
+    assert pool._fused is not None and pool.speculative == 4
+    a = StreamingSession(model, step_positions=8, pool=pool)
+    b = StreamingSession(model, step_positions=8, pool=pool)
+    pa = np.array_split(audio_a, 3)
+    pb = np.array_split(audio_b, 2)
+    a.feed(pa[0])
+    a.feed(pa[1])
+    b.feed(pb[0])
+    a.feed(pa[2])
+    a.finish()
+    b.feed(pb[1])
+    b.finish()
+    assert a.tokens == ra.tokens
+    assert b.tokens == rb.tokens
+
+
+def test_pool_speculative_guards(monkeypatch):
+    from voxtral_tpu.streaming import StreamPool
+
+    model, _ = _spec_env(monkeypatch)
+    with pytest.raises(ValueError, match="int8"):
+        StreamPool(model, max_streams=2, step_positions=8,
+                   max_duration_s=30, speculative=4, kv_dtype="int8")
+    with pytest.raises(ValueError, match="<= step_positions"):
+        StreamPool(model, max_streams=2, step_positions=8,
+                   max_duration_s=30, speculative=9)
+    monkeypatch.setenv("VOXTRAL_MEGAKERNEL", "0")
+    from voxtral_tpu.models.voxtral import VoxtralModel
+
+    plain = VoxtralModel(model.params, model.config)
+    with pytest.raises(ValueError, match="fused"):
+        StreamPool(plain, max_streams=2, step_positions=8,
+                   max_duration_s=30, speculative=4)
+
+
+def test_speculative_bf16_weights(monkeypatch):
+    """Speculative decode composes with the bf16 weight mode (the
+    dense-model fast path): token identity vs the sequential session."""
+    from tests.test_bf16_stack import _tiny_bf16_cfg
+    from voxtral_tpu.models.voxtral import VoxtralModel
+    from voxtral_tpu.streaming import StreamingSession
+
+    cfg = _tiny_bf16_cfg()
+    monkeypatch.setenv("VOXTRAL_MEGAKERNEL", "force")
+    model = VoxtralModel.init_random(jax.random.PRNGKey(0), cfg,
+                                     dtype=jnp.bfloat16)
+    assert model.megakernel_weights == "bf16"
+    rng = np.random.default_rng(5)
+    audio = np.concatenate([
+        rng.normal(size=16000 * 2).astype(np.float32) * 0.25,
+        np.zeros(16000 * 2, np.float32)])
+    ref = StreamingSession(model, step_positions=8, max_duration_s=30)
+    ref.feed(audio)
+    ref.finish()
+    s = StreamingSession(model, step_positions=8, max_duration_s=30,
+                         speculative=4)
+    s.feed(audio)
+    s.finish()
+    assert s.tokens == ref.tokens

@@ -102,6 +102,7 @@ class _State:
                 delay_tokens=pipeline.pcfg.delay_tokens,
                 unbounded=pool_unbounded,
                 kv_dtype=pool_kv,
+                speculative=speculative,
             )
             threading.Thread(target=self._pump_loop, daemon=True).start()
         self._restore_drained()
@@ -227,8 +228,8 @@ def _new_session(state: _State):
         delay_tokens=state.pipeline.pcfg.delay_tokens,
         step_positions=state.step_positions,
         pool=pool,
-        # Speculative decode is solo-only; pooled slots amortize the
-        # weight stream over rows instead.
+        # Pooled sessions decode via the pool (which carries its own
+        # speculative config); solo fallbacks get the session flag.
         speculative=(state.speculative if pool is None else 0),
     )
 

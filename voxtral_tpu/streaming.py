@@ -388,7 +388,8 @@ def _jit_cache_put(key, value):
 
 def _session_jits(cfg: VoxtralConfig, P: int, enc_ring, dec_ring,
                   rope_positions: int, fold: bool, mk_interpret: bool,
-                  tp_mesh=None, spec: int = 0):
+                  tp_mesh=None, spec: int = 0,
+                  draft_token: int = STREAMING_PAD):
     """Jitted (init, step, fused_step) + rope tables for a session
     geometry, shared ACROSS sessions.
 
@@ -423,7 +424,8 @@ def _session_jits(cfg: VoxtralConfig, P: int, enc_ring, dec_ring,
                               (init, step, enc_rope, dec_rope))
     init, step, enc_rope, dec_rope = base
 
-    fkey = ("fstep", base_key, fold, mk_interpret, tp_mesh, spec)
+    fkey = ("fstep", base_key, fold, mk_interpret, tp_mesh, spec,
+            draft_token)
     fstep = _STEP_JIT_CACHE.get(fkey)
     if fstep is None:
         if spec > 1:
@@ -432,7 +434,8 @@ def _session_jits(cfg: VoxtralConfig, P: int, enc_ring, dec_ring,
                 partial(_stream_step_spec_fn, cfg=cfg,
                         enc_rope=enc_rope, n_positions=P, spec_k=spec,
                         enc_ring=enc_ring, dec_ring=dec_ring,
-                        fold=fold, mk_interpret=mk_interpret),
+                        fold=fold, mk_interpret=mk_interpret,
+                        draft_token=draft_token),
                 donate_argnames=("enc_cache", "dec_cache"))
         else:
             fstep = jax.jit(
@@ -447,7 +450,7 @@ def _session_jits(cfg: VoxtralConfig, P: int, enc_ring, dec_ring,
 
 
 def _fused_plan(model, batch: int, cache_s: int, itemsize: int = None,
-                chunk: int = None, pool: bool = False):
+                chunk: int = None, pool: bool = False, spec: int = 1):
     """Stack-kernel decode plan ({"w", "fold"}) for ``batch`` rows and a
     ``cache_s``-position cache, or None when the model lacks fused
     weights, the geometry doesn't tile, or the caches would blow the
@@ -524,7 +527,7 @@ def _fused_plan(model, batch: int, cache_s: int, itemsize: int = None,
     need = stack_vmem_need(
         gate_batch, cache_s, lm.dim, lm.n_heads, lm.n_kv_heads,
         lm.head_dim, lm.hidden_dim, vocab,
-        itemsize, cache_chunk=chunk, weight_itemsize=witem,
+        itemsize, cache_chunk=chunk, weight_itemsize=witem, spec=spec,
     )
     if (not supports_stack_kernel(lm, witem) or need is None
             or need > STACK_VMEM_CAP):
@@ -632,8 +635,21 @@ class StreamPool:
         delay_tokens: float = 6.0,
         unbounded: bool = False,
         kv_dtype: str = "auto",
+        speculative: int = 0,
+        draft_token: int = STREAMING_PAD,
     ):
-        """``unbounded=True`` lays every slot's KV caches out as head+ring
+        """``speculative=K >= 2``: every pooled decode pass verifies K
+        drafted tokens PER SLOT in one stack-kernel weight pass
+        (``decode_stack_step(spec=K)`` — rows (slot, draft) share the
+        slot's cache); slots advance by their own accepted count, so a
+        silence-heavy pool catches up at up to K positions per pass at
+        unchanged pass latency.  Exact greedy tokens always.  Requires
+        the resident model-dtype cache (int8 KV and the HBM-chunked
+        cache are refused — the int8 sequential path attends earlier
+        fresh tokens through the quantized cache, so spec would not be
+        token-identical) and a single-chip mesh.
+
+        ``unbounded=True`` lays every slot's KV caches out as head+ring
         buffers (same in-kernel eviction as unbounded solo sessions), so
         pooled streams never hit ``max_duration_s`` — step time stays flat
         and a slot is bounded only by the RoPE tables (~43 min).  Masked
@@ -651,6 +667,16 @@ class StreamPool:
         self.max_duration_s = max_duration_s
         self.delay_tokens = delay_tokens
         self.unbounded = unbounded
+        self.speculative = int(speculative or 0)
+        self._draft_token = int(draft_token)
+        if self.speculative > self.P:
+            raise ValueError(
+                f"speculative={self.speculative} must be <= "
+                f"step_positions={self.P}")
+        if self.speculative > 1 and kv_dtype == "int8":
+            raise ValueError(
+                "speculative pools need the model-dtype KV cache "
+                "(int8 KV would not be token-identical)")
         lm, enc = self.cfg.language_model, self.cfg.audio_encoder
         if unbounded:
             gran = 4 * self.P
@@ -665,8 +691,11 @@ class StreamPool:
         else:
             self._dec_ring = self._enc_ring = None
             self.max_dec = int(max_duration_s * 6.25) + PREFIX_LEN + 2 * self.P
-            # +1 write granule of sacrificial slots for masked steps.
-            s_dec = self.max_dec + self.P
+            # +1 write granule of sacrificial slots for masked steps;
+            # speculative passes can overshoot by up to 2K-2 further
+            # (a just-finished slot keeps appending at its frozen
+            # position + draft offsets until every slot reaches P).
+            s_dec = self.max_dec + self.P + 2 * self.speculative
             s_enc = 4 * self.max_dec + 4 * self.P
             rope_positions = self.max_dec
         self.max_enc = 4 * self.max_dec
@@ -689,7 +718,11 @@ class StreamPool:
         # fused path; at long S the cache DMA dominates HBM, so chunked
         # prefers int8).  The cache length rounds up to the chunk size
         # (dead slots are masked in-kernel).
-        if kv_dtype == "int8":
+        if self.speculative > 1:
+            # Spec needs the resident model-dtype cache and the
+            # single-chip kernel; no ladder fallbacks.
+            ladder = [(None, None)]
+        elif kv_dtype == "int8":
             ladder = [(1, None), (1, CACHE_CHUNK)]
         elif kv_dtype == "model":
             ladder = [(None, None), (None, CACHE_CHUNK)]
@@ -701,10 +734,11 @@ class StreamPool:
                 f"{kv_dtype!r}"
             )
         self._fused = None
+        spec = max(1, self.speculative)
         for item, chunk in ladder:
             s_try = s_dec if chunk is None else -(-s_dec // chunk) * chunk
-            p = _fused_plan(model, self.B, s_try, itemsize=item,
-                            chunk=chunk, pool=True)
+            p = _fused_plan(model, self.B * spec, s_try, itemsize=item,
+                            chunk=chunk, pool=True, spec=spec)
             if p is not None:
                 self._fused = p
                 self.cache_int8 = item == 1
@@ -718,6 +752,16 @@ class StreamPool:
                     # ring_k_positions arrays stay cache-sized.
                     self._dec_ring = (PREFIX_LEN, s_dec - PREFIX_LEN)
                 break
+        if self.speculative > 1:
+            if self._fused is None:
+                raise ValueError(
+                    "speculative pools need the single-chip fused stack "
+                    "kernel (w8/bf16 megakernel weights; geometry must "
+                    "fit the VMEM budget at B*K query rows)")
+            if self._fused.get("tp") or getattr(model, "parallel",
+                                                None) is not None:
+                raise ValueError("speculative pools are single-chip "
+                                 "(no tp/dp mesh)")
         if self._fused is not None:
             from voxtral_tpu.ops.decode_step_pallas import ada_vectors
 
@@ -968,11 +1012,138 @@ class StreamPool:
             pa = jnp.where(ready[:, None, None, None], pa, prev_audio)
             return (tokens, last, pa, enc_k, enc_v, dec_k, dec_v) + carry[3:]
 
+        def _pool_step_spec(params, fused_w, ada_vecs, mel_wins, prev_tok,
+                            prev_audio, ready, enc_k, enc_v, enc_len,
+                            dec_k, dec_v, dec_len):
+            """Pooled SPECULATIVE step: a while-loop of spec-K kernel
+            passes; each pass verifies K drafted tokens per slot and
+            each slot advances by its own accepted count until every
+            ready slot has decoded P positions.  Slots that finish (or
+            are not ready) keep riding the pass with frozen positions —
+            their appends land at their own future positions (masked by
+            validity, overwritten by the next true append) and their
+            token writes land in the buffer's padding tail (finished)
+            or are discarded by the ready mask (not ready)."""
+            from voxtral_tpu.models.layers import ring_slot, rms_norm
+            from voxtral_tpu.ops.decode_step_pallas import (
+                decode_stack_step,
+                rope_pair_vectors,
+            )
+
+            lmc = self.cfg.language_model
+            fold = self._fused["fold"]
+            K, B, P = self.speculative, self.B, self.P
+
+            def enc_one(mel_win, ek, ev, el, params):
+                cache = KVCache(ek, ev, el)
+                audio, cache = _encode_window(
+                    params, mel_win, cache, self.cfg, self._enc_rope,
+                    4 * P, 0, self._enc_ring,
+                )
+                return audio[0], cache.k, cache.v
+
+            audio, enc_k, enc_v = jax.vmap(
+                enc_one, in_axes=(0, 0, 0, 0, None)
+            )(mel_wins, enc_k, enc_v, enc_len, params)  # [B, P, D]
+            inputs = jnp.concatenate(
+                [prev_audio[:, 0, :, :], audio[:, :-1, :]], axis=1)
+            inputs = jnp.concatenate(
+                [inputs, jnp.tile(inputs[:, -1:, :], (1, K - 1, 1))],
+                axis=1)  # [B, P+K-1, D]
+            lm_kw = _fused_lm_kwargs(params, fold)
+
+            def cond(st):
+                pos = st[0]
+                return jnp.any(ready & (pos < P))
+
+            def body(st):
+                pos, prev, dk, dv, toks = st
+                offs = dec_len + pos  # [B] per-slot absolute positions
+                a = jax.vmap(
+                    lambda inp, q: jax.lax.dynamic_slice_in_dim(
+                        inp, q, K, axis=0)
+                )(inputs, pos)  # [B, K, D]
+                drafts = jnp.concatenate(
+                    [prev[:, None],
+                     jnp.full((B, K - 1), self._draft_token, jnp.int32)],
+                    axis=1)  # [B, K]
+                text = embed_tokens(params["decoder"], drafts)
+                x = (a + text).reshape(B * K, lmc.dim).astype(jnp.float32)
+                pos_rows = (offs[:, None]
+                            + jnp.arange(K, dtype=jnp.int32)[None, :]
+                            ).reshape(-1)
+                cos, sin = jax.vmap(
+                    lambda q: rope_pair_vectors(
+                        q, lmc.head_dim, lmc.rope_theta)
+                )(pos_rows)
+                out = decode_stack_step(
+                    x, offs,
+                    fused_w["attn_norm"], fused_w["ffn_norm"], ada_vecs,
+                    fused_w["sqkv"], fused_w["so"], fused_w["s13"],
+                    fused_w["s2"], cos, sin, dk, dv,
+                    fused_w["wqkv"], fused_w["wo"], fused_w["w13"],
+                    fused_w["w2"],
+                    n_heads=lmc.n_heads, n_kv=lmc.n_kv_heads,
+                    head_dim=lmc.head_dim, eps=lmc.norm_eps,
+                    interpret=self._mk_interpret,
+                    window=lmc.sliding_window, ring=self._dec_ring,
+                    spec=K, **lm_kw,
+                )
+                if fold:
+                    _, k_new, v_new, logits = out
+                else:
+                    xo, k_new, v_new = out
+                    hidden = rms_norm(
+                        xo, params["decoder"]["norm"], lmc.norm_eps)
+                    logits = lm_head(params["decoder"], hidden)
+                y = jnp.argmax(logits, axis=-1).reshape(B, K).astype(
+                    jnp.int32)
+                match = (y[:, : K - 1] == drafts[:, 1:]).astype(jnp.int32)
+                n_acc = 1 + jnp.sum(jnp.cumprod(match, axis=1), axis=1)
+                adv = jnp.where(ready & (pos < P),
+                                jnp.minimum(n_acc, P - pos), 0)
+                # Append ALL K fresh rows per slot at offs+j.
+                nL = k_new.shape[0]
+                kS = k_new.reshape(nL, B, K, lmc.n_kv_heads, lmc.head_dim)
+                vS = v_new.reshape(nL, B, K, lmc.n_kv_heads, lmc.head_dim)
+                for j in range(K):
+                    off_j = offs + j
+                    if self._dec_ring is not None:
+                        slot_j = jax.vmap(
+                            lambda o: ring_slot(o, *self._dec_ring)
+                        )(off_j)
+                    else:
+                        slot_j = off_j
+                    dk = _append_rows(dk, kS[:, :, j], slot_j)
+                    dv = _append_rows(dv, vS[:, :, j], slot_j)
+                toks = jax.vmap(
+                    lambda t, yk, q: jax.lax.dynamic_update_slice(
+                        t, yk, (q,))
+                )(toks, y, pos)
+                idx = jnp.clip(adv - 1, 0, K - 1)
+                picked = jnp.take_along_axis(y, idx[:, None], axis=1)[:, 0]
+                prev = jnp.where(adv > 0, picked, prev)
+                return (pos + adv, prev, dk, dv, toks)
+
+            st = (jnp.zeros((B,), jnp.int32), prev_tok, dec_k, dec_v,
+                  jnp.zeros((B, P + K - 1), jnp.int32))
+            pos, last, dec_k, dec_v, toks = jax.lax.while_loop(
+                cond, body, st)
+            tokens = toks[:, :P]
+            pa = audio[:, None, -1:, :]
+            last = jnp.where(ready, last, prev_tok)
+            pa = jnp.where(ready[:, None, None, None], pa, prev_audio)
+            return tokens, last, pa, enc_k, enc_v, dec_k, dec_v
+
         if self._fused is not None:
             self._pool_step_jit = None
             donate = (7, 8, 10, 11) + ((13, 14) if self.cache_int8 else ())
-            self._pool_step_fused_jit = jax.jit(
-                _pool_step_fused, donate_argnums=donate)
+            if self.speculative > 1:
+                self._pool_step_fused_jit = jax.jit(
+                    _pool_step_spec, donate_argnums=donate)
+            else:
+                self._pool_step_fused_jit = jax.jit(
+                    _pool_step_fused, donate_argnums=donate)
         else:
             self._pool_step_fused_jit = None
             self._pool_step_jit = jax.jit(
@@ -1302,6 +1473,7 @@ class StreamingSession:
         unbounded: bool = False,
         pool: Optional[StreamPool] = None,
         speculative: int = 0,
+        draft_token: int = STREAMING_PAD,
     ):
         """``unbounded=True`` lays the KV caches out as head+ring buffers
         INSIDE the jitted step (permanent 38-position prefix head + a
@@ -1418,6 +1590,7 @@ class StreamingSession:
         # silence) — requires the fused plan and K <= P.
         self._mk_interpret = getattr(model, "_mk_interpret", False)
         self.speculative = int(speculative or 0)
+        self._draft_token = int(draft_token)
         if self.speculative > self.P:
             raise ValueError(
                 f"speculative={self.speculative} must be <= "
@@ -1426,7 +1599,8 @@ class StreamingSession:
         # VMEM plan at that row count (cache rows stay 1 — the estimate
         # is conservative about the shared-cache term).
         self._fused = _fused_plan(model, max(1, self.speculative),
-                                  self._max_dec)
+                                  self._max_dec,
+                                  spec=max(1, self.speculative))
         if self.speculative > 1 and (
                 self._fused is None or self._fused.get("tp")):
             raise ValueError(
@@ -1452,6 +1626,7 @@ class StreamingSession:
                      if self._fused is not None and self._fused.get("tp")
                      else None),
             spec=self.speculative,
+            draft_token=self._draft_token,
         )
 
     # -- internals ----------------------------------------------------------
@@ -1733,6 +1908,7 @@ class StreamingSession:
     def restore(cls, model: "VoxtralModel", state: dict,
                 tokenizer: Optional[VoxtralTokenizer] = None,
                 pool: Optional["StreamPool"] = None,
+                speculative: int = 0,
                 ) -> "StreamingSession":
         """Rebuild a live session from :meth:`state_dict` output.
 
@@ -1782,7 +1958,8 @@ class StreamingSession:
         # not binary-exact) cannot land one position short.
         mds = (int(state["max_dec"]) - PREFIX_LEN - 2 * P + 0.5) / 6.25
         s = cls(model, tokenizer, delay_tokens=float(state["delay_tokens"]),
-                step_positions=P, max_duration_s=mds, unbounded=unbounded)
+                step_positions=P, max_duration_s=mds, unbounded=unbounded,
+                speculative=speculative)
         if s._max_dec != int(state["max_dec"]):
             raise ValueError(
                 f"cache geometry mismatch: checkpoint max_dec="
