@@ -536,7 +536,7 @@ def suite_step_bf16(batches, seq=160, short=None, long=None):
 
 
 def suite_step_spec(ks=(2, 4, 8), streams=1, seq=1024, short=None,
-                    long=None):
+                    long=None, int8=False):
     """Speculative K-token decode step (``decode_stack_step(spec=K)``)
     at forced full acceptance: every chained step verifies K drafts in
     ONE weight pass and advances the cache by K — the K-x throughput
@@ -544,7 +544,14 @@ def suite_step_spec(ks=(2, 4, 8), streams=1, seq=1024, short=None,
     acceptance needs real weights).  The chain feeds each step's argmax
     tokens back as the next step's drafts, so XLA cannot fold steps.
     Weight bytes per step are identical to spec=1 (the stream dominates)
-    -> expect ms/step ~flat in K and tok_s_equiv ~K-x."""
+    -> expect ms/step ~flat in K and tok_s_equiv ~K-x.
+
+    ``int8=True`` runs the int8-KV-cache variant (per-vector scales,
+    quantize-at-append, fresh-row roundtrip in-kernel) — the pooled
+    speculative serving point (streams=8, seq=804, K<=4 is the v5e
+    VMEM ceiling: B*K query rows + the int8 cache blocks; pool16xK=4
+    measured 139 MB of 128 MB and the stack_vmem_need gate refuses
+    it)."""
     import functools
 
     import jax
@@ -555,6 +562,7 @@ def suite_step_spec(ks=(2, 4, 8), streams=1, seq=1024, short=None,
     from voxtral_tpu.models.layers import KVCache
     from voxtral_tpu.ops.decode_step_pallas import (
         decode_stack_step,
+        quantize_kv,
         rope_pair_vectors,
     )
     from voxtral_tpu.utils.quantize import random_w8_params
@@ -568,6 +576,9 @@ def suite_step_spec(ks=(2, 4, 8), streams=1, seq=1024, short=None,
 
     layer_bytes = sum(n * k + 4 * n for n, k in LAYER_SHAPES)
     step_bytes = 26 * layer_bytes + 131072 * 3072 + 4 * 131072
+    if int8:
+        step_bytes += (2 * 26 * streams * lm_cfg.n_kv_heads * seq
+                       * (lm_cfg.head_dim + 4))
 
     results = []
     for K in ks:
@@ -580,14 +591,19 @@ def suite_step_spec(ks=(2, 4, 8), streams=1, seq=1024, short=None,
         cache0 = create_cache(lm_cfg, b, seq, dtype=jnp.bfloat16)
         ck0 = jnp.transpose(cache0.k, (0, 1, 3, 2, 4))
         cv0 = jnp.transpose(cache0.v, (0, 1, 3, 2, 4))
+        if int8:
+            ck0, ks0 = quantize_kv(ck0)
+            cv0, vs0 = quantize_kv(cv0)
+        else:
+            ks0 = vs0 = None
 
-        def run(params, fused, ada_vecs, audio, cache_k, cache_v, length,
-                b=b, K=K, rows=rows):
+        def run(params, fused, ada_vecs, audio, cache_k, cache_v,
+                k_sc, v_sc, length, b=b, K=K, rows=rows):
             tok0 = jnp.full((rows,), 32, jnp.int32)
             cache = KVCache(cache_k, cache_v, jnp.asarray(38, jnp.int32))
 
             def step(carry, i):
-                drafts, cache = carry
+                drafts, cache, k_sc, v_sc = carry
                 offset = cache.length  # per-stream scalar
                 # Row (b, j) input: audio slice + embed(draft row).
                 apos = jax.lax.dynamic_slice_in_dim(audio, 38, K, axis=1)
@@ -604,6 +620,8 @@ def suite_step_spec(ks=(2, 4, 8), streams=1, seq=1024, short=None,
                 # lm table from the ARG params dict — a closure constant
                 # would be serialized into the program (tunnel 413).
                 emb = params["tok_embeddings"]["w8"]
+                scale_kw = (dict(k_scales=k_sc, v_scales=v_sc)
+                            if int8 else {})
                 x, k_new, v_new, tok = decode_stack_step(
                     x, jnp.full((b,), offset, jnp.int32),
                     fused["attn_norm"], fused["ffn_norm"], ada_vecs,
@@ -614,6 +632,7 @@ def suite_step_spec(ks=(2, 4, 8), streams=1, seq=1024, short=None,
                     lm_scale=emb["scale"], lm_argmax=True, spec=K,
                     n_heads=lm_cfg.n_heads, n_kv=lm_cfg.n_kv_heads,
                     head_dim=lm_cfg.head_dim, eps=lm_cfg.norm_eps,
+                    **scale_kw,
                 )
                 # Append all K fresh rows at offs..offs+K-1 (head-major:
                 # [L, rows, Hkv, hd] -> [L, b, Hkv, K, hd] slice update).
@@ -625,16 +644,26 @@ def suite_step_spec(ks=(2, 4, 8), streams=1, seq=1024, short=None,
                                   lm_cfg.head_dim), (0, 1, 3, 2, 4))
                 zero = jnp.zeros((), jnp.int32)
                 start = (zero, zero, zero, offset, zero)
+                if int8:
+                    kn, kns = quantize_kv(kn)
+                    vn, vns = quantize_kv(vn)
+                    k_sc = jax.lax.dynamic_update_slice(
+                        k_sc, kns, (zero, zero, zero, offset))
+                    v_sc = jax.lax.dynamic_update_slice(
+                        v_sc, vns, (zero, zero, zero, offset))
                 k_c = jax.lax.dynamic_update_slice(
                     cache.k, kn.astype(cache.k.dtype), start)
                 v_c = jax.lax.dynamic_update_slice(
                     cache.v, vn.astype(cache.v.dtype), start)
                 # Forced acceptance: advance by K, next drafts = tokens.
                 cache = KVCache(k_c, v_c, offset + K)
-                return (tok[:, 0], cache), tok[:, 0]
+                return (tok[:, 0], cache, k_sc, v_sc), tok[:, 0]
 
-            (_, _), toks = jax.lax.scan(
-                step, (tok0, cache), jnp.arange(length, dtype=jnp.int32))
+            zs = jnp.zeros((0,), jnp.float32)
+            (_, _, _, _), toks = jax.lax.scan(
+                step, (tok0, cache,
+                       k_sc if int8 else zs, v_sc if int8 else zs),
+                jnp.arange(length, dtype=jnp.int32))
             return toks[-1, 0]
 
         @functools.lru_cache(maxsize=None)
@@ -643,7 +672,7 @@ def suite_step_spec(ks=(2, 4, 8), streams=1, seq=1024, short=None,
 
         def runner(length):
             return _jitted(length)(
-                params, fused, ada_vecs, audio, ck0, cv0)
+                params, fused, ada_vecs, audio, ck0, cv0, ks0, vs0)
 
         if short is None or long is None:
             diff = max(8, int(6e10 / step_bytes))
@@ -655,7 +684,9 @@ def suite_step_spec(ks=(2, 4, 8), streams=1, seq=1024, short=None,
         lo = min(lo, max(2, hi // 4))
         per_step = _timed_slope(runner, lo, hi)
         r = {
-            "bench": "decode_step_spec", "k": K, "streams": b, "seq": seq,
+            "bench": ("decode_step_spec_int8" if int8
+                      else "decode_step_spec"),
+            "k": K, "streams": b, "seq": seq,
             "ms_per_step": round(per_step * 1e3, 3),
             "eff_gbps": round(step_bytes / per_step / 1e9, 1),
             "tok_s_ceiling": round(b * K / per_step, 1),
@@ -1152,11 +1183,16 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--suite", default="all",
                     choices=["all", "matmul", "step", "step-fused",
-                             "step-bf16", "step-spec", "step-int8kv",
-                             "step-chunked", "encode", "tp-lm",
-                             "tp-halves"])
+                             "step-bf16", "step-spec", "step-spec-int8",
+                             "step-int8kv", "step-chunked", "encode",
+                             "tp-lm", "tp-halves"])
     ap.add_argument("--m", default="1,2,8")
     ap.add_argument("--batch", default="1,2,4")
+    ap.add_argument("--streams", type=int, default=8,
+                    help="step-spec-int8: pooled streams (B).  pool8 is "
+                    "the v5e VMEM ceiling for spec-K<=4 at S=804 "
+                    "(pool16xK=4 measured 139 MB of 128 MB VMEM; the "
+                    "stack_vmem_need gate refuses it)")
     ap.add_argument("--seq", type=int, default=160,
                     help="cache positions for the step suites")
     ap.add_argument("--lm-argmax", action="store_true",
@@ -1193,6 +1229,11 @@ def main():
     if args.suite == "step-spec":
         suite_step_spec(ks=[int(x) for x in args.batch.split(",")],
                         seq=args.seq)
+    if args.suite == "step-spec-int8":
+        # The pooled speculative serving point: int8-KV streams at the
+        # bounded-pool S=804 geometry, K drafts per slot.
+        suite_step_spec(ks=[int(x) for x in args.batch.split(",")],
+                        streams=args.streams, seq=args.seq, int8=True)
     if args.suite == "step-int8kv":
         suite_step_int8kv([int(x) for x in args.batch.split(",")],
                           seq=args.seq)

@@ -111,16 +111,13 @@ def main() -> int:
                if args.speculative > 1 else {})
 
     if args.sessions > 1:
-        if args.speculative > 1:
-            print("error: --speculative is solo-session only",
-                  file=sys.stderr)
-            return 2
         from voxtral_tpu.streaming import StreamPool
 
         pool = StreamPool(model, max_streams=args.sessions,
                           step_positions=args.step,
                           max_duration_s=args.seconds + 10,
-                          unbounded=args.unbounded, kv_dtype=args.kv)
+                          unbounded=args.unbounded, kv_dtype=args.kv,
+                          **spec_kw)
         sessions = [
             StreamingSession(model, step_positions=args.step, pool=pool)
             for _ in range(args.sessions)

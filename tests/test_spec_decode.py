@@ -126,26 +126,86 @@ def test_spec_kernel_matches_sequential(setup, window):
             np.asarray(ref_v[j]), rtol=2e-3, atol=2e-3)
 
 
-def test_spec_rejects_int8_cache(setup):
-    """int8 KV + spec must refuse: the sequential int8 path attends
-    earlier fresh tokens through the QUANTIZED cache, so a full-precision
-    in-register self-block would silently diverge from it."""
+def _append_q(kc, ks, kn, off):
+    """int8 cache append: quantize the fresh bf16 row exactly like the
+    streaming path (quantize_kv at the k_new/v_new output dtype)."""
+    kq, ksc = quantize_kv(kn)
+    z = jnp.zeros((), jnp.int32)
+    o = jnp.asarray(off, jnp.int32)
+    kc = jax.lax.dynamic_update_slice(
+        kc, kq[:, :, :, None], (z, z, z, o, z))
+    ks = jax.lax.dynamic_update_slice(
+        ks, ksc[:, :, :, None], (z, z, z, o))
+    return kc, ks
+
+
+@pytest.mark.parametrize("window", [None, 32])
+def test_spec_kernel_matches_sequential_int8(setup, window):
+    """spec=K with the int8 KV cache == K sequential int8 steps: the
+    kernel roundtrips fresh rows i<j through the bf16 output dtype and
+    the quantize_kv append quantization, and joins them into the same
+    softmax-weight requant group the sequential ctx_of uses — so the
+    draft rows read earlier drafts EXACTLY as the sequential step reads
+    them back from the quantized cache."""
     params, t_embed, k_cache, v_cache, _ = setup
     lyr = params["layers"]
     fused = fuse_decode_weights(params)
     adav = ada_vectors(params, t_embed)
+    K = 3
+    rng = np.random.default_rng(9)
+    xs = jnp.asarray(rng.normal(size=(B, K, D)) * 0.5, jnp.float32)
+
     kt = jnp.transpose(k_cache, (0, 1, 3, 2, 4))
-    kq, ks = quantize_kv(kt)
-    cos_r, sin_r = _spec_rope(2)
-    with pytest.raises(ValueError, match="int8"):
-        decode_stack_step(
-            jnp.zeros((B * 2, D), jnp.float32), jnp.full((B,), OFF),
-            lyr["attention_norm"], lyr["ffn_norm"], adav,
+    vt = jnp.transpose(v_cache, (0, 1, 3, 2, 4))
+    mask = (np.arange(S) < OFF)[None, None, None, :, None]
+    kq0, ks0 = quantize_kv(kt * mask)
+    vq0, vs0 = quantize_kv(vt * mask)
+
+    common = dict(n_heads=N_HEADS, n_kv=N_KV, head_dim=HEAD_DIM, eps=EPS,
+                  interpret=True, window=window)
+
+    # Sequential int8 reference: K non-spec steps, each appending the
+    # quantized fresh row (the exact semantics spec must reproduce).
+    kc, ks, vc, vs = kq0, ks0, vq0, vs0
+    ref_x, ref_k, ref_v = [], [], []
+    for j in range(K):
+        off = jnp.asarray(OFF + j, jnp.int32)
+        cos, sin = rope_pair_vectors(off, HEAD_DIM, theta=1e6)
+        ox, kn, vn = decode_stack_step(
+            xs[:, j], off, lyr["attention_norm"], lyr["ffn_norm"], adav,
             fused["sqkv"], fused["so"], fused["s13"], fused["s2"],
-            cos_r, sin_r, kq, kq,
+            cos, sin, kc, vc,
             fused["wqkv"], fused["wo"], fused["w13"], fused["w2"],
-            k_scales=ks, v_scales=ks, spec=2, n_heads=N_HEADS, n_kv=N_KV,
-            head_dim=HEAD_DIM, eps=EPS, interpret=True)
+            k_scales=ks, v_scales=vs, **common)
+        ref_x.append(ox)
+        ref_k.append(kn)
+        ref_v.append(vn)
+        kc, ks = _append_q(kc, ks, kn, OFF + j)
+        vc, vs = _append_q(vc, vs, vn, OFF + j)
+
+    cos_r, sin_r = _spec_rope(K)
+    sx, skn, svn = decode_stack_step(
+        xs.reshape(B * K, D), jnp.full((B,), OFF, jnp.int32),
+        lyr["attention_norm"], lyr["ffn_norm"], adav,
+        fused["sqkv"], fused["so"], fused["s13"], fused["s2"],
+        cos_r, sin_r, kq0, vq0,
+        fused["wqkv"], fused["wo"], fused["w13"], fused["w2"],
+        k_scales=ks0, v_scales=vs0, spec=K, **common)
+
+    for j in range(K):
+        np.testing.assert_allclose(
+            np.asarray(sx.reshape(B, K, D)[:, j]), np.asarray(ref_x[j]),
+            rtol=2e-3, atol=2e-3, err_msg=f"x j={j}")
+        np.testing.assert_allclose(
+            np.asarray(skn.reshape(L, B, K, N_KV, HEAD_DIM)[:, :, j]
+                       ).astype(np.float32),
+            np.asarray(ref_k[j]).astype(np.float32),
+            rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(
+            np.asarray(svn.reshape(L, B, K, N_KV, HEAD_DIM)[:, :, j]
+                       ).astype(np.float32),
+            np.asarray(ref_v[j]).astype(np.float32),
+            rtol=2e-3, atol=2e-3)
 
 
 def test_spec_rejects_chunked_cache(setup):
@@ -321,13 +381,42 @@ def test_pool_speculative_matches_solo(monkeypatch):
     assert b.tokens == rb.tokens
 
 
+def test_pool_speculative_int8_matches_sequential_pool(monkeypatch):
+    """An int8-KV speculative pool must be token-identical to the
+    SEQUENTIAL int8 pool (the int8 ladder changes numerics vs bf16, so
+    the identity contract is against the same-cache sequential path) —
+    the kernel's fresh-row quantization roundtrip at work."""
+    from voxtral_tpu.streaming import StreamingSession, StreamPool
+
+    model, audio_a = _spec_env(monkeypatch)
+    rng = np.random.default_rng(21)
+    audio_b = np.concatenate([
+        rng.normal(size=16000 * 2).astype(np.float32) * 0.3,
+        np.zeros(16000 * 2, np.float32)])
+
+    def run(spec):
+        pool = StreamPool(model, max_streams=2, step_positions=8,
+                          max_duration_s=30, speculative=spec,
+                          kv_dtype="int8")
+        assert pool.cache_int8 and pool._fused is not None
+        a = StreamingSession(model, step_positions=8, pool=pool)
+        b = StreamingSession(model, step_positions=8, pool=pool)
+        a.feed(audio_a)
+        b.feed(audio_b)
+        a.finish()
+        b.finish()
+        return a.tokens, b.tokens
+
+    ref_a, ref_b = run(0)
+    spec_a, spec_b = run(4)
+    assert spec_a == ref_a
+    assert spec_b == ref_b
+
+
 def test_pool_speculative_guards(monkeypatch):
     from voxtral_tpu.streaming import StreamPool
 
     model, _ = _spec_env(monkeypatch)
-    with pytest.raises(ValueError, match="int8"):
-        StreamPool(model, max_streams=2, step_positions=8,
-                   max_duration_s=30, speculative=4, kv_dtype="int8")
     with pytest.raises(ValueError, match="<= step_positions"):
         StreamPool(model, max_streams=2, step_positions=8,
                    max_duration_s=30, speculative=9)

@@ -716,6 +716,27 @@ def _make_stack_kernel(B, D, S, L, n_heads, n_kv, head_dim, hidden, plan,
                         valid &= (off3 + j - p_abs) <= window
                     return valid
 
+                if cache_q:
+                    # Fresh rows i < j must read EXACTLY like the
+                    # sequential step reads them back from the int8
+                    # cache: roundtrip through the k_new/v_new output
+                    # dtype (bf16 — the host quantizes THOSE values at
+                    # append) and the quantize_kv per-vector formula.
+                    # Integer-domain f32 math (codes are exact small
+                    # integers; dots stay < 2^24) reproduces the int8
+                    # MXU accumulation exactly without int8 VPU ops,
+                    # which Mosaic lowers poorly.
+                    kbr = kS.astype(jnp.bfloat16).astype(jnp.float32)
+                    vbr = vS.astype(jnp.bfloat16).astype(jnp.float32)
+                    ksf = jnp.maximum(
+                        jnp.max(jnp.abs(kbr), axis=-1, keepdims=True),
+                        1e-8) / 127.0
+                    kqf = jnp.clip(jnp.round(kbr / ksf), -127, 127)
+                    vsf = jnp.maximum(
+                        jnp.max(jnp.abs(vbr), axis=-1, keepdims=True),
+                        1e-8) / 127.0
+                    vqf = jnp.clip(jnp.round(vbr / vsf), -127, 127)
+
                 attn_js = []
                 for j in range(spec):
                     qj = qS[:, j].reshape(Bl * n_kv, groups,
@@ -723,10 +744,9 @@ def _make_stack_kernel(B, D, S, L, n_heads, n_kv, head_dim, hidden, plan,
                     if cache_q:
                         qa = jnp.max(jnp.abs(qj), axis=-1, keepdims=True)
                         sqj = jnp.maximum(qa, 1e-8) / 127.0
-                        qqj = jnp.clip(jnp.round(qj / sqj), -127, 127
-                                       ).astype(jnp.int8)
+                        qqf = jnp.clip(jnp.round(qj / sqj), -127, 127)
                         sj = jax.lax.dot_general(
-                            qqj, kcS,
+                            qqf.astype(jnp.int8), kcS,
                             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                             preferred_element_type=jnp.int32,
                         ).astype(jnp.float32) * sqj * ksS[:, None, :]
@@ -738,22 +758,47 @@ def _make_stack_kernel(B, D, S, L, n_heads, n_kv, head_dim, hidden, plan,
                         )
                     sj = jnp.where(valid_spec(sj.shape, j), sj, -jnp.inf)
 
-                    selfs = []
-                    for i in range(j + 1):
+                    prevs = []  # fresh rows i < j within the window
+                    for i in range(j):
                         if window is not None and (j - i) > window:
                             continue  # static: drafts beyond the band
-                        ki = kS[:, i].reshape(Bl * n_kv, 1, head_dim)
-                        selfs.append(
-                            (i, jnp.sum(qj * ki, axis=-1)))  # [Bl*Hkv, G]
+                        if cache_q:
+                            # score = (q codes · k codes) * sq * ks —
+                            # the int8 score the sequential step gets
+                            # from the cache slot at offs[b] + i.
+                            kqi = kqf[:, i].reshape(Bl * n_kv, 1,
+                                                    head_dim)
+                            si = (jnp.sum(qqf * kqi, axis=-1)
+                                  * sqj[..., 0]
+                                  * ksf[:, i].reshape(Bl * n_kv, 1))
+                        else:
+                            ki = kS[:, i].reshape(Bl * n_kv, 1, head_dim)
+                            si = jnp.sum(qj * ki, axis=-1)  # [Bl*Hkv, G]
+                        prevs.append((i, si))
+                    # Row j's own fresh K/V stays full-precision — the
+                    # sequential step's self_s/e_self path.
+                    s_self = jnp.sum(
+                        qj * kS[:, j].reshape(Bl * n_kv, 1, head_dim),
+                        axis=-1)
 
-                    m = jnp.max(sj, axis=-1)
-                    for _, si in selfs:
+                    m = jnp.maximum(jnp.max(sj, axis=-1), s_self)
+                    for _, si in prevs:
                         m = jnp.maximum(m, si)
                     e_cache = jnp.exp(sj - m[..., None])
                     denom = jnp.sum(e_cache, axis=-1)
                     if cache_q:
+                        # ONE requant scale group across cache slots AND
+                        # fresh rows i < j — in the sequential step they
+                        # all sit in the same cache row when ctx_of
+                        # requantizes the softmax weights.
                         e_w = e_cache * vsS[:, None, :]
                         ea = jnp.max(jnp.abs(e_w), axis=-1, keepdims=True)
+                        fresh = []
+                        for i, si in prevs:
+                            e_i = jnp.exp(si - m)
+                            ew_i = e_i * vsf[:, i].reshape(Bl * n_kv, 1)
+                            ea = jnp.maximum(ea, jnp.abs(ew_i)[..., None])
+                            fresh.append((i, e_i, ew_i))
                         se = jnp.maximum(ea, 1e-30) / 127.0
                         eq = jnp.clip(jnp.round(e_w / se), -127, 127
                                       ).astype(jnp.int8)
@@ -762,17 +807,29 @@ def _make_stack_kernel(B, D, S, L, n_heads, n_kv, head_dim, hidden, plan,
                             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                             preferred_element_type=jnp.int32,
                         ).astype(jnp.float32) * se
+                        for i, e_i, ew_i in fresh:
+                            denom = denom + e_i
+                            eqi = jnp.clip(jnp.round(ew_i / se[..., 0]),
+                                           -127, 127)
+                            ctx = ctx + (eqi[..., None]
+                                         * vqf[:, i].reshape(
+                                             Bl * n_kv, 1, head_dim)
+                                         * se)
                     else:
                         ctx = jax.lax.dot_general(
                             e_cache.astype(vcS.dtype), vcS,
                             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32,
                         )
-                    for i, si in selfs:
-                        e_i = jnp.exp(si - m)
-                        denom = denom + e_i
-                        ctx = ctx + e_i[..., None] * vS[:, i].reshape(
-                            Bl * n_kv, 1, head_dim)
+                        for i, si in prevs:
+                            e_i = jnp.exp(si - m)
+                            denom = denom + e_i
+                            ctx = ctx + e_i[..., None] * vS[:, i].reshape(
+                                Bl * n_kv, 1, head_dim)
+                    e_self = jnp.exp(s_self - m)
+                    denom = denom + e_self
+                    ctx = ctx + e_self[..., None] * vS[:, j].reshape(
+                        Bl * n_kv, 1, head_dim)
                     attn_js.append(
                         (ctx / denom[..., None]).reshape(Bl, nq))
                 attn = jnp.stack(attn_js, axis=1).reshape(B, nq)
@@ -1212,7 +1269,15 @@ def decode_stack_step(
     the longest prefix where argmax matches the draft and appends all
     K fresh K/V rows at slots offs[b]..offs[b]+K-1 (rows past the
     accepted count are overwritten by later appends and masked by
-    validity meanwhile).  Not supported with ``cache_chunk``.
+    validity meanwhile).  With the int8 KV cache, the kernel reads the
+    fresh rows i < j EXACTLY as the sequential step would read them
+    back from the cache — roundtripped through the bf16 k_new/v_new
+    output dtype and the ``quantize_kv`` append quantization, with the
+    softmax-weight requantization sharing ONE scale group across cache
+    slots and fresh rows (matching ``ctx_of``'s per-row group) — so
+    spec + int8 pools stay token-identical to sequential int8 pools.
+    Not supported with ``cache_chunk`` (the sequential chunked path's
+    requant groups are per-chunk; fresh rows cannot join them exactly).
     """
     B, D = x.shape
     L, _, _, S = k_cache.shape[:4]
@@ -1221,15 +1286,6 @@ def decode_stack_step(
             raise ValueError(f"spec={spec} must divide the row count {B}")
         if cache_chunk is not None:
             raise ValueError("speculative decode + cache_chunk unsupported")
-        if k_cache.dtype == jnp.int8:
-            # The sequential int8 path attends earlier fresh tokens
-            # THROUGH the quantized cache; the spec kernel sees them
-            # full-precision in-register — not bit-identical.  Refuse
-            # rather than silently diverge (solo sessions, the spec
-            # integration target, carry bf16 caches).
-            raise ValueError("speculative decode + int8 KV cache "
-                             "unsupported (would not be token-identical "
-                             "to the sequential int8 path)")
     Bc = B // spec  # cache rows (= logical streams)
     if k_cache.shape[1] != Bc:
         raise ValueError(

@@ -643,11 +643,12 @@ class StreamPool:
         (``decode_stack_step(spec=K)`` — rows (slot, draft) share the
         slot's cache); slots advance by their own accepted count, so a
         silence-heavy pool catches up at up to K positions per pass at
-        unchanged pass latency.  Exact greedy tokens always.  Requires
-        the resident model-dtype cache (int8 KV and the HBM-chunked
-        cache are refused — the int8 sequential path attends earlier
-        fresh tokens through the quantized cache, so spec would not be
-        token-identical) and a single-chip mesh.
+        unchanged pass latency.  Exact greedy tokens always.  Rides the
+        resident cache ladder — model dtype or int8 KV (the kernel
+        roundtrips fresh rows through the append quantization, so int8
+        spec pools stay token-identical to sequential int8 pools); the
+        HBM-chunked cache is refused (per-chunk requant groups) — on a
+        single-chip mesh.
 
         ``unbounded=True`` lays every slot's KV caches out as head+ring
         buffers (same in-kernel eviction as unbounded solo sessions), so
@@ -673,10 +674,6 @@ class StreamPool:
             raise ValueError(
                 f"speculative={self.speculative} must be <= "
                 f"step_positions={self.P}")
-        if self.speculative > 1 and kv_dtype == "int8":
-            raise ValueError(
-                "speculative pools need the model-dtype KV cache "
-                "(int8 KV would not be token-identical)")
         lm, enc = self.cfg.language_model, self.cfg.audio_encoder
         if unbounded:
             gran = 4 * self.P
@@ -719,9 +716,18 @@ class StreamPool:
         # prefers int8).  The cache length rounds up to the chunk size
         # (dead slots are masked in-kernel).
         if self.speculative > 1:
-            # Spec needs the resident model-dtype cache and the
-            # single-chip kernel; no ladder fallbacks.
-            ladder = [(None, None)]
+            # Spec rides the resident cache ladder (model dtype or int8
+            # — the kernel's fresh-row roundtrip keeps int8 spec
+            # token-identical to sequential int8) but not the
+            # HBM-chunked cache (its per-chunk requant groups cannot be
+            # joined exactly).
+            ladder = {"model": [(None, None)], "int8": [(1, None)],
+                      "auto": [(None, None), (1, None)]}.get(kv_dtype)
+            if ladder is None:
+                raise ValueError(
+                    f"kv_dtype must be 'auto', 'model' or 'int8', got "
+                    f"{kv_dtype!r}"
+                )
         elif kv_dtype == "int8":
             ladder = [(1, None), (1, CACHE_CHUNK)]
         elif kv_dtype == "model":
@@ -1014,7 +1020,7 @@ class StreamPool:
 
         def _pool_step_spec(params, fused_w, ada_vecs, mel_wins, prev_tok,
                             prev_audio, ready, enc_k, enc_v, enc_len,
-                            dec_k, dec_v, dec_len):
+                            dec_k, dec_v, dec_len, *dec_scales):
             """Pooled SPECULATIVE step: a while-loop of spec-K kernel
             passes; each pass verifies K drafted tokens per slot and
             each slot advances by its own accepted count until every
@@ -1023,15 +1029,21 @@ class StreamPool:
             their appends land at their own future positions (masked by
             validity, overwritten by the next true append) and their
             token writes land in the buffer's padding tail (finished)
-            or are discarded by the ready mask (not ready)."""
+            or are discarded by the ready mask (not ready).  With the
+            int8 KV cache, ``dec_scales`` = (k_scales, v_scales) and
+            all K fresh rows per slot are per-vector-quantized at each
+            append (the kernel reads them back roundtripped, so tokens
+            match the sequential int8 pool)."""
             from voxtral_tpu.models.layers import ring_slot, rms_norm
             from voxtral_tpu.ops.decode_step_pallas import (
                 decode_stack_step,
+                quantize_kv,
                 rope_pair_vectors,
             )
 
             lmc = self.cfg.language_model
             fold = self._fused["fold"]
+            int8 = self.cache_int8
             K, B, P = self.speculative, self.B, self.P
 
             def enc_one(mel_win, ek, ev, el, params):
@@ -1057,7 +1069,12 @@ class StreamPool:
                 return jnp.any(ready & (pos < P))
 
             def body(st):
-                pos, prev, dk, dv, toks = st
+                if int8:
+                    pos, prev, dk, dv, dks, dvs, toks = st
+                    scale_kw = dict(k_scales=dks, v_scales=dvs)
+                else:
+                    pos, prev, dk, dv, toks = st
+                    scale_kw = {}
                 offs = dec_len + pos  # [B] per-slot absolute positions
                 a = jax.vmap(
                     lambda inp, q: jax.lax.dynamic_slice_in_dim(
@@ -1087,7 +1104,7 @@ class StreamPool:
                     head_dim=lmc.head_dim, eps=lmc.norm_eps,
                     interpret=self._mk_interpret,
                     window=lmc.sliding_window, ring=self._dec_ring,
-                    spec=K, **lm_kw,
+                    spec=K, **scale_kw, **lm_kw,
                 )
                 if fold:
                     _, k_new, v_new, logits = out
@@ -1114,8 +1131,16 @@ class StreamPool:
                         )(off_j)
                     else:
                         slot_j = off_j
-                    dk = _append_rows(dk, kS[:, :, j], slot_j)
-                    dv = _append_rows(dv, vS[:, :, j], slot_j)
+                    if int8:
+                        kq, ksc = quantize_kv(kS[:, :, j])
+                        vq, vsc = quantize_kv(vS[:, :, j])
+                        dk = _append_rows(dk, kq, slot_j)
+                        dv = _append_rows(dv, vq, slot_j)
+                        dks = _append_scales(dks, ksc, slot_j)
+                        dvs = _append_scales(dvs, vsc, slot_j)
+                    else:
+                        dk = _append_rows(dk, kS[:, :, j], slot_j)
+                        dv = _append_rows(dv, vS[:, :, j], slot_j)
                 toks = jax.vmap(
                     lambda t, yk, q: jax.lax.dynamic_update_slice(
                         t, yk, (q,))
@@ -1123,17 +1148,22 @@ class StreamPool:
                 idx = jnp.clip(adv - 1, 0, K - 1)
                 picked = jnp.take_along_axis(y, idx[:, None], axis=1)[:, 0]
                 prev = jnp.where(adv > 0, picked, prev)
+                if int8:
+                    return (pos + adv, prev, dk, dv, dks, dvs, toks)
                 return (pos + adv, prev, dk, dv, toks)
 
-            st = (jnp.zeros((B,), jnp.int32), prev_tok, dec_k, dec_v,
-                  jnp.zeros((B, P + K - 1), jnp.int32))
-            pos, last, dec_k, dec_v, toks = jax.lax.while_loop(
-                cond, body, st)
+            st0 = (jnp.zeros((B,), jnp.int32), prev_tok, dec_k, dec_v)
+            if int8:
+                st0 = st0 + tuple(dec_scales)
+            st = jax.lax.while_loop(
+                cond, body, st0 + (jnp.zeros((B, P + K - 1), jnp.int32),))
+            pos, last, dec_k, dec_v = st[:4]
+            toks = st[-1]
             tokens = toks[:, :P]
             pa = audio[:, None, -1:, :]
             last = jnp.where(ready, last, prev_tok)
             pa = jnp.where(ready[:, None, None, None], pa, prev_audio)
-            return tokens, last, pa, enc_k, enc_v, dec_k, dec_v
+            return (tokens, last, pa, enc_k, enc_v, dec_k, dec_v) + st[4:-1]
 
         if self._fused is not None:
             self._pool_step_jit = None
