@@ -718,6 +718,120 @@ def test_dp_pooled_streaming_matches_solo(monkeypatch):
     assert pb.tokens == solo_b.tokens, (pb.tokens, solo_b.tokens)
 
 
+def test_dp_pooled_speculative_matches_solo(monkeypatch):
+    """StreamPool(speculative=K) on a data-parallel mesh: each shard
+    verifies its own streams' K draft rows (whole streams per shard,
+    zero collectives) — tokens must equal solo sessions on the
+    single-device generic path, including staggered progress, and the
+    int8-KV spec variant must equal the single-device SEQUENTIAL int8
+    pool (same quantization ladder).
+
+    Config/seeds follow test_spec_decode._spec_env: the spec step is a
+    DIFFERENT XLA program from the sequential one (while-loop vs scan,
+    K-row vs 1-row kernel batch), so equivalent math rounds ~1 ULP
+    apart; random-weight models need robust argmax margins for the
+    token-identity contract to be testable (the tiny_config/seed-31
+    combination flips one razor-thin token — wer_eval_work/r04/
+    repro_margin.py)."""
+    import dataclasses
+
+    from voxtral_tpu.config import VoxtralConfig
+    from voxtral_tpu.models.voxtral import VoxtralModel
+    from voxtral_tpu.streaming import StreamingSession, StreamPool
+    from voxtral_tpu.utils.quantize import quantize_params_w8
+
+    cfg = VoxtralConfig.from_file("tests/fixtures/params_tiny.json")
+    cfg = dataclasses.replace(
+        cfg, language_model=dataclasses.replace(
+            cfg.language_model, vocab_size=1280))
+    f32 = VoxtralModel.init_random(jax.random.PRNGKey(3), cfg,
+                                   dtype=jnp.float32)
+    w8 = quantize_params_w8(f32.params)
+
+    rng = np.random.default_rng(11)
+    audio_a = np.concatenate([
+        rng.normal(size=16000 * 3).astype(np.float32) * 0.25,
+        np.zeros(16000 * 2, np.float32)])
+    audio_b = np.concatenate([
+        rng.normal(size=16000 * 2).astype(np.float32) * 0.3,
+        np.zeros(16000 * 2, np.float32)])
+
+    monkeypatch.setenv("VOXTRAL_MEGAKERNEL", "0")
+    gmodel = VoxtralModel(w8, cfg)
+    solo_a = StreamingSession(gmodel, step_positions=8, max_duration_s=30)
+    solo_a.feed(audio_a)
+    solo_a.finish()
+    solo_b = StreamingSession(gmodel, step_positions=8, max_duration_s=30)
+    solo_b.feed(audio_b)
+    solo_b.finish()
+
+    monkeypatch.setenv("VOXTRAL_MEGAKERNEL", "force")
+    mesh = make_mesh(n_data=2, n_model=1)
+    dmodel = VoxtralModel(w8, cfg, mesh=mesh)
+
+    def run_pool(model, kv, spec):
+        pool = StreamPool(model, max_streams=2, step_positions=8,
+                          max_duration_s=30, kv_dtype=kv,
+                          speculative=spec)
+        assert pool._fused is not None
+        if model is dmodel:
+            assert pool._dp_mesh is not None
+        pa = StreamingSession(model, step_positions=8, pool=pool)
+        pb = StreamingSession(model, step_positions=8, pool=pool)
+        pieces_a = np.array_split(audio_a, 3)
+        pieces_b = np.array_split(audio_b, 2)
+        pa.feed(pieces_a[0])
+        pb.feed(pieces_b[0])
+        pa.feed(pieces_a[1])
+        pa.feed(pieces_a[2])
+        pb.feed(pieces_b[1])
+        pa.finish()
+        pb.finish()
+        return pa.tokens, pb.tokens
+
+    ta, tb = run_pool(dmodel, "model", 4)
+    assert ta == solo_a.tokens, (ta, solo_a.tokens)
+    assert tb == solo_b.tokens, (tb, solo_b.tokens)
+
+    # int8 ladder: the DP spec pool must equal the single-device
+    # sequential int8 pool token-for-token.
+    smodel = VoxtralModel(w8, cfg)
+    ref_a, ref_b = run_pool(smodel, "int8", 0)
+    ia, ib = run_pool(dmodel, "int8", 4)
+    assert ia == ref_a, (ia, ref_a)
+    assert ib == ref_b, (ib, ref_b)
+
+
+def test_dp_pooled_speculative_guards(monkeypatch):
+    """Spec pools refuse TP meshes and stream counts that do not shard
+    in whole streams over the data axis."""
+    import dataclasses
+
+    from tests.test_model import tiny_config
+    from voxtral_tpu.models.voxtral import VoxtralModel
+    from voxtral_tpu.streaming import StreamPool
+    from voxtral_tpu.utils.quantize import quantize_params_w8
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg, language_model=dataclasses.replace(
+            cfg.language_model, vocab_size=1280))
+    f32 = VoxtralModel.init_random(jax.random.PRNGKey(3), cfg,
+                                   dtype=jnp.float32)
+    w8 = quantize_params_w8(f32.params)
+    monkeypatch.setenv("VOXTRAL_MEGAKERNEL", "force")
+
+    tmodel = VoxtralModel(w8, cfg, mesh=make_mesh(n_data=1, n_model=2))
+    with pytest.raises(ValueError, match="tensor-parallel"):
+        StreamPool(tmodel, max_streams=2, step_positions=8,
+                   max_duration_s=30, speculative=4)
+
+    dmodel = VoxtralModel(w8, cfg, mesh=make_mesh(n_data=2, n_model=1))
+    with pytest.raises(ValueError, match="divisible|fused stack"):
+        StreamPool(dmodel, max_streams=3, step_positions=8,
+                   max_duration_s=30, speculative=4)
+
+
 @requires_8_devices
 def test_dp_pooled_unbounded_int8_matches_solo(monkeypatch):
     """The richest pooled variant on a DP mesh — unbounded (head+ring

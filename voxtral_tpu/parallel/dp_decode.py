@@ -34,7 +34,7 @@ def dp_decode_stack_step(
     final_norm=None, lm_codes=None, lm_scale=None,
     k_scales=None, v_scales=None,
     n_heads=32, n_kv=8, head_dim=128, eps=1e-5, interpret=False,
-    window=None, ring=None, lm_argmax=False, cache_chunk=None,
+    window=None, ring=None, lm_argmax=False, cache_chunk=None, spec=1,
 ):
     """``decode_stack_step`` with batch rows sharded over ``data``.
 
@@ -47,13 +47,22 @@ def dp_decode_stack_step(
     DP-pooled serving path keeps every single-chip cache variant.
     Returns the same outputs as the single-chip kernel with the batch
     axis sharded.
+
+    ``spec=K > 1`` forwards speculative K-token verification: x and
+    cos/sin carry B = streams*K rows while offsets/caches/scales carry
+    one row per STREAM; the STREAM count must divide the data axis so
+    every (stream, draft) row group lands on one shard with its cache.
+    Zero collectives either way — each shard verifies its own streams.
     """
     from voxtral_tpu.ops.decode_step_pallas import decode_stack_step
 
     ndp = mesh.shape[DATA_AXIS]
     B = x.shape[0]
-    if B % ndp:
-        raise ValueError(f"batch {B} not divisible by data axis {ndp}")
+    Bc = B // spec
+    if B % spec or Bc % ndp:
+        raise ValueError(
+            f"rows {B} (= streams x spec {spec}) must split into whole "
+            f"streams per shard over the data axis {ndp}")
 
     fold = lm_codes is not None
     int8 = k_scales is not None
@@ -74,7 +83,7 @@ def dp_decode_stack_step(
     out_specs = [rowfirst,              # x_out
                  P(None, DATA_AXIS, None, None),   # k_new [L, B, Hkv, hd]
                  P(None, DATA_AXIS, None, None)]   # v_new
-    operands = [x, jnp.asarray(offsets, jnp.int32).reshape(B),
+    operands = [x, jnp.asarray(offsets, jnp.int32).reshape(Bc),
                 attn_norms, ffn_norms, ada_vecs, sqkv, so, s13, s2,
                 jnp.broadcast_to(
                     jnp.asarray(cos_b, jnp.float32).reshape(-1, head_dim),
@@ -113,7 +122,7 @@ def dp_decode_stack_step(
             w0, w1, w2_, w3,
             n_heads=n_heads, n_kv=n_kv, head_dim=head_dim, eps=eps,
             interpret=interpret, window=window, ring=ring,
-            lm_argmax=lm_argmax, cache_chunk=cache_chunk,
+            lm_argmax=lm_argmax, cache_chunk=cache_chunk, spec=spec,
             **lm_kw, **scale_kw)
 
     return jax.shard_map(

@@ -647,8 +647,9 @@ class StreamPool:
         resident cache ladder — model dtype or int8 KV (the kernel
         roundtrips fresh rows through the append quantization, so int8
         spec pools stay token-identical to sequential int8 pools); the
-        HBM-chunked cache is refused (per-chunk requant groups) — on a
-        single-chip mesh.
+        HBM-chunked cache is refused (per-chunk requant groups).
+        Scales over a DATA-parallel mesh (whole streams per shard,
+        zero collectives); TP meshes are refused.
 
         ``unbounded=True`` lays every slot's KV caches out as head+ring
         buffers (same in-kernel eviction as unbounded solo sessions), so
@@ -761,13 +762,21 @@ class StreamPool:
         if self.speculative > 1:
             if self._fused is None:
                 raise ValueError(
-                    "speculative pools need the single-chip fused stack "
-                    "kernel (w8/bf16 megakernel weights; geometry must "
-                    "fit the VMEM budget at B*K query rows)")
-            if self._fused.get("tp") or getattr(model, "parallel",
-                                                None) is not None:
-                raise ValueError("speculative pools are single-chip "
-                                 "(no tp/dp mesh)")
+                    "speculative pools need the fused stack kernel "
+                    "(w8/bf16 megakernel weights; geometry must fit "
+                    "the VMEM budget at B*K query rows per shard)")
+            if self._fused.get("tp"):
+                raise ValueError(
+                    "speculative pools do not run on tensor-parallel "
+                    "meshes (the TP half-kernels have no spec path); "
+                    "use a data-parallel mesh")
+            par_ = getattr(model, "parallel", None)
+            if par_ is not None and par_.dp > 1 and self.B % par_.dp:
+                raise ValueError(
+                    f"speculative DP pools need max_streams "
+                    f"({self.B}) divisible by the data axis "
+                    f"({par_.dp}) so every stream's K draft rows "
+                    f"shard with its cache")
         if self._fused is not None:
             from voxtral_tpu.ops.decode_step_pallas import ada_vectors
 
@@ -1093,19 +1102,34 @@ class StreamPool:
                     lambda q: rope_pair_vectors(
                         q, lmc.head_dim, lmc.rope_theta)
                 )(pos_rows)
-                out = decode_stack_step(
+                spec_args = (
                     x, offs,
                     fused_w["attn_norm"], fused_w["ffn_norm"], ada_vecs,
                     fused_w["sqkv"], fused_w["so"], fused_w["s13"],
                     fused_w["s2"], cos, sin, dk, dv,
                     fused_w["wqkv"], fused_w["wo"], fused_w["w13"],
                     fused_w["w2"],
+                )
+                spec_kw = dict(
                     n_heads=lmc.n_heads, n_kv=lmc.n_kv_heads,
                     head_dim=lmc.head_dim, eps=lmc.norm_eps,
                     interpret=self._mk_interpret,
                     window=lmc.sliding_window, ring=self._dec_ring,
                     spec=K, **scale_kw, **lm_kw,
                 )
+                if self._dp_mesh is not None:
+                    # Rows (stream, draft) shard over the data axis in
+                    # whole streams; each shard verifies its own slots
+                    # (zero collectives; shards whose slots finished
+                    # ride masked until the global while-loop exits).
+                    from voxtral_tpu.parallel.dp_decode import (
+                        dp_decode_stack_step,
+                    )
+
+                    out = dp_decode_stack_step(
+                        self._dp_mesh, *spec_args, **spec_kw)
+                else:
+                    out = decode_stack_step(*spec_args, **spec_kw)
                 if fold:
                     _, k_new, v_new, logits = out
                 else:
