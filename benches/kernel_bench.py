@@ -1032,7 +1032,8 @@ def suite_tp_lm(tps=(2, 4, 8), batches=(1, 8), short=20, long=220):
 
 
 def suite_tp_halves(tps=(2, 4), batches=(1, 4), seq=160,
-                    variants=("bf16", "int8", "int8-chunk"),
+                    variants=("bf16", "int8", "int8-chunk",
+                              "spec4", "int8-spec4"),
                     short=None, long=None, chunk=512):
     """Per-shard cost of ONE decoder layer under tensor parallelism —
     attn_half_step + ffn_half_step chained at production tp-local
@@ -1065,7 +1066,14 @@ def suite_tp_halves(tps=(2, 4), batches=(1, 4), seq=160,
     the 4.48 ms single-chip step, so TP only clearly pays if psums are
     cheap/fusable.  tp=4 per-shard bandwidth already sags (553-641
     GB/s vs 643-713 at tp=2); treat its projection as an upper bound
-    of benefit until real multi-chip hardware."""
+    of benefit until real multi-chip hardware.
+
+    "spec4"/"int8-spec4" variants run the speculative K=4 verification
+    path (batch counts STREAMS; the halves see streams*4 query rows
+    against per-stream caches) — the layer should cost the same as
+    sequential (weight-stream-bound), making TP spec the latency x
+    throughput composition; these are also the Mosaic validation for
+    the spec halves."""
     import functools
 
     import jax
@@ -1108,6 +1116,7 @@ def suite_tp_halves(tps=(2, 4), batches=(1, 4), seq=160,
         for variant in variants:
             chunked = variant.endswith("chunk")
             int8 = variant.startswith("int8")
+            spec = 4 if "spec" in variant else 1
             S = -(-8448 // chunk) * chunk if chunked else seq
             for b in batches:
                 kv = rng.randn(L, b, hkv_l, S, HD).astype(np.float32) * 0.3
@@ -1119,15 +1128,25 @@ def suite_tp_halves(tps=(2, 4), batches=(1, 4), seq=160,
                 else:
                     kc, vc = kc_f, vc_f
                     ks = vs = jnp.zeros((L, b, hkv_l, S), jnp.float32)
-                x0 = jnp.asarray(rng.randn(b, D) * 0.5, jnp.float32)
+                rows = b * spec
+                x0 = jnp.asarray(rng.randn(rows, D) * 0.5, jnp.float32)
                 offs = jnp.full((b,), S - 8, jnp.int32)
-                cos_p, sin_p = rope_pair_vectors(
-                    jnp.asarray(S - 8), HD, 1e6)
+                if spec > 1:
+                    cs = [rope_pair_vectors(jnp.asarray(S - 8 + j), HD,
+                                            1e6) for j in range(spec)]
+                    cos_p = jnp.tile(jnp.stack([c for c, _ in cs]),
+                                     (b, 1))
+                    sin_p = jnp.tile(jnp.stack([s for _, s in cs]),
+                                     (b, 1))
+                else:
+                    cos_p, sin_p = rope_pair_vectors(
+                        jnp.asarray(S - 8), HD, 1e6)
                 kw = dict(n_heads_l=h_l, n_kv_l=hkv_l, head_dim=HD,
                           eps=1e-5, interpret=interp, window=8192,
-                          cache_chunk=chunk if chunked else None)
+                          cache_chunk=chunk if chunked else None,
+                          spec=spec)
 
-                def run(x0, w, kc, vc, ks, vs, length, b=b, kw=kw):
+                def run(x0, w, kc, vc, ks, vs, length, rows=rows, kw=kw):
                     def body(x, i):
                         li = jax.lax.rem(i, L)
                         k_l = kc if kw["cache_chunk"] else kc[li]
@@ -1146,7 +1165,7 @@ def suite_tp_halves(tps=(2, 4), batches=(1, 4), seq=160,
                         # Data-chain the next iteration through the
                         # outputs (defeats XLA folding across steps).
                         x = x + z + 1e-6 * jnp.mean(
-                            kn.astype(jnp.float32)) * jnp.ones((b, D))
+                            kn.astype(jnp.float32)) * jnp.ones((rows, D))
                         return x, ()
 
                     x, _ = jax.lax.scan(

@@ -803,8 +803,8 @@ def test_dp_pooled_speculative_matches_solo(monkeypatch):
 
 
 def test_dp_pooled_speculative_guards(monkeypatch):
-    """Spec pools refuse TP meshes and stream counts that do not shard
-    in whole streams over the data axis."""
+    """Spec pools refuse stream counts that do not shard in whole
+    streams over the data axis."""
     import dataclasses
 
     from tests.test_model import tiny_config
@@ -821,15 +821,375 @@ def test_dp_pooled_speculative_guards(monkeypatch):
     w8 = quantize_params_w8(f32.params)
     monkeypatch.setenv("VOXTRAL_MEGAKERNEL", "force")
 
-    tmodel = VoxtralModel(w8, cfg, mesh=make_mesh(n_data=1, n_model=2))
-    with pytest.raises(ValueError, match="tensor-parallel"):
-        StreamPool(tmodel, max_streams=2, step_positions=8,
-                   max_duration_s=30, speculative=4)
-
     dmodel = VoxtralModel(w8, cfg, mesh=make_mesh(n_data=2, n_model=1))
     with pytest.raises(ValueError, match="divisible|fused stack"):
         StreamPool(dmodel, max_streams=3, step_positions=8,
                    max_duration_s=30, speculative=4)
+
+
+def _tp_spec_rope(K, B, head_dim, off):
+    from voxtral_tpu.ops.decode_step_pallas import rope_pair_vectors
+
+    cs = [rope_pair_vectors(jnp.asarray(off + j, jnp.int32), head_dim,
+                            theta=1e6) for j in range(K)]
+    cos_r = jnp.tile(jnp.stack([c for c, _ in cs]), (B, 1))
+    sin_r = jnp.tile(jnp.stack([s for _, s in cs]), (B, 1))
+    return cos_r, sin_r
+
+
+@pytest.mark.parametrize("window", [None, 4])
+def test_tp_spec_decode_step_matches_sequential(window):
+    """tp_decode_step(spec=K) == K sequential tp_decode_step calls with
+    cache appends (tp=2, interpret), arbitrary inputs, with and without
+    a binding sliding window — the TP port of the stack kernel's spec
+    contract (rows (stream, draft) share the stream's cache; row j
+    attends fresh rows i <= j in-register on each head shard)."""
+    import tests.test_decode_megakernel as mk
+    from voxtral_tpu.ops.decode_step_pallas import (
+        ada_vectors,
+        fuse_decode_weights,
+        rope_pair_vectors,
+    )
+    from voxtral_tpu.ops.decode_tp_pallas import (
+        tp_decode_step,
+        tp_shard_fused_weights,
+    )
+
+    params, t_embed, k_cache, v_cache, _ = mk.build_setup()
+    lyr = params["layers"]
+    fused = fuse_decode_weights(params)
+    adav = ada_vectors(params, t_embed)
+    tp_w = tp_shard_fused_weights(
+        fused, mk.N_HEADS, mk.N_KV, mk.HEAD_DIM, mk.HIDDEN, tp=2)
+    mesh = make_mesh(n_data=1, n_model=2)
+
+    OFF, K = 5, 3
+    rng = np.random.default_rng(5)
+    xs = jnp.asarray(rng.normal(size=(mk.B, K, mk.D)) * 0.5, jnp.float32)
+    kt = jnp.transpose(k_cache, (0, 1, 3, 2, 4))
+    vt = jnp.transpose(v_cache, (0, 1, 3, 2, 4))
+    mask = (np.arange(mk.S) < OFF)[None, None, None, :, None]
+    kt, vt = kt * mask, vt * mask
+
+    common = dict(n_heads=mk.N_HEADS, n_kv=mk.N_KV, head_dim=mk.HEAD_DIM,
+                  eps=mk.EPS, interpret=True, window=window)
+
+    def append(kc, vc, kn, vn, off):
+        z = jnp.zeros((), jnp.int32)
+        o = jnp.asarray(off, jnp.int32)
+        kc = jax.lax.dynamic_update_slice(
+            kc, kn[:, :, :, None].astype(kc.dtype), (z, z, z, o, z))
+        vc = jax.lax.dynamic_update_slice(
+            vc, vn[:, :, :, None].astype(vc.dtype), (z, z, z, o, z))
+        return kc, vc
+
+    kc, vc = kt, vt
+    ref_x, ref_k, ref_v = [], [], []
+    for j in range(K):
+        cos, sin = rope_pair_vectors(
+            jnp.asarray(OFF + j, jnp.int32), mk.HEAD_DIM, theta=1e6)
+        ox, kn, vn = tp_decode_step(
+            mesh, xs[:, j], OFF + j, lyr["attention_norm"],
+            lyr["ffn_norm"], adav, tp_w, cos, sin, kc, vc, **common)
+        ref_x.append(ox)
+        ref_k.append(kn)
+        ref_v.append(vn)
+        kc, vc = append(kc, vc, kn, vn, OFF + j)
+
+    cos_r, sin_r = _tp_spec_rope(K, mk.B, mk.HEAD_DIM, OFF)
+    sx, skn, svn = tp_decode_step(
+        mesh, xs.reshape(mk.B * K, mk.D), jnp.full((mk.B,), OFF, jnp.int32),
+        lyr["attention_norm"], lyr["ffn_norm"], adav, tp_w,
+        cos_r, sin_r, kt, vt, spec=K, **common)
+
+    for j in range(K):
+        np.testing.assert_allclose(
+            np.asarray(sx.reshape(mk.B, K, mk.D)[:, j]),
+            np.asarray(ref_x[j]), rtol=2e-3, atol=2e-3, err_msg=f"x j={j}")
+        np.testing.assert_allclose(
+            np.asarray(skn.reshape(mk.L, mk.B, K, mk.N_KV,
+                                   mk.HEAD_DIM)[:, :, j]),
+            np.asarray(ref_k[j]), rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(
+            np.asarray(svn.reshape(mk.L, mk.B, K, mk.N_KV,
+                                   mk.HEAD_DIM)[:, :, j]),
+            np.asarray(ref_v[j]), rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("window", [None, 32])
+def test_tp_spec_decode_step_int8_matches_sequential(window):
+    """tp_decode_step(spec=K) with the int8 KV cache == K sequential
+    int8 TP steps: fresh rows i<j roundtrip through the bf16 output
+    dtype + the quantize_kv append quantization and join the cache
+    slots' requant group on each head shard — the stack kernel's int8
+    spec contract applied per shard."""
+    import tests.test_decode_megakernel as mk
+    from voxtral_tpu.ops.decode_step_pallas import (
+        ada_vectors,
+        fuse_decode_weights,
+        quantize_kv,
+        rope_pair_vectors,
+    )
+    from voxtral_tpu.ops.decode_tp_pallas import (
+        tp_decode_step,
+        tp_shard_fused_weights,
+    )
+
+    params, t_embed, k_cache, v_cache, _ = mk.build_setup()
+    lyr = params["layers"]
+    fused = fuse_decode_weights(params)
+    adav = ada_vectors(params, t_embed)
+    tp_w = tp_shard_fused_weights(
+        fused, mk.N_HEADS, mk.N_KV, mk.HEAD_DIM, mk.HIDDEN, tp=2)
+    mesh = make_mesh(n_data=1, n_model=2)
+
+    OFF, K = 5, 3
+    rng = np.random.default_rng(9)
+    xs = jnp.asarray(rng.normal(size=(mk.B, K, mk.D)) * 0.5, jnp.float32)
+    kt = jnp.transpose(k_cache, (0, 1, 3, 2, 4))
+    vt = jnp.transpose(v_cache, (0, 1, 3, 2, 4))
+    mask = (np.arange(mk.S) < OFF)[None, None, None, :, None]
+    kq0, ks0 = quantize_kv(kt * mask)
+    vq0, vs0 = quantize_kv(vt * mask)
+
+    common = dict(n_heads=mk.N_HEADS, n_kv=mk.N_KV, head_dim=mk.HEAD_DIM,
+                  eps=mk.EPS, interpret=True, window=window)
+
+    def append_q(kc, ks, kn, off):
+        kq, ksc = quantize_kv(kn)
+        z = jnp.zeros((), jnp.int32)
+        o = jnp.asarray(off, jnp.int32)
+        kc = jax.lax.dynamic_update_slice(
+            kc, kq[:, :, :, None], (z, z, z, o, z))
+        ks = jax.lax.dynamic_update_slice(
+            ks, ksc[:, :, :, None], (z, z, z, o))
+        return kc, ks
+
+    kc, ks, vc, vs = kq0, ks0, vq0, vs0
+    ref_x, ref_k, ref_v = [], [], []
+    for j in range(K):
+        cos, sin = rope_pair_vectors(
+            jnp.asarray(OFF + j, jnp.int32), mk.HEAD_DIM, theta=1e6)
+        ox, kn, vn = tp_decode_step(
+            mesh, xs[:, j], OFF + j, lyr["attention_norm"],
+            lyr["ffn_norm"], adav, tp_w, cos, sin, kc, vc,
+            k_scales=ks, v_scales=vs, **common)
+        ref_x.append(ox)
+        ref_k.append(kn)
+        ref_v.append(vn)
+        kc, ks = append_q(kc, ks, kn, OFF + j)
+        vc, vs = append_q(vc, vs, vn, OFF + j)
+
+    cos_r, sin_r = _tp_spec_rope(K, mk.B, mk.HEAD_DIM, OFF)
+    sx, skn, svn = tp_decode_step(
+        mesh, xs.reshape(mk.B * K, mk.D), jnp.full((mk.B,), OFF, jnp.int32),
+        lyr["attention_norm"], lyr["ffn_norm"], adav, tp_w,
+        cos_r, sin_r, kq0, vq0, k_scales=ks0, v_scales=vs0,
+        spec=K, **common)
+
+    for j in range(K):
+        np.testing.assert_allclose(
+            np.asarray(sx.reshape(mk.B, K, mk.D)[:, j]),
+            np.asarray(ref_x[j]), rtol=2e-3, atol=2e-3, err_msg=f"x j={j}")
+        np.testing.assert_allclose(
+            np.asarray(skn.reshape(mk.L, mk.B, K, mk.N_KV, mk.HEAD_DIM)
+                       [:, :, j]).astype(np.float32),
+            np.asarray(ref_k[j]).astype(np.float32), rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(
+            np.asarray(svn.reshape(mk.L, mk.B, K, mk.N_KV, mk.HEAD_DIM)
+                       [:, :, j]).astype(np.float32),
+            np.asarray(ref_v[j]).astype(np.float32), rtol=2e-3, atol=2e-3)
+
+
+def test_tp_spec_rejects_chunked():
+    """spec + cache_chunk is refused on the TP path too (per-chunk
+    requant groups cannot be joined exactly)."""
+    import tests.test_decode_megakernel as mk
+    from voxtral_tpu.ops.decode_step_pallas import (
+        ada_vectors,
+        fuse_decode_weights,
+    )
+    from voxtral_tpu.ops.decode_tp_pallas import (
+        tp_decode_step,
+        tp_shard_fused_weights,
+    )
+
+    params, t_embed, k_cache, v_cache, _ = mk.build_setup()
+    lyr = params["layers"]
+    fused = fuse_decode_weights(params)
+    adav = ada_vectors(params, t_embed)
+    tp_w = tp_shard_fused_weights(
+        fused, mk.N_HEADS, mk.N_KV, mk.HEAD_DIM, mk.HIDDEN, tp=2)
+    mesh = make_mesh(n_data=1, n_model=2)
+    kt = jnp.transpose(k_cache, (0, 1, 3, 2, 4))
+    cos_r, sin_r = _tp_spec_rope(2, mk.B, mk.HEAD_DIM, 5)
+    with pytest.raises(ValueError, match="cache_chunk"):
+        tp_decode_step(
+            mesh, jnp.zeros((mk.B * 2, mk.D), jnp.float32),
+            jnp.full((mk.B,), 5), lyr["attention_norm"],
+            lyr["ffn_norm"], adav, tp_w, cos_r, sin_r, kt, kt,
+            spec=2, cache_chunk=8, n_heads=mk.N_HEADS, n_kv=mk.N_KV,
+            head_dim=mk.HEAD_DIM, eps=mk.EPS, interpret=True)
+
+
+def test_tp_pooled_speculative_matches_solo(monkeypatch):
+    """StreamPool(speculative=K) on a TENSOR-parallel mesh: each pass
+    verifies streams*K rows through the spec-capable TP half-kernels +
+    the vocab-sharded lm fold.  Tokens must equal solo sessions on the
+    single-device generic path, and the int8-KV spec variant must equal
+    the TP SEQUENTIAL int8 pool (same quant ladder AND the same
+    per-shard activation quant).  Margin-robust config per the DP spec
+    test above."""
+    import dataclasses
+
+    from voxtral_tpu.config import VoxtralConfig
+    from voxtral_tpu.models.voxtral import VoxtralModel
+    from voxtral_tpu.streaming import StreamingSession, StreamPool
+    from voxtral_tpu.utils.quantize import quantize_params_w8
+
+    cfg = VoxtralConfig.from_file("tests/fixtures/params_tiny.json")
+    cfg = dataclasses.replace(
+        cfg, language_model=dataclasses.replace(
+            cfg.language_model, vocab_size=1280))
+    f32 = VoxtralModel.init_random(jax.random.PRNGKey(3), cfg,
+                                   dtype=jnp.float32)
+    w8 = quantize_params_w8(f32.params)
+
+    rng = np.random.default_rng(11)
+    audio_a = np.concatenate([
+        rng.normal(size=16000 * 3).astype(np.float32) * 0.25,
+        np.zeros(16000 * 2, np.float32)])
+    audio_b = np.concatenate([
+        rng.normal(size=16000 * 2).astype(np.float32) * 0.3,
+        np.zeros(16000 * 2, np.float32)])
+
+    monkeypatch.setenv("VOXTRAL_MEGAKERNEL", "0")
+    gmodel = VoxtralModel(w8, cfg)
+    solo_a = StreamingSession(gmodel, step_positions=8, max_duration_s=30)
+    solo_a.feed(audio_a)
+    solo_a.finish()
+    solo_b = StreamingSession(gmodel, step_positions=8, max_duration_s=30)
+    solo_b.feed(audio_b)
+    solo_b.finish()
+
+    monkeypatch.setenv("VOXTRAL_MEGAKERNEL", "force")
+    mesh = make_mesh(n_data=1, n_model=2)
+    tmodel = VoxtralModel(w8, cfg, mesh=mesh)
+    assert tmodel.fused_tp is not None and "lm_codes" in tmodel.fused_tp
+
+    def run_pool(kv, spec):
+        pool = StreamPool(tmodel, max_streams=2, step_positions=8,
+                          max_duration_s=30, kv_dtype=kv,
+                          speculative=spec)
+        assert pool._fused is not None and pool._tp_mesh is not None
+        pa = StreamingSession(tmodel, step_positions=8, pool=pool)
+        pb = StreamingSession(tmodel, step_positions=8, pool=pool)
+        pieces_a = np.array_split(audio_a, 3)
+        pieces_b = np.array_split(audio_b, 2)
+        pa.feed(pieces_a[0])
+        pb.feed(pieces_b[0])
+        pa.feed(pieces_a[1])
+        pa.feed(pieces_a[2])
+        pb.feed(pieces_b[1])
+        pa.finish()
+        pb.finish()
+        return pa.tokens, pb.tokens
+
+    ta, tb = run_pool("model", 4)
+    assert ta == solo_a.tokens, (ta, solo_a.tokens)
+    assert tb == solo_b.tokens, (tb, solo_b.tokens)
+
+    # int8 ladder: the TP spec pool must equal the TP sequential int8
+    # pool token-for-token (same per-shard quant + same int8 ladder).
+    ref_a, ref_b = run_pool("int8", 0)
+    ia, ib = run_pool("int8", 4)
+    assert ia == ref_a, (ia, ref_a)
+    assert ib == ref_b, (ib, ref_b)
+
+
+@requires_8_devices
+def test_dptp_pooled_speculative_matches_solo(monkeypatch):
+    """Speculative pool on a COMBINED (2 data x 2 model) mesh: the
+    (stream, draft) rows shard over data in whole streams while the
+    spec TP halves shard weights over model — tokens must equal solo
+    single-device generic sessions."""
+    import dataclasses
+
+    from voxtral_tpu.config import VoxtralConfig
+    from voxtral_tpu.models.voxtral import VoxtralModel
+    from voxtral_tpu.streaming import StreamingSession, StreamPool
+    from voxtral_tpu.utils.quantize import quantize_params_w8
+
+    cfg = VoxtralConfig.from_file("tests/fixtures/params_tiny.json")
+    cfg = dataclasses.replace(
+        cfg, language_model=dataclasses.replace(
+            cfg.language_model, vocab_size=1280))
+    f32 = VoxtralModel.init_random(jax.random.PRNGKey(3), cfg,
+                                   dtype=jnp.float32)
+    w8 = quantize_params_w8(f32.params)
+    rng = np.random.default_rng(11)
+    audio = np.concatenate([
+        rng.normal(size=16000 * 3).astype(np.float32) * 0.25,
+        np.zeros(16000 * 2, np.float32)])
+
+    monkeypatch.setenv("VOXTRAL_MEGAKERNEL", "0")
+    gmodel = VoxtralModel(w8, cfg)
+    solo = StreamingSession(gmodel, step_positions=8, max_duration_s=30)
+    solo.feed(audio)
+    solo.finish()
+
+    monkeypatch.setenv("VOXTRAL_MEGAKERNEL", "force")
+    mesh = make_mesh(n_data=2, n_model=2)
+    m = VoxtralModel(w8, cfg, mesh=mesh)
+    pool = StreamPool(m, max_streams=2, step_positions=8,
+                      max_duration_s=30, speculative=4)
+    assert pool._tp_mesh is not None and pool._pool_data_axis == "data"
+    sess = StreamingSession(m, step_positions=8, pool=pool)
+    StreamingSession(m, step_positions=8, pool=pool)  # second slot idle
+    for piece in np.array_split(audio, 3):
+        sess.feed(piece)
+    sess.finish()
+    assert sess.tokens == solo.tokens, (sess.tokens, solo.tokens)
+
+
+def test_tp_solo_speculative_matches_generic(monkeypatch):
+    """SOLO sessions with speculative=K on a TP mesh ride the spec TP
+    half-kernels + lm fold — token-identical to the single-device
+    generic path."""
+    import dataclasses
+
+    from voxtral_tpu.config import VoxtralConfig
+    from voxtral_tpu.models.voxtral import VoxtralModel
+    from voxtral_tpu.streaming import StreamingSession
+    from voxtral_tpu.utils.quantize import quantize_params_w8
+
+    cfg = VoxtralConfig.from_file("tests/fixtures/params_tiny.json")
+    cfg = dataclasses.replace(
+        cfg, language_model=dataclasses.replace(
+            cfg.language_model, vocab_size=1280))
+    f32 = VoxtralModel.init_random(jax.random.PRNGKey(3), cfg,
+                                   dtype=jnp.float32)
+    w8 = quantize_params_w8(f32.params)
+    rng = np.random.default_rng(11)
+    audio = np.concatenate([
+        rng.normal(size=16000 * 3).astype(np.float32) * 0.25,
+        np.zeros(16000 * 2, np.float32)])
+
+    monkeypatch.setenv("VOXTRAL_MEGAKERNEL", "0")
+    gmodel = VoxtralModel(w8, cfg)
+    ref = StreamingSession(gmodel, step_positions=8, max_duration_s=30)
+    ref.feed(audio)
+    ref.finish()
+
+    monkeypatch.setenv("VOXTRAL_MEGAKERNEL", "force")
+    tmodel = VoxtralModel(w8, cfg, mesh=make_mesh(n_data=1, n_model=2))
+    sess = StreamingSession(tmodel, step_positions=8, max_duration_s=30,
+                            speculative=4)
+    assert sess._fused is not None and sess._fused.get("tp") == 2
+    for piece in np.array_split(audio, 3):
+        sess.feed(piece)
+    sess.finish()
+    assert sess.tokens == ref.tokens, (sess.tokens, ref.tokens)
 
 
 @requires_8_devices

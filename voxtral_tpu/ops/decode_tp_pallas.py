@@ -105,8 +105,157 @@ def _stream_factory(layer, plan, bufs, sems):
     return stream
 
 
+def _spec_attn(q, k, v, kc_ref, vc_ref, ks_ref, vs_ref, offs_ref,
+               B, spec, n_heads_l, n_kv_l, head_dim, window, ring,
+               cache_q):
+    """Speculative attention over this shard's local heads: the stack
+    kernel's spec block (decode_step_pallas.py) with n_kv -> n_kv_l.
+
+    Rows are (stream b, draft slot j), row = b*spec + j; all K rows of
+    a stream share ONE cache row (``kc_ref``/``offs_ref`` carry B/spec
+    rows).  Row j's query sits at offs[b] + j and additionally attends
+    the FRESH K/V of rows i <= j of the same stream — a tiny causal
+    block among the drafts computed in-register (K(K+1)/2 VPU dots).
+    With ``cache_q``, fresh rows i < j roundtrip through the bf16
+    k_new/v_new output dtype + the quantize_kv per-vector formula and
+    join the cache slots' requant group, so tokens match the
+    sequential int8 TP step exactly (integer-domain f32 math — codes
+    are exact small integers, dots stay < 2^24)."""
+    S = kc_ref.shape[-2]
+    groups = n_heads_l // n_kv_l
+    nq = n_heads_l * head_dim
+    scale = head_dim ** -0.5
+    Bl = B // spec
+    kcS = kc_ref[:].reshape(Bl * n_kv_l, S, head_dim)
+    vcS = vc_ref[:].reshape(Bl * n_kv_l, S, head_dim)
+    if cache_q:
+        ksS = ks_ref[:].reshape(Bl * n_kv_l, S)
+        vsS = vs_ref[:].reshape(Bl * n_kv_l, S)
+    qS = q.reshape(Bl, spec, n_heads_l, head_dim)
+    kS = k.reshape(Bl, spec, n_kv_l, head_dim)
+    vS = v.reshape(Bl, spec, n_kv_l, head_dim)
+
+    def valid_spec(shape, j):
+        """Cache validity for draft row j (query position offs[b] + j);
+        same mask layout rules as build_valid (SMEM offsets selected
+        with static-B where over a row iota — Mosaic constraints)."""
+        pos = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+        row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        off3 = jnp.full(shape, jnp.int32(0))
+        for b in range(Bl):
+            off3 = jnp.where(row // n_kv_l == b, offs_ref[b], off3)
+        if ring is None:
+            p_abs = pos
+            valid = pos < off3
+        else:
+            head_n, size = ring
+            r = pos - head_n
+            wr = off3 - head_n
+            cycles = jnp.maximum(wr - 1 - r, 0) // size
+            in_head = pos < head_n
+            p_abs = jnp.where(in_head, pos, head_n + r + size * cycles)
+            valid = ((in_head & (pos < off3))
+                     | ((pos >= head_n) & (r < size) & (r < wr)))
+        if window is not None:
+            valid &= (off3 + j - p_abs) <= window
+        return valid
+
+    if cache_q:
+        kbr = kS.astype(jnp.bfloat16).astype(jnp.float32)
+        vbr = vS.astype(jnp.bfloat16).astype(jnp.float32)
+        ksf = jnp.maximum(
+            jnp.max(jnp.abs(kbr), axis=-1, keepdims=True), 1e-8) / 127.0
+        kqf = jnp.clip(jnp.round(kbr / ksf), -127, 127)
+        vsf = jnp.maximum(
+            jnp.max(jnp.abs(vbr), axis=-1, keepdims=True), 1e-8) / 127.0
+        vqf = jnp.clip(jnp.round(vbr / vsf), -127, 127)
+
+    attn_js = []
+    for j in range(spec):
+        qj = qS[:, j].reshape(Bl * n_kv_l, groups, head_dim) * scale
+        if cache_q:
+            qa = jnp.max(jnp.abs(qj), axis=-1, keepdims=True)
+            sqj = jnp.maximum(qa, 1e-8) / 127.0
+            qqf = jnp.clip(jnp.round(qj / sqj), -127, 127)
+            sj = jax.lax.dot_general(
+                qqf.astype(jnp.int8), kcS,
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * sqj * ksS[:, None, :]
+        else:
+            sj = jax.lax.dot_general(
+                qj.astype(kcS.dtype), kcS,
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+        sj = jnp.where(valid_spec(sj.shape, j), sj, -jnp.inf)
+
+        prevs = []  # fresh rows i < j within the window
+        for i in range(j):
+            if window is not None and (j - i) > window:
+                continue  # static: drafts beyond the band
+            if cache_q:
+                kqi = kqf[:, i].reshape(Bl * n_kv_l, 1, head_dim)
+                si = (jnp.sum(qqf * kqi, axis=-1) * sqj[..., 0]
+                      * ksf[:, i].reshape(Bl * n_kv_l, 1))
+            else:
+                ki = kS[:, i].reshape(Bl * n_kv_l, 1, head_dim)
+                si = jnp.sum(qj * ki, axis=-1)  # [Bl*Hkv_l, G]
+            prevs.append((i, si))
+        # Row j's own fresh K/V stays full-precision — the sequential
+        # step's self_s/e_self path.
+        s_self = jnp.sum(
+            qj * kS[:, j].reshape(Bl * n_kv_l, 1, head_dim), axis=-1)
+
+        m = jnp.maximum(jnp.max(sj, axis=-1), s_self)
+        for _, si in prevs:
+            m = jnp.maximum(m, si)
+        e_cache = jnp.exp(sj - m[..., None])
+        denom = jnp.sum(e_cache, axis=-1)
+        if cache_q:
+            # ONE requant scale group across cache slots AND fresh rows
+            # i < j — in the sequential step they all sit in the same
+            # cache row when ctx_of requantizes the softmax weights.
+            e_w = e_cache * vsS[:, None, :]
+            ea = jnp.max(jnp.abs(e_w), axis=-1, keepdims=True)
+            fresh = []
+            for i, si in prevs:
+                e_i = jnp.exp(si - m)
+                ew_i = e_i * vsf[:, i].reshape(Bl * n_kv_l, 1)
+                ea = jnp.maximum(ea, jnp.abs(ew_i)[..., None])
+                fresh.append((i, e_i, ew_i))
+            se = jnp.maximum(ea, 1e-30) / 127.0
+            eq = jnp.clip(jnp.round(e_w / se), -127, 127).astype(jnp.int8)
+            ctx = jax.lax.dot_general(
+                eq, vcS,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * se
+            for i, e_i, ew_i in fresh:
+                denom = denom + e_i
+                eqi = jnp.clip(jnp.round(ew_i / se[..., 0]), -127, 127)
+                ctx = ctx + (eqi[..., None]
+                             * vqf[:, i].reshape(Bl * n_kv_l, 1, head_dim)
+                             * se)
+        else:
+            ctx = jax.lax.dot_general(
+                e_cache.astype(vcS.dtype), vcS,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            for i, si in prevs:
+                e_i = jnp.exp(si - m)
+                denom = denom + e_i
+                ctx = ctx + e_i[..., None] * vS[:, i].reshape(
+                    Bl * n_kv_l, 1, head_dim)
+        e_self = jnp.exp(s_self - m)
+        denom = denom + e_self
+        ctx = ctx + e_self[..., None] * vS[:, j].reshape(
+            Bl * n_kv_l, 1, head_dim)
+        attn_js.append((ctx / denom[..., None]).reshape(Bl, nq))
+    return jnp.stack(attn_js, axis=1).reshape(B, nq)
+
+
 def _make_attn_half(B, D, S, n_heads_l, n_kv_l, head_dim, plan, eps, window,
-                    ring, cache_q=False, cache_chunk=None):
+                    ring, cache_q=False, cache_chunk=None, spec=1):
     """Attention half on a head shard; emits the WO PARTIAL (no residual
     add — the caller psums partials across shards first).
 
@@ -118,6 +267,11 @@ def _make_attn_half(B, D, S, n_heads_l, n_kv_l, head_dim, plan, eps, window,
     FULL local stack [L, B, Hkv_l, S, hd] plus the layer index) and
     streams through double-buffered S-chunks with an online softmax —
     VMEM no longer bounds S on the TP latency axis either.
+    ``spec=K > 1``: speculative K-token verification on this head shard
+    — rows are (stream b, draft slot j), row = b*spec + j; the cache
+    refs and ``offs_ref`` carry ONE row per stream (B/spec), and row j
+    additionally attends the fresh K/V of rows i <= j of its stream
+    (decode_step_pallas.py's spec contract applied to the local heads).
     """
     nq = n_heads_l * head_dim
     nkv = n_kv_l * head_dim
@@ -161,6 +315,17 @@ def _make_attn_half(B, D, S, n_heads_l, n_kv_l, head_dim, plan, eps, window,
         k = k * ck + _rope_swap(k) * sk_
         kn_ref[:] = k.astype(kn_ref.dtype)
         vn_ref[:] = v.astype(vn_ref.dtype)
+
+        if spec > 1:
+            attn = _spec_attn(
+                q, k, v, kc_ref, vc_ref,
+                ks_ref if cache_q else None,
+                vs_ref if cache_q else None,
+                offs_ref, B, spec, n_heads_l, n_kv_l, head_dim,
+                window, ring, cache_q)
+            xq, sx = _quant(attn)
+            yo_ref[:] = stream("wo", xq, sx, wo_hbm, so_ref, D)
+            return
 
         # Head-major local cache [B, Hkv_l, S, hd]; MXU contractions.
         qg = q.reshape(B * n_kv_l, groups, head_dim) * scale
@@ -372,14 +537,14 @@ def _make_ffn_half(B, D, hidden_l, plan, eps):
 @functools.partial(
     jax.jit,
     static_argnames=("n_heads_l", "n_kv_l", "head_dim", "eps", "interpret",
-                     "window", "ring", "cache_chunk"),
+                     "window", "ring", "cache_chunk", "spec"),
 )
 def attn_half_step(
     x, layer, offsets, attn_norm, sqkv, so, cos_b, sin_b,
     k_cache_l, v_cache_l, wqkv, wo,
     k_scales_l=None, v_scales_l=None,
     n_heads_l=16, n_kv_l=4, head_dim=128, eps=1e-5, interpret=False,
-    window=None, ring=None, cache_chunk=None,
+    window=None, ring=None, cache_chunk=None, spec=1,
 ):
     """One layer's attention half on this shard's heads.
 
@@ -395,6 +560,10 @@ def attn_half_step(
     ``cache_chunk``: the caches are the FULL local stacks
     [L, B, Hkv_l, S, hd], kept in HBM and streamed through
     double-buffered S-chunks (S must be a multiple of the chunk).
+    ``spec=K > 1``: speculative verification — x/cos/sin carry
+    B = streams*K rows while caches/scales/offsets carry one row per
+    STREAM (B/spec); incompatible with ``cache_chunk`` (per-chunk
+    requant groups cannot be joined exactly).
     """
     B, D = x.shape
     S = k_cache_l.shape[-2]
@@ -406,6 +575,15 @@ def attn_half_step(
     cache_q = k_cache_l.dtype == jnp.int8
     if cache_q and (k_scales_l is None or v_scales_l is None):
         raise ValueError("int8 KV cache needs k_scales_l/v_scales_l")
+    if spec > 1:
+        if B % spec:
+            raise ValueError(f"spec={spec} must divide the row count {B}")
+        if cache_chunk is not None:
+            raise ValueError("speculative decode + cache_chunk unsupported")
+    Bc = B // spec  # cache rows (= logical streams)
+    if cache_chunk is None and k_cache_l.shape[0] != Bc:
+        raise ValueError(
+            f"cache rows {k_cache_l.shape[0]} != streams {Bc} (= B/spec)")
     if cache_chunk is not None:
         if S % cache_chunk:
             raise ValueError(
@@ -415,9 +593,10 @@ def attn_half_step(
                 "chunked mode takes the full [L, B, Hkv_l, S, hd] stacks")
     kernel = _make_attn_half(B, D, S, n_heads_l, n_kv_l, head_dim, plan,
                              eps, window, ring, cache_q=cache_q,
-                             cache_chunk=cache_chunk)
+                             cache_chunk=cache_chunk, spec=spec)
 
-    offs = jnp.broadcast_to(jnp.asarray(offsets, jnp.int32).reshape(-1), (B,))
+    offs = jnp.broadcast_to(jnp.asarray(offsets, jnp.int32).reshape(-1),
+                            (Bc,))
     cos3 = jnp.broadcast_to(
         jnp.asarray(cos_b, jnp.float32).reshape(-1, 1, head_dim),
         (B, n_heads_l, head_dim))
@@ -464,12 +643,12 @@ def attn_half_step(
     ]
     if cache_q:
         operands += [
-            k_scales_l.astype(jnp.float32).reshape(B, n_kv_l, S),
-            v_scales_l.astype(jnp.float32).reshape(B, n_kv_l, S),
+            k_scales_l.astype(jnp.float32).reshape(Bc, n_kv_l, S),
+            v_scales_l.astype(jnp.float32).reshape(Bc, n_kv_l, S),
         ]
     need = tp_attn_half_vmem(B, S, D, n_heads_l, n_kv_l, head_dim,
                              jnp.dtype(k_cache_l.dtype).itemsize,
-                             cache_chunk)
+                             cache_chunk, spec=spec)
     limit = max(64 * 2**20, min(116 * 2**20, need))
     return pl.pallas_call(
         kernel,
@@ -601,7 +780,7 @@ def tp_decode_step(
     cos_b, sin_b, k_cache, v_cache,
     k_scales=None, v_scales=None,
     n_heads=32, n_kv=8, head_dim=128, eps=1e-5, interpret=False,
-    window=None, ring=None, cache_chunk=None,
+    window=None, ring=None, cache_chunk=None, spec=1,
     model_axis="model", data_axis=None,
 ):
     """All decoder layers of one decode token, tensor-parallel.
@@ -629,6 +808,12 @@ def tp_decode_step(
     model) shard decodes B/dp rows against its weight shard; the psums
     stay model-axis-only, so the data axis adds zero collectives).
     Requires ``B % mesh.shape[data_axis] == 0``.
+
+    ``spec=K > 1``: speculative K-token verification — x/cos/sin carry
+    B = streams*K rows (stream-major) while offsets/caches/scales carry
+    one row per STREAM; with ``data_axis`` the STREAM count must divide
+    it so every (stream, draft) row group lands on one shard with its
+    cache.  Incompatible with ``cache_chunk``.
     """
     from jax.sharding import PartitionSpec as P
 
@@ -638,8 +823,15 @@ def tp_decode_step(
     cache_q = k_cache.dtype == jnp.int8
     if cache_q and (k_scales is None or v_scales is None):
         raise ValueError("int8 KV cache needs k_scales/v_scales")
+    if spec > 1:
+        if x.shape[0] % spec:
+            raise ValueError(
+                f"spec={spec} must divide the row count {x.shape[0]}")
+        if cache_chunk:
+            raise ValueError("speculative decode + cache_chunk unsupported")
+    Bc = x.shape[0] // spec  # cache rows (= logical streams)
     offs = jnp.broadcast_to(
-        jnp.asarray(offsets, jnp.int32).reshape(-1), (x.shape[0],))
+        jnp.asarray(offsets, jnp.int32).reshape(-1), (Bc,))
     cos2 = jnp.broadcast_to(
         jnp.asarray(cos_b, jnp.float32).reshape(-1, head_dim),
         (x.shape[0], head_dim))
@@ -648,10 +840,10 @@ def tp_decode_step(
         (x.shape[0], head_dim))
 
     da = data_axis
-    if da is not None and x.shape[0] % mesh.shape[da]:
+    if da is not None and Bc % mesh.shape[da]:
         raise ValueError(
-            f"batch {x.shape[0]} not divisible by mesh axis "
-            f"{da}={mesh.shape[da]}")
+            f"streams {Bc} (rows {x.shape[0]} / spec {spec}) not "
+            f"divisible by mesh axis {da}={mesh.shape[da]}")
     rep = P(da, None) if da is not None else P()
     offs_spec = P(da) if da is not None else P()
     vec_spec = P()                  # per-layer norm/scale vectors
@@ -683,7 +875,7 @@ def tp_decode_step(
                 wqkv, wo, n_heads_l=n_heads_l, n_kv_l=n_kv_l,
                 head_dim=head_dim, eps=eps, interpret=interpret,
                 window=window, ring=ring, cache_chunk=cache_chunk,
-                **scale_kw)
+                spec=spec, **scale_kw)
             xc = xc + jax.lax.psum(y, model_axis)
             z = ffn_half_step(
                 xc, l, fn_l, ad_l, s13_l, s2_l, w13, w2,
@@ -703,8 +895,7 @@ def tp_decode_step(
     if not cache_q:
         # Zero-size placeholders keep shard_fn's arity static (shard_map
         # in_specs must match positionally).
-        k_scales = v_scales = jnp.zeros((L, x.shape[0], n_kv, 0),
-                                        jnp.float32)
+        k_scales = v_scales = jnp.zeros((L, Bc, n_kv, 0), jnp.float32)
     return jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(rep, offs_spec, rep, rep, vec_spec, vec_spec, vec_spec,
@@ -731,18 +922,20 @@ def tp_decode_step(
 
 
 def tp_attn_half_vmem(B, S, D, n_heads_l, n_kv_l, head_dim,
-                      cache_itemsize=2, cache_chunk=None) -> int:
+                      cache_itemsize=2, cache_chunk=None, spec=1) -> int:
     """VMEM bytes the attention half-kernel needs at this LOCAL shard
     geometry (cache blocks or chunk double-buffers + weight tile buffers
-    + activations) — used to size its ``vmem_limit_bytes``."""
+    + activations) — used to size its ``vmem_limit_bytes``.  ``spec``:
+    B counts QUERY rows (streams*K); the cache terms use B/spec."""
+    Bc = B // spec
     if cache_chunk:
-        cache = 4 * B * n_kv_l * cache_chunk * head_dim * cache_itemsize
+        cache = 4 * Bc * n_kv_l * cache_chunk * head_dim * cache_itemsize
         if cache_itemsize == 1:
-            cache += 2 * B * n_kv_l * S * 4  # resident scale operands
+            cache += 2 * Bc * n_kv_l * S * 4  # resident scale operands
     else:
-        cache = 2 * B * n_kv_l * S * head_dim * cache_itemsize
+        cache = 2 * Bc * n_kv_l * S * head_dim * cache_itemsize
         if cache_itemsize == 1:
-            cache += 2 * B * n_kv_l * S * 4
+            cache += 2 * Bc * n_kv_l * S * 4
     bufs = 2 * 2 * 3 * 2**19          # 2 phases x 2 slots x tile budget
     nqkv_l = (n_heads_l + 2 * n_kv_l) * head_dim
     acts = 4 * B * max(D, nqkv_l) * 4
@@ -750,7 +943,8 @@ def tp_attn_half_vmem(B, S, D, n_heads_l, n_kv_l, head_dim,
 
 
 def tp_vmem_need(B, S, D, n_heads, n_kv, head_dim, hidden, tp,
-                 cache_itemsize=2, cache_chunk=None) -> Optional[int]:
+                 cache_itemsize=2, cache_chunk=None,
+                 spec=1) -> Optional[int]:
     """Estimated per-layer VMEM bytes for the TP half-kernels at this
     geometry (the binding term is the attention half's local K+V cache
     blocks [B, Hkv/tp, S, hd], VMEM-resident per call — unless
@@ -758,11 +952,15 @@ def tp_vmem_need(B, S, D, n_heads, n_kv, head_dim, hidden, tp,
     double-buffered S-chunks (+ resident int8 scale blocks) count; the
     rotating weight buffers are bounded by the 3*2^19 tile budget).
     ``cache_itemsize=1`` is the int8-KV variant, which adds per-vector
-    f32 scale blocks.  Callers gate on ``need <= TP_VMEM_CAP`` before
-    choosing the TP-fused pooled path.  Returns None when the shard
-    dims don't tile."""
+    f32 scale blocks.  ``spec``: B counts QUERY rows (streams*K); the
+    cache terms use B/spec; spec + cache_chunk is unsupported.  Callers
+    gate on ``need <= TP_VMEM_CAP`` before choosing the TP-fused pooled
+    path.  Returns None when the shard dims don't tile."""
     if n_kv % tp or hidden % tp:
         return None
+    if B % spec or (spec > 1 and cache_chunk):
+        return None
+    Bc = B // spec
     nq_l = (n_heads // tp) * head_dim
     nqkv_l = nq_l + 2 * (n_kv // tp) * head_dim
     if _half_plan({"qkv": (nqkv_l, D), "wo": (D, nq_l),
@@ -772,13 +970,13 @@ def tp_vmem_need(B, S, D, n_heads, n_kv, head_dim, hidden, tp,
     if cache_chunk and S % cache_chunk:
         return None
     if cache_chunk:
-        cache = 4 * B * (n_kv // tp) * cache_chunk * head_dim * cache_itemsize
+        cache = 4 * Bc * (n_kv // tp) * cache_chunk * head_dim * cache_itemsize
         if cache_itemsize == 1:
-            cache += 2 * B * (n_kv // tp) * S * 4
+            cache += 2 * Bc * (n_kv // tp) * S * 4
     else:
-        cache = 2 * B * (n_kv // tp) * S * head_dim * cache_itemsize
+        cache = 2 * Bc * (n_kv // tp) * S * head_dim * cache_itemsize
         if cache_itemsize == 1:
-            cache += 2 * B * (n_kv // tp) * S * 4
+            cache += 2 * Bc * (n_kv // tp) * S * 4
     bufs = 4 * 2 * 3 * 2**19          # 4 phases x 2 slots x tile budget
     acts = 4 * B * max(D, 2 * hidden // tp, nqkv_l) * 4
     return cache + bufs + acts

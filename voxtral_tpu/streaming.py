@@ -285,7 +285,8 @@ def _stream_step_spec_fn(params, fused_w, ada_vecs, mel_win, prev_token,
                          prev_audio, enc_base, cfg, enc_rope, enc_cache,
                          dec_cache, n_positions: int, spec_k: int,
                          enc_ring=None, dec_ring=None, fold=False,
-                         mk_interpret=False, draft_token=STREAMING_PAD):
+                         mk_interpret=False, draft_token=STREAMING_PAD,
+                         tp_mesh=None):
     """Speculative steady-state step (solo session, B=1): each while-loop
     iteration verifies ``spec_k`` drafted tokens in ONE stack-kernel
     weight pass (``decode_stack_step(spec=K)``) and advances by the
@@ -296,7 +297,10 @@ def _stream_step_spec_fn(params, fused_w, ada_vecs, mel_win, prev_token,
     silence decodes at up to K tokens per weight pass at unchanged pass
     latency — the pass is weight-stream-bound (batch-rides-free,
     ROADMAP r4 #5).  Worst case (all speech, zero acceptance) degrades
-    to 1 token/pass = exactly the non-speculative cost."""
+    to 1 token/pass = exactly the non-speculative cost.  ``tp_mesh``:
+    run each verification pass through the spec-capable TP half-kernels
+    + the vocab-sharded lm fold (K query rows per shard, weight traffic
+    /tp) instead of the single-chip stack kernel."""
     from voxtral_tpu.models.layers import ring_slot, rms_norm
     from voxtral_tpu.ops.decode_step_pallas import (
         decode_stack_step,
@@ -314,7 +318,7 @@ def _stream_step_spec_fn(params, fused_w, ada_vecs, mel_win, prev_token,
     # rows' outputs are never accepted (n_acc is clamped to P - pos).
     inputs = jnp.concatenate(
         [inputs, jnp.tile(inputs[:, -1:, :], (1, K - 1, 1))], axis=1)
-    lm_kw = _fused_lm_kwargs(params, fold)
+    lm_kw = _fused_lm_kwargs(params, fold and tp_mesh is None)
 
     def body(st):
         pos, prev, dk, dv, off, toks = st
@@ -327,24 +331,55 @@ def _stream_step_spec_fn(params, fused_w, ada_vecs, mel_win, prev_token,
               for j in range(K)]
         cos_r = jnp.stack([c for c, _ in cs])
         sin_r = jnp.stack([s for _, s in cs])
-        out = decode_stack_step(
-            x, off,
-            fused_w["attn_norm"], fused_w["ffn_norm"], ada_vecs,
-            fused_w["sqkv"], fused_w["so"], fused_w["s13"], fused_w["s2"],
-            cos_r, sin_r, dk, dv,
-            fused_w["wqkv"], fused_w["wo"], fused_w["w13"], fused_w["w2"],
-            n_heads=lmc.n_heads, n_kv=lmc.n_kv_heads,
-            head_dim=lmc.head_dim, eps=lmc.norm_eps,
-            interpret=mk_interpret, window=lmc.sliding_window,
-            ring=dec_ring, spec=K, **lm_kw,
-        )
-        if fold:
-            _, k_new, v_new, logits = out
+        if tp_mesh is not None:
+            from voxtral_tpu.ops.decode_tp_pallas import (
+                tp_decode_step,
+                tp_lm_head_token,
+            )
+
+            xo, k_new, v_new = tp_decode_step(
+                tp_mesh, x, off,
+                fused_w["attn_norm"], fused_w["ffn_norm"], ada_vecs,
+                fused_w, cos_r, sin_r, dk, dv,
+                n_heads=lmc.n_heads, n_kv=lmc.n_kv_heads,
+                head_dim=lmc.head_dim, eps=lmc.norm_eps,
+                interpret=mk_interpret, window=lmc.sliding_window,
+                ring=dec_ring, spec=K,
+            )
+            if fold:
+                y = tp_lm_head_token(
+                    tp_mesh, xo, params["decoder"]["norm"],
+                    fused_w["lm_codes"], fused_w["lm_scale"],
+                    eps=lmc.norm_eps,
+                    interpret=mk_interpret).astype(jnp.int32)  # [K]
+            else:
+                hidden = rms_norm(xo, params["decoder"]["norm"],
+                                  lmc.norm_eps)
+                logits = lm_head(params["decoder"], hidden,
+                                 xla_only=True)
+                y = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         else:
-            xo, k_new, v_new = out
-            hidden = rms_norm(xo, params["decoder"]["norm"], lmc.norm_eps)
-            logits = lm_head(params["decoder"], hidden)
-        y = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [K]
+            out = decode_stack_step(
+                x, off,
+                fused_w["attn_norm"], fused_w["ffn_norm"], ada_vecs,
+                fused_w["sqkv"], fused_w["so"], fused_w["s13"],
+                fused_w["s2"],
+                cos_r, sin_r, dk, dv,
+                fused_w["wqkv"], fused_w["wo"], fused_w["w13"],
+                fused_w["w2"],
+                n_heads=lmc.n_heads, n_kv=lmc.n_kv_heads,
+                head_dim=lmc.head_dim, eps=lmc.norm_eps,
+                interpret=mk_interpret, window=lmc.sliding_window,
+                ring=dec_ring, spec=K, **lm_kw,
+            )
+            if fold:
+                _, k_new, v_new, logits = out
+            else:
+                xo, k_new, v_new = out
+                hidden = rms_norm(xo, params["decoder"]["norm"],
+                                  lmc.norm_eps)
+                logits = lm_head(params["decoder"], hidden)
+            y = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [K]
         # Exact-greedy acceptance: y[j] is valid iff every earlier draft
         # matched its verified token; y[0] is always valid.
         match = (y[: K - 1] == drafts[1:]).astype(jnp.int32)
@@ -429,13 +464,12 @@ def _session_jits(cfg: VoxtralConfig, P: int, enc_ring, dec_ring,
     fstep = _STEP_JIT_CACHE.get(fkey)
     if fstep is None:
         if spec > 1:
-            assert tp_mesh is None, "speculative decode is single-chip"
             fstep = jax.jit(
                 partial(_stream_step_spec_fn, cfg=cfg,
                         enc_rope=enc_rope, n_positions=P, spec_k=spec,
                         enc_ring=enc_ring, dec_ring=dec_ring,
                         fold=fold, mk_interpret=mk_interpret,
-                        draft_token=draft_token),
+                        draft_token=draft_token, tp_mesh=tp_mesh),
                 donate_argnames=("enc_cache", "dec_cache"))
         else:
             fstep = jax.jit(
@@ -471,6 +505,8 @@ def _fused_plan(model, batch: int, cache_s: int, itemsize: int = None,
             return None
         if pool and par.dp > 1 and batch % par.dp:
             return None
+        if spec > 1 and chunk:
+            return None  # per-chunk requant groups can't be joined
         from voxtral_tpu.ops.decode_tp_pallas import (
             TP_VMEM_CAP,
             tp_vmem_need,
@@ -483,7 +519,7 @@ def _fused_plan(model, batch: int, cache_s: int, itemsize: int = None,
         need = tp_vmem_need(
             rows, cache_s, lm.dim,
             lm.n_heads, lm.n_kv_heads, lm.head_dim, lm.hidden_dim,
-            par.tp, itemsize, cache_chunk=chunk)
+            par.tp, itemsize, cache_chunk=chunk, spec=spec)
         if need is None or need > TP_VMEM_CAP:
             return None
         return {"w": model.fused_tp, "tp": par.tp,
@@ -648,8 +684,10 @@ class StreamPool:
         roundtrips fresh rows through the append quantization, so int8
         spec pools stay token-identical to sequential int8 pools); the
         HBM-chunked cache is refused (per-chunk requant groups).
-        Scales over a DATA-parallel mesh (whole streams per shard,
-        zero collectives); TP meshes are refused.
+        Scales over ANY mesh: data-parallel (whole streams per shard,
+        zero collectives), tensor-parallel (the spec-capable attn/ffn
+        half-kernels + the vocab-sharded lm fold over streams*K rows),
+        and dp x tp (both at once).
 
         ``unbounded=True`` lays every slot's KV caches out as head+ring
         buffers (same in-kernel eviction as unbounded solo sessions), so
@@ -765,15 +803,10 @@ class StreamPool:
                     "speculative pools need the fused stack kernel "
                     "(w8/bf16 megakernel weights; geometry must fit "
                     "the VMEM budget at B*K query rows per shard)")
-            if self._fused.get("tp"):
-                raise ValueError(
-                    "speculative pools do not run on tensor-parallel "
-                    "meshes (the TP half-kernels have no spec path); "
-                    "use a data-parallel mesh")
             par_ = getattr(model, "parallel", None)
             if par_ is not None and par_.dp > 1 and self.B % par_.dp:
                 raise ValueError(
-                    f"speculative DP pools need max_streams "
+                    f"speculative meshed pools need max_streams "
                     f"({self.B}) divisible by the data axis "
                     f"({par_.dp}) so every stream's K draft rows "
                     f"shard with its cache")
@@ -1054,6 +1087,7 @@ class StreamPool:
             fold = self._fused["fold"]
             int8 = self.cache_int8
             K, B, P = self.speculative, self.B, self.P
+            tp = self._tp_mesh is not None
 
             def enc_one(mel_win, ek, ev, el, params):
                 cache = KVCache(ek, ev, el)
@@ -1071,7 +1105,7 @@ class StreamPool:
             inputs = jnp.concatenate(
                 [inputs, jnp.tile(inputs[:, -1:, :], (1, K - 1, 1))],
                 axis=1)  # [B, P+K-1, D]
-            lm_kw = _fused_lm_kwargs(params, fold)
+            lm_kw = _fused_lm_kwargs(params, fold and not tp)
 
             def cond(st):
                 pos = st[0]
@@ -1102,43 +1136,83 @@ class StreamPool:
                     lambda q: rope_pair_vectors(
                         q, lmc.head_dim, lmc.rope_theta)
                 )(pos_rows)
-                spec_args = (
-                    x, offs,
-                    fused_w["attn_norm"], fused_w["ffn_norm"], ada_vecs,
-                    fused_w["sqkv"], fused_w["so"], fused_w["s13"],
-                    fused_w["s2"], cos, sin, dk, dv,
-                    fused_w["wqkv"], fused_w["wo"], fused_w["w13"],
-                    fused_w["w2"],
-                )
-                spec_kw = dict(
-                    n_heads=lmc.n_heads, n_kv=lmc.n_kv_heads,
-                    head_dim=lmc.head_dim, eps=lmc.norm_eps,
-                    interpret=self._mk_interpret,
-                    window=lmc.sliding_window, ring=self._dec_ring,
-                    spec=K, **scale_kw, **lm_kw,
-                )
-                if self._dp_mesh is not None:
-                    # Rows (stream, draft) shard over the data axis in
-                    # whole streams; each shard verifies its own slots
-                    # (zero collectives; shards whose slots finished
-                    # ride masked until the global while-loop exits).
-                    from voxtral_tpu.parallel.dp_decode import (
-                        dp_decode_stack_step,
+                if tp:
+                    # The spec-capable TP half-kernels: streams*K query
+                    # rows over this shard's heads/F rows, caches one
+                    # row per stream; greedy tokens per row via the
+                    # vocab-sharded lm fold (row-independent).
+                    from voxtral_tpu.ops.decode_tp_pallas import (
+                        tp_decode_step,
+                        tp_lm_head_token,
                     )
 
-                    out = dp_decode_stack_step(
-                        self._dp_mesh, *spec_args, **spec_kw)
+                    xo, k_new, v_new = tp_decode_step(
+                        self._tp_mesh, x, offs,
+                        fused_w["attn_norm"], fused_w["ffn_norm"],
+                        ada_vecs, fused_w, cos, sin, dk, dv,
+                        n_heads=lmc.n_heads, n_kv=lmc.n_kv_heads,
+                        head_dim=lmc.head_dim, eps=lmc.norm_eps,
+                        interpret=self._mk_interpret,
+                        window=lmc.sliding_window, ring=self._dec_ring,
+                        spec=K, data_axis=self._pool_data_axis,
+                        **scale_kw)
+                    if fold:
+                        toks_flat = tp_lm_head_token(
+                            self._tp_mesh, xo, params["decoder"]["norm"],
+                            fused_w["lm_codes"], fused_w["lm_scale"],
+                            eps=lmc.norm_eps,
+                            interpret=self._mk_interpret,
+                            data_axis=self._pool_data_axis)
+                        y = toks_flat.reshape(B, K).astype(jnp.int32)
+                    else:
+                        hidden = rms_norm(
+                            xo, params["decoder"]["norm"], lmc.norm_eps)
+                        logits = lm_head(params["decoder"], hidden,
+                                         xla_only=True)
+                        y = jnp.argmax(logits, axis=-1).reshape(
+                            B, K).astype(jnp.int32)
                 else:
-                    out = decode_stack_step(*spec_args, **spec_kw)
-                if fold:
-                    _, k_new, v_new, logits = out
-                else:
-                    xo, k_new, v_new = out
-                    hidden = rms_norm(
-                        xo, params["decoder"]["norm"], lmc.norm_eps)
-                    logits = lm_head(params["decoder"], hidden)
-                y = jnp.argmax(logits, axis=-1).reshape(B, K).astype(
-                    jnp.int32)
+                    spec_args = (
+                        x, offs,
+                        fused_w["attn_norm"], fused_w["ffn_norm"],
+                        ada_vecs,
+                        fused_w["sqkv"], fused_w["so"], fused_w["s13"],
+                        fused_w["s2"], cos, sin, dk, dv,
+                        fused_w["wqkv"], fused_w["wo"], fused_w["w13"],
+                        fused_w["w2"],
+                    )
+                    spec_kw = dict(
+                        n_heads=lmc.n_heads, n_kv=lmc.n_kv_heads,
+                        head_dim=lmc.head_dim, eps=lmc.norm_eps,
+                        interpret=self._mk_interpret,
+                        window=lmc.sliding_window, ring=self._dec_ring,
+                        spec=K, **scale_kw, **lm_kw,
+                    )
+                    if self._dp_mesh is not None:
+                        # Rows (stream, draft) shard over the data axis
+                        # in whole streams; each shard verifies its own
+                        # slots (zero collectives; shards whose slots
+                        # finished ride masked until the global
+                        # while-loop exits).
+                        from voxtral_tpu.parallel.dp_decode import (
+                            dp_decode_stack_step,
+                        )
+
+                        out = dp_decode_stack_step(
+                            self._dp_mesh, *spec_args, **spec_kw)
+                    else:
+                        out = decode_stack_step(*spec_args, **spec_kw)
+                    if fold:
+                        _, k_new, v_new, logits = out
+                    else:
+                        xo, k_new, v_new = out
+                        hidden = rms_norm(
+                            xo, params["decoder"]["norm"], lmc.norm_eps)
+                        logits = lm_head(
+                            params["decoder"], hidden,
+                            xla_only=self._dp_mesh is not None)
+                    y = jnp.argmax(logits, axis=-1).reshape(B, K).astype(
+                        jnp.int32)
                 match = (y[:, : K - 1] == drafts[:, 1:]).astype(jnp.int32)
                 n_acc = 1 + jnp.sum(jnp.cumprod(match, axis=1), axis=1)
                 adv = jnp.where(ready & (pos < P),
@@ -1655,12 +1729,11 @@ class StreamingSession:
         self._fused = _fused_plan(model, max(1, self.speculative),
                                   self._max_dec,
                                   spec=max(1, self.speculative))
-        if self.speculative > 1 and (
-                self._fused is None or self._fused.get("tp")):
+        if self.speculative > 1 and self._fused is None:
             raise ValueError(
-                "speculative decode needs the single-chip fused stack "
-                "kernel (w8/bf16 megakernel weights, geometry within "
-                "the VMEM budget, no tensor-parallel mesh)")
+                "speculative decode needs the fused stack kernel or the "
+                "TP half-kernels (w8/bf16 megakernel weights, geometry "
+                "within the VMEM budget at K query rows)")
         if self._fused is not None:
             from voxtral_tpu.ops.decode_step_pallas import ada_vectors
 
