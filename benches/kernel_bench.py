@@ -419,6 +419,109 @@ def suite_step_fused(batches, seq=160, short=8, long=40, lm_argmax=False):
     return results
 
 
+def suite_step_q4g(batches, seq=160, short=8, long=40, lm_argmax=False):
+    """``suite_step_fused`` through the g32 (exact-Q4_0) stack-kernel
+    mode: int8 codes = nibble - 8 with the f16 block scales streamed
+    alongside (+12.5% bytes vs w8) and 4 lane-masked group dots per
+    tile.  The delta vs ``decode_step_fused`` is the price of exact
+    Q4_0 weight numerics on the fused path (VERDICT r4 #1b)."""
+    import jax
+    import jax.numpy as jnp
+
+    from voxtral_tpu.config import VoxtralConfig
+    from voxtral_tpu.models.decoder import create_cache, embed_tokens
+    from voxtral_tpu.models.layers import KVCache
+    from voxtral_tpu.ops.decode_step_pallas import (
+        decode_stack_step,
+        fuse_decode_weights_q4g,
+        rope_pair_vectors,
+    )
+    from voxtral_tpu.utils.quantize import random_q4_params
+
+    cfg = VoxtralConfig.voxtral()
+    lm_cfg = cfg.language_model
+    params = random_q4_params(cfg, pack=False)["decoder"]
+    fused = fuse_decode_weights_q4g(params)
+    ada_vecs = jnp.ones((lm_cfg.n_layers, lm_cfg.dim), jnp.float32)
+
+    results = []
+    for b in batches:
+        audio = jnp.asarray(
+            np.random.RandomState(0).randn(b, seq, lm_cfg.dim) * 0.05,
+            jnp.bfloat16,
+        )
+        cache0 = create_cache(lm_cfg, b, seq, dtype=jnp.bfloat16)
+        ck0 = jnp.transpose(cache0.k, (0, 1, 3, 2, 4))
+        cv0 = jnp.transpose(cache0.v, (0, 1, 3, 2, 4))
+
+        def run(params, fused, ada_vecs, audio, cache_k, cache_v, length, b):
+            tok0 = jnp.full((b,), 32, jnp.int32)
+            cache = KVCache(cache_k, cache_v, jnp.asarray(38, jnp.int32))
+
+            def step(carry, i):
+                prev, cache = carry
+                offset = cache.length
+                apos = jax.lax.dynamic_slice_in_dim(audio, 38, 1, axis=1)
+                text = embed_tokens(params, prev[:, None])
+                x = (apos + text)[:, 0, :].astype(jnp.float32)
+                cos_p, sin_p = rope_pair_vectors(
+                    offset, lm_cfg.head_dim, lm_cfg.rope_theta)
+
+                x, k_new, v_new, out4 = decode_stack_step(
+                    x, offset,
+                    fused["attn_norm"], fused["ffn_norm"], ada_vecs,
+                    fused["sqkv"], fused["so"], fused["s13"], fused["s2"],
+                    cos_p, sin_p, cache.k, cache.v,
+                    fused["wqkv"], fused["wo"], fused["w13"], fused["w2"],
+                    final_norm=params["norm"],
+                    lm_codes=fused["lm_codes"],
+                    lm_scale=fused["lm_scale"], lm_argmax=lm_argmax,
+                    n_heads=lm_cfg.n_heads, n_kv=lm_cfg.n_kv_heads,
+                    head_dim=lm_cfg.head_dim, eps=lm_cfg.norm_eps,
+                )
+                zero = jnp.zeros((), jnp.int32)
+                start = (zero, zero, zero, offset, zero)
+                k_c = jax.lax.dynamic_update_slice(
+                    cache.k, k_new[:, :, :, None].astype(cache.k.dtype),
+                    start)
+                v_c = jax.lax.dynamic_update_slice(
+                    cache.v, v_new[:, :, :, None].astype(cache.v.dtype),
+                    start)
+                cache = KVCache(k_c, v_c, offset + 1)
+                token = (out4[:, 0] if lm_argmax
+                         else jnp.argmax(out4, axis=-1).astype(jnp.int32))
+                return (token, cache), token
+
+            (_, _), toks = jax.lax.scan(
+                step, (tok0, cache), jnp.arange(length, dtype=jnp.int32))
+            return toks[-1, 0]
+
+        import functools
+
+        @functools.lru_cache(maxsize=None)
+        def _jitted(length, b):
+            return jax.jit(functools.partial(run, length=length, b=b))
+
+        def runner(length, b=b, audio=audio, ck0=ck0, cv0=cv0):
+            return _jitted(length, b)(
+                params, fused, ada_vecs, audio, ck0, cv0)
+
+        per_step = _timed_slope(runner, short, long)
+        # codes 1 B/weight + f32 group scales per 32 weights = x1.125
+        layer_bytes = sum(int(n * k * 1.125) for n, k in LAYER_SHAPES)
+        step_bytes = 26 * layer_bytes + int(131072 * 3072 * 1.125)
+        r = {
+            "bench": "decode_step_q4g", "batch": b, "seq": seq,
+            "lm_argmax": lm_argmax,
+            "ms_per_step": round(per_step * 1e3, 3),
+            "eff_gbps": round(step_bytes / per_step / 1e9, 1),
+            "tok_s_equiv": round(b / per_step, 1),
+        }
+        results.append(r)
+        print(json.dumps(r), flush=True)
+    return results
+
+
 def suite_step_bf16(batches, seq=160, short=None, long=None):
     """Full decode step through the stack kernel with DENSE bf16 weights
     (the W8A8 accuracy hedge — ops/decode_step_pallas.py bf16 mode):
@@ -1201,7 +1304,7 @@ def suite_tp_halves(tps=(2, 4), batches=(1, 4), seq=160,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--suite", default="all",
-                    choices=["all", "matmul", "step", "step-fused",
+                    choices=["all", "matmul", "step", "step-fused", "step-q4g",
                              "step-bf16", "step-spec", "step-spec-int8",
                              "step-int8kv", "step-chunked", "encode",
                              "tp-lm", "tp-halves"])
@@ -1242,6 +1345,9 @@ def main():
     if args.suite == "step-fused":
         suite_step_fused([int(x) for x in args.batch.split(",")],
                          seq=args.seq, lm_argmax=args.lm_argmax)
+    if args.suite == "step-q4g":
+        suite_step_q4g([int(x) for x in args.batch.split(",")],
+                       seq=args.seq, lm_argmax=args.lm_argmax)
     if args.suite == "step-bf16":
         suite_step_bf16([int(x) for x in args.batch.split(",")],
                         seq=args.seq)

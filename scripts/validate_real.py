@@ -158,14 +158,14 @@ def stage_clip(st, model_dir: Path, gguf, clip: Path, platform: str,
     from voxtral_tpu.utils.wer import wer
 
     texts = {}
-    fmts = ["bfloat16", "w8"] + (["q4"] if gguf else [])
+    fmts = ["bfloat16", "w8"] + (["q4", "q4g"] if gguf else [])
     for fmt in fmts:
         cmd = [sys.executable, "-m", "voxtral_tpu.cli",
                "--audio", str(clip), "--platform", platform]
-        if fmt == "q4":
+        if fmt in ("q4", "q4g"):
             cmd += ["--gguf", str(gguf),
                     "--tokenizer", str(model_dir / "tekken.json"),
-                    "--weight-format", "q4"]
+                    "--weight-format", fmt]
         else:
             cmd += ["--model", str(model_dir), "--dtype", fmt]
         t0 = time.time()
@@ -210,9 +210,10 @@ def stage_wer(st, model_dir: Path, gguf, num_samples: int, platform: str,
     runs = [("float32", ["--model", str(model_dir), "--dtype", "float32"]),
             ("w8", ["--model", str(model_dir), "--dtype", "w8"])]
     if gguf:
-        runs.append(("q4", ["--gguf", str(gguf),
-                            "--tokenizer", str(model_dir / "tekken.json"),
-                            "--weight-format", "q4"]))
+        for fmt in ("q4", "q4g"):
+            runs.append((fmt, ["--gguf", str(gguf),
+                               "--tokenizer", str(model_dir / "tekken.json"),
+                               "--weight-format", fmt]))
     for fmt, extra in runs:
         out = workdir / f"wer_{fmt}.json"
         cmd = [sys.executable, "scripts/eval_wer.py",
@@ -236,7 +237,19 @@ def stage_wer(st, model_dir: Path, gguf, num_samples: int, platform: str,
     q4 = results.get("q4", {}).get("wer")
     if q4 is not None and q4 > WER_BAR_Q4:
         ok = False
-    _finish(st, ok=ok, results=results,
+    q4g = results.get("q4g", {}).get("wer")
+    if q4g is not None and q4g > WER_BAR_Q4:
+        ok = False
+    # Ship-format gate (VERDICT r4 #1c): the fused GGUF serving default
+    # is w8 (fastest, but a second lossy requantization,
+    # loaders/gguf_loader.py); q4g is the exact-Q4_0 fused mode (+12.5%
+    # bytes/step).  Ship w8 only if it costs <= +0.2 pt WER vs q4g.
+    ship = None
+    if w8 is not None and q4g is not None:
+        ship = "w8" if w8 <= q4g + 0.002 else "q4g"
+        print(f"  ship-format gate: w8 {w8:.2%} vs q4g {q4g:.2%}"
+              f" -> ship {ship}")
+    _finish(st, ok=ok, results=results, ship_format=ship,
             bars={"f32": WER_BAR_F32, "w8_delta": WER_BAR_W8_DELTA,
                   "q4": WER_BAR_Q4})
 

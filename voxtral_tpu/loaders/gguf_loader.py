@@ -33,16 +33,24 @@ class Q4ModelLoader:
 
     weight_format:
       * "q4" — keep int4 (packed for the Pallas kernel); minimum HBM.
+      * "q4g" — keep the unpacked group-32 form ({codes = nibble − 8,
+        f16 block scales} — the EXACT re-encoding of on-disk Q4_0,
+        reference gguf/tensor.rs:88-113) so decode rides the fused stack
+        kernel's g32 mode with the reference's exact weight numerics
+        (ops/decode_step_pallas.fuse_decode_weights_q4g).
       * "w8" — requantize to rowwise int8 at load for the native int8 MXU
-        path (fastest decode on v5e; see ops/w8.py).
+        path (fastest decode on v5e; see ops/w8.py) — a second, lossy
+        quantization (measured: scripts/q4_error_report.py).
     """
 
     def __init__(self, reader: GgufReader, cfg: Optional[VoxtralConfig] = None,
                  pack_nibbles: bool = True, weight_format: str = "q4"):
-        assert weight_format in ("q4", "w8"), weight_format
+        assert weight_format in ("q4", "q4g", "w8"), weight_format
         self.reader = reader
         self.cfg = cfg or VoxtralConfig.voxtral()
-        self.pack_nibbles = pack_nibbles
+        # q4g streams int8 codes + f16 scales; nibble-packing would round
+        # the scales to bf16 and lock the leaves out of the fused path.
+        self.pack_nibbles = pack_nibbles and weight_format != "q4g"
         self.weight_format = weight_format
 
     @classmethod

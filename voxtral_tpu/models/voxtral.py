@@ -27,7 +27,6 @@ decoder position covers 2560 samples (160 ms) = two 12.5 Hz mistral-common
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 from typing import Any, Optional
 
@@ -197,9 +196,13 @@ def transcribe_streaming_fn(
         # shard_map.  tp takes precedence on a combined mesh (dp x tp
         # fused composition rides the XLA path).
         bf16_w = isinstance(fused["wqkv"], tuple)
-        witem = 2 if bf16_w else 1
+        # g32 (exact-Q4_0) stacks carry 4D group-scale stacks; the TP
+        # half-kernel stacks are also 4D but their scales stay 2D/3D.
+        wg = (not bf16_w and fused.get("sqkv") is not None
+              and fused["sqkv"].ndim == 4)
+        witem = 2 if bf16_w else (1.125 if wg else 1)
         use_tp = (parallel is not None and parallel.tp > 1
-                  and not bf16_w and fused["wqkv"].ndim == 4)
+                  and not bf16_w and not wg and fused["wqkv"].ndim == 4)
         use_dp = (parallel is not None and not use_tp and parallel.dp > 1
                   and batch % parallel.dp == 0)
         use_stack = not use_tp and supports_stack_kernel(lm_cfg, witem)
@@ -213,13 +216,18 @@ def transcribe_streaming_fn(
         )
 
         emb = params["decoder"]["tok_embeddings"]
-        lm_w8 = emb.get("w8") if isinstance(emb, dict) else None
+        lm_w8 = (emb.get("w8") if isinstance(emb, dict) and not wg
+                 else None)
         lm_dense = (emb if bf16_w and not isinstance(emb, dict) else None)
+        lm_g32 = fused.get("lm_codes") if wg else None
         fold_lm = use_stack and (
             (lm_w8 is not None and not bf16_w
              and _lm_tile(lm_w8["codes"].shape[0], lm_cfg.dim) is not None)
             or (lm_dense is not None
                 and _lm_tile(lm_dense.shape[0], lm_cfg.dim, witem)
+                is not None)
+            or (lm_g32 is not None
+                and _lm_tile(lm_g32.shape[1], lm_cfg.dim, witem)
                 is not None)
         )
         # VMEM gate (same rule as streaming._fused_plan): the pipeline can
@@ -241,8 +249,12 @@ def transcribe_streaming_fn(
                 )
 
             if fold_lm:
-                vocab = (lm_dense.shape[0] if lm_dense is not None
-                         else lm_w8["codes"].shape[0])
+                if lm_dense is not None:
+                    vocab = lm_dense.shape[0]
+                elif lm_g32 is not None:
+                    vocab = lm_g32.shape[1]
+                else:
+                    vocab = lm_w8["codes"].shape[0]
                 need = _need(vocab)
                 if need is None or need > STACK_VMEM_CAP:
                     fold_lm = False
@@ -250,8 +262,8 @@ def transcribe_streaming_fn(
                 need = _need(None)
                 if need is None or need > STACK_VMEM_CAP:
                     use_stack = False
-        if bf16_w and not use_stack:
-            # The per-layer fallback kernel is w8-only; dense models
+        if (bf16_w or wg) and not use_stack:
+            # The per-layer fallback kernel is w8-only; dense/q4g models
             # without a stack plan ride the XLA step.
             fused = None
         use_dp = use_dp and use_stack
@@ -339,6 +351,12 @@ def transcribe_streaming_fn(
                         final_norm=params["decoder"]["norm"],
                         lm_codes=lm_dense.astype(jnp.bfloat16),
                         lm_scale=None,
+                    )
+                elif fold_lm and lm_g32 is not None:
+                    lm_kw = dict(
+                        final_norm=params["decoder"]["norm"],
+                        lm_codes=lm_g32,
+                        lm_scale=fused["lm_scale"],
                     )
                 elif fold_lm:
                     lm_kw = dict(
@@ -536,6 +554,11 @@ class VoxtralModel:
             # Sharded dense models ride the GSPMD-partitioned XLA path;
             # the nt-rewrite would break the named sharding specs.
             use_mk = False
+        if mode == "q4g":
+            from voxtral_tpu.ops.decode_step_pallas import q4g_geometry_ok
+
+            if not q4g_geometry_ok(lm):
+                use_mk = False
         self.fused_decode = None
         self.megakernel_weights = None
         self._mk_interpret = False
@@ -546,6 +569,13 @@ class VoxtralModel:
                 )
 
                 self.fused_decode = fuse_decode_weights(params["decoder"])
+            elif mode == "q4g":
+                from voxtral_tpu.ops.decode_step_pallas import (
+                    fuse_decode_weights_q4g,
+                )
+
+                self.fused_decode = fuse_decode_weights_q4g(
+                    params["decoder"])
             else:
                 # bf16 dense: memory-neutral — the decoder layer leaves
                 # are rewritten in place to the kernel's [L, N, K]
@@ -575,6 +605,11 @@ class VoxtralModel:
 
             plan = ParallelPlan.from_mesh(mesh)
             self.parallel = plan
+            if plan.tp > 1 and self.megakernel_weights == "q4g":
+                # The TP half-kernels shard the w8 layout; q4g models on
+                # a tp mesh ride the GSPMD-partitioned XLA step instead.
+                self.fused_decode = None
+                self.megakernel_weights = None
             if plan.tp > 1 and self.fused_decode is not None:
                 if (lm.n_kv_heads % plan.tp == 0
                         and lm.hidden_dim % plan.tp == 0):

@@ -57,6 +57,72 @@ def _quant(x):
     return xq, sx
 
 
+def _quant_f(x):
+    """_quant keeping the codes in f32 (the g32 path reshapes/transposes
+    them before the int8 cast — Mosaic has no int8 shape casts)."""
+    absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    sx = jnp.maximum(absmax, 1e-8) / 127.0
+    return jnp.clip(jnp.round(x / sx), -127, 127), sx
+
+
+class _MultiCopy:
+    """start()/wait() over several async copies as one unit (the g32
+    path DMAs a weight tile and its group-scale tile together)."""
+
+    def __init__(self, cps):
+        self._cps = cps
+
+    def start(self):
+        for c in self._cps:
+            c.start()
+
+    def wait(self):
+        for c in self._cps:
+            c.wait()
+
+
+def _g32_mask_codes(xqf, k_in, rows):
+    """f32 activation codes [rows, k_in] -> 4 lane-masked int8 stacks
+    [SB, rows, 128] for the group-32 batched dots (SB = k_in // 128;
+    group g = 4*sb + r covers lanes r*32..r*32+31 of superblock sb).
+
+    All layout-changing ops stay in f32 (Mosaic rejects int8 shape
+    casts); the int8 cast happens last, elementwise.
+    """
+    sb = k_in // 128
+    x3t = jnp.transpose(xqf.reshape(rows, sb, 128), (1, 0, 2))
+    lane = jax.lax.broadcasted_iota(jnp.int32, (sb, rows, 128), 2)
+    return [
+        jnp.where((lane // 32) == r, x3t, 0.0).astype(jnp.int8)
+        for r in range(4)
+    ]
+
+
+def _g32_matmul_tile(xms, sx, ctile, stile):
+    """One group-32 tile contraction: y[b, n] = sx[b] *
+    sum_g d[g, n] * sum_j xq[b, g*32+j] * c[n, g*32+j].
+
+    xms: 4 masked int8 stacks [SB, B, 128]; ctile [SB, t, 128] int8;
+    stile [4*SB, 1, t] f32 (r-major: row r*SB + sb = scale group
+    4*sb + r).  Returns [B, t] f32.  The per-group dots ride the int8
+    MXU batched over superblocks; the products xq*c are exact in int32
+    and the f16-exact scales multiply in f32 — the WEIGHTS contribute
+    no quantization error beyond Q4_0 itself (VERDICT r4 #1b).
+    """
+    sb = ctile.shape[0]
+    acc = None
+    for r in range(4):
+        z = jax.lax.dot_general(
+            xms[r], ctile,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        )  # [SB, B, t]
+        term = jnp.sum(
+            z.astype(jnp.float32) * stile[r * sb:(r + 1) * sb], axis=0)
+        acc = term if acc is None else acc + term
+    return acc * sx
+
+
 def _rope_swap(v):
     """Adjacent-lane swap for pair RoPE ([..., 2i] <-> [..., 2i+1])."""
     lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, v.ndim - 1)
@@ -459,7 +525,7 @@ def stack_vmem_need(B, S, D, n_heads, n_kv, head_dim, hidden,
     nqkv = nq + 2 * nkv
     plan = _stack_plan(D, nqkv, nq, hidden, itemsize=weight_itemsize,
                        segs=_stack_segs(nqkv, nq, nkv, hidden,
-                                        weight_itemsize == 1))
+                                        weight_itemsize < 2))
     if plan is None:
         return None
     need = sum(STACK_SLOTS[n] * plan[n][0] * plan[n][2] * weight_itemsize
@@ -490,7 +556,7 @@ def stack_vmem_need(B, S, D, n_heads, n_kv, head_dim, hidden,
 def _make_stack_kernel(B, D, S, L, n_heads, n_kv, head_dim, hidden, plan,
                        eps, lm, window, ring, cache_q=False,
                        lm_argmax=False, cache_chunk=None, wq8=True,
-                       seg_rows=None, spec=1):
+                       seg_rows=None, spec=1, wg=False):
     """Kernel body for one grid step = one decoder layer.
 
     The residual stream lives in VMEM scratch across grid steps (the TPU
@@ -519,11 +585,20 @@ def _make_stack_kernel(B, D, S, L, n_heads, n_kv, head_dim, hidden, plan,
 
     def kernel(*refs):
         # Optional int8-cache scale refs sit right after vc_ref; chunked
-        # mode appends (kbuf, vbuf, sem_kv) scratch at the very end.
+        # mode appends (kbuf, vbuf, sem_kv) scratch at the very end; g32
+        # mode appends its scale buffers + semaphore just before those.
         nsc = 2 if cache_q else 0
         if cache_chunk:
             kbuf, vbuf, sem_kv = refs[-3:]
             refs = refs[:-3]
+        if wg:
+            sem_s = refs[-1]
+            n_sb = 5 if lm is not None else 4
+            sb_list = refs[-1 - n_sb:-1]
+            refs = refs[:-1 - n_sb]
+            sbufs = dict(zip(("qkv", "wo", "w13", "w2"), sb_list))
+            if lm is not None:
+                sbuf_lm = sb_list[4]
         (offs_ref,
          x_ref, attn_norm_ref, ffn_norm_ref, ada_ref,
          sqkv_ref, so_ref, s13_ref, s2_ref, cos_ref, sin_ref,
@@ -542,6 +617,8 @@ def _make_stack_kernel(B, D, S, L, n_heads, n_kv, head_dim, hidden, plan,
              buf_qkv, buf_wo, buf_w13, buf_w2, x_s, sem) = rest
         if cache_q:
             ks_ref, vs_ref = refs[13:15]
+        sref_by = {"qkv": sqkv_ref, "wo": so_ref, "w13": s13_ref,
+                   "w2": s2_ref}
 
         l = pl.program_id(0)
         hbm = {}
@@ -560,6 +637,20 @@ def _make_stack_kernel(B, D, S, L, n_heads, n_kv, head_dim, hidden, plan,
             t = plan[name][0]
             s = STACK_SLOTS[name]
             row = j * t
+            if wg:
+                # g32 layouts: codes [L, SB, N, 128] (single segment),
+                # scales [L, 4*SB, 1, N] — both tiled along N.
+                ref = hbm[name][0][0]
+                return _MultiCopy([
+                    pltpu.make_async_copy(
+                        ref.at[li, :, pl.ds(row, t), :],
+                        bufs[name].at[j % s],
+                        sem.at[pidx[name], j % s]),
+                    pltpu.make_async_copy(
+                        sref_by[name].at[li, :, :, pl.ds(row, t)],
+                        sbufs[name].at[j % s],
+                        sem_s.at[pidx[name], j % s]),
+                ])
             src = None
             for ref, rows in hbm[name]:
                 if row < rows:
@@ -574,14 +665,28 @@ def _make_stack_kernel(B, D, S, L, n_heads, n_kv, head_dim, hidden, plan,
 
         def prep(h):
             """Activation prep for the streamed matmuls: int8 rowwise
-            quant on the w8 path; a bf16 cast (f32 MXU accumulate) on
-            the dense path."""
+            quant on the w8 path (f32 codes on the g32 path — the
+            stream reshapes them per phase before the int8 cast); a
+            bf16 cast (f32 MXU accumulate) on the dense path."""
+            if wg:
+                return _quant_f(h)
             if wq8:
                 return _quant(h)
             return h.astype(jnp.bfloat16), None
 
         def lm_dma(j):
             t = lm[1]
+            if wg:
+                return _MultiCopy([
+                    pltpu.make_async_copy(
+                        lm_hbm.at[:, pl.ds(j * t, t), :],
+                        buf_lm.at[j % LM_SLOTS],
+                        sem.at[4, j % LM_SLOTS]),
+                    pltpu.make_async_copy(
+                        lms_ref.at[:, :, pl.ds(j * t, t)],
+                        sbuf_lm.at[j % LM_SLOTS],
+                        sem_s.at[4, j % LM_SLOTS]),
+                ])
             return pltpu.make_async_copy(
                 lm_hbm.at[pl.ds(j * t, t), :],
                 buf_lm.at[j % LM_SLOTS],
@@ -613,8 +718,10 @@ def _make_stack_kernel(B, D, S, L, n_heads, n_kv, head_dim, hidden, plan,
                 the DMA pipe stays loaded through this phase's epilogue.
                 Short phases (n_tiles < len(tail)) fire the whole tail
                 on the last iteration — correct, just less overlap."""
-                t, n_tiles, _, _ = plan[name]
+                t, n_tiles, k_in, _ = plan[name]
                 pre = STACK_PRE[name]
+                if wg:
+                    xms = _g32_mask_codes(xq, k_in, xq.shape[0])
                 outs = []
                 for j in range(n_tiles):
                     if j + pre < n_tiles:
@@ -626,8 +733,13 @@ def _make_stack_kernel(B, D, S, L, n_heads, n_kv, head_dim, hidden, plan,
                         for cb in tail:
                             cb()
                     dma(name, l, j).wait()
+                    slot = j % STACK_SLOTS[name]
+                    if wg:
+                        outs.append(_g32_matmul_tile(
+                            xms, sx, bufs[name][slot], sbufs[name][slot]))
+                        continue
                     z = jax.lax.dot_general(
-                        xq, bufs[name][j % STACK_SLOTS[name]],
+                        xq, bufs[name][slot],
                         dimension_numbers=(((1,), (1,)), ((), ())),
                         preferred_element_type=(jnp.int32 if wq8
                                                 else jnp.float32),
@@ -1142,6 +1254,8 @@ def _make_stack_kernel(B, D, S, L, n_heads, n_kv, head_dim, hidden, plan,
                 var = jnp.mean(x * x, axis=-1, keepdims=True)
                 h = x * jax.lax.rsqrt(var + eps) * fnorm_ref[0]
                 xq, sx = prep(h)
+                if wg:
+                    xms_lm = _g32_mask_codes(xq, D, xq.shape[0])
 
                 # Tiles 0..LM_PRE-1 were pre-issued during the last
                 # layer's w2 tail; issuing j+LM_PRE before waiting on j
@@ -1154,6 +1268,9 @@ def _make_stack_kernel(B, D, S, L, n_heads, n_kv, head_dim, hidden, plan,
 
                     slot = jax.lax.rem(j, LM_SLOTS)
                     lm_dma(j).wait()
+                    if wg:
+                        return _g32_matmul_tile(
+                            xms_lm, sx, buf_lm[slot], sbuf_lm[slot])
                     z = jax.lax.dot_general(
                         xq, buf_lm[slot],
                         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -1295,20 +1412,40 @@ def decode_stack_step(
     w13_segs = w13 if isinstance(w13, tuple) else (w13,)
     w2_segs = w2 if isinstance(w2, tuple) else (w2,)
     wdtype = wqkv_segs[0].dtype
+    # g32 mode (exact Q4_0 numerics, VERDICT r4 #1b): codes arrive
+    # pre-transposed [L, SB, N, 128] int8 with f32 group scales
+    # [L, 4*SB, 1, N] in the scale-stack slots (fuse_decode_weights_q4g).
+    wg = not isinstance(wqkv, tuple) and wqkv.ndim == 4
     wq8 = wdtype == jnp.int8
+    if wg:
+        if not wq8:
+            raise ValueError("g32 stack weights must be int8 codes")
+        if any(len(s) != 1 for s in (wqkv_segs, wo_segs, w13_segs, w2_segs)):
+            raise ValueError("g32 mode streams single concatenated stacks")
+        for s in (sqkv, so, s13, s2):
+            if s is None or s.ndim != 4:
+                raise ValueError(
+                    "g32 mode needs [L, 4*SB, 1, N] group-scale stacks")
     witem = jnp.dtype(wdtype).itemsize
-    hidden = w2_segs[0].shape[2]
+    # Tile budgeting charges the scale tiles that ride along with g32
+    # code tiles (f32 per 32 weights = +12.5% bytes).
+    plan_item = 1.125 if wg else witem
+    hidden = w2_segs[0].shape[1] * 128 if wg else w2_segs[0].shape[2]
     nq = n_heads * head_dim
     nqkv = nq + 2 * n_kv * head_dim
+    n_axis = 2 if wg else 1
     seg_rows = {
-        "qkv": [w.shape[1] for w in wqkv_segs],
-        "wo": [w.shape[1] for w in wo_segs],
-        "w13": [w.shape[1] for w in w13_segs],
-        "w2": [w.shape[1] for w in w2_segs],
+        "qkv": [w.shape[n_axis] for w in wqkv_segs],
+        "wo": [w.shape[n_axis] for w in wo_segs],
+        "w13": [w.shape[n_axis] for w in w13_segs],
+        "w2": [w.shape[n_axis] for w in w2_segs],
     }
-    plan = _stack_plan(D, nqkv, nq, hidden, itemsize=witem, segs=seg_rows)
+    plan = _stack_plan(D, nqkv, nq, hidden, itemsize=plan_item,
+                       segs=seg_rows)
     if plan is None:
         raise ValueError("decode_stack_step: dims not tileable")
+    if wg and any(plan[n][2] % 128 for n in plan):
+        raise ValueError("g32 mode needs contraction dims % 128 == 0")
     cache_q = k_cache.dtype == jnp.int8
     if cache_q and (k_scales is None or v_scales is None):
         raise ValueError("int8 KV cache needs k_scales/v_scales")
@@ -1324,8 +1461,15 @@ def decode_stack_step(
     if lm_codes is not None:
         if (lm_codes.dtype == jnp.int8) != wq8:
             raise ValueError("lm_codes dtype must match the weight mode")
-        V = lm_codes.shape[0]
-        t_lm = _lm_tile(V, D, witem)
+        if wg:
+            if lm_codes.ndim != 3 or lm_scale is None or lm_scale.ndim != 3:
+                raise ValueError(
+                    "g32 lm fold needs codes [SB, V, 128] + scales "
+                    "[4*SB, 1, V] (q4g_lm_head)")
+            V = lm_codes.shape[1]
+        else:
+            V = lm_codes.shape[0]
+        t_lm = _lm_tile(V, D, plan_item)
         if t_lm is None:
             raise ValueError("decode_stack_step: vocab not tileable")
         lm = (V, t_lm)
@@ -1339,7 +1483,8 @@ def decode_stack_step(
     kernel = _make_stack_kernel(
         B, D, S, L, n_heads, n_kv, head_dim, hidden, plan, eps, lm,
         window, ring, cache_q=cache_q, lm_argmax=lm_argmax,
-        cache_chunk=cache_chunk, wq8=wq8, seg_rows=seg_rows, spec=spec)
+        cache_chunk=cache_chunk, wq8=wq8, seg_rows=seg_rows, spec=spec,
+        wg=wg)
 
     def vmem(shape, idx):
         return pl.BlockSpec(shape, idx, memory_space=pltpu.VMEM)
@@ -1367,10 +1512,15 @@ def decode_stack_step(
         vmem((1, 1, D), perl3),                     # attn_norm
         vmem((1, 1, D), perl3),                     # ffn_norm
         vmem((1, 1, D), perl3),                     # ada
-        vmem((1, 1, nqkv), perl3),                  # sqkv
-        vmem((1, 1, D), perl3),                     # so
-        vmem((1, 1, 2 * hidden), perl3),            # s13
-        vmem((1, 1, D), perl3),                     # s2
+    ] + (
+        # g32 group scales stay in HBM and stream with the code tiles.
+        [pl.BlockSpec(memory_space=pl.ANY)] * 4
+        if wg else
+        [vmem((1, 1, nqkv), perl3),                 # sqkv
+         vmem((1, 1, D), perl3),                    # so
+         vmem((1, 1, 2 * hidden), perl3),           # s13
+         vmem((1, 1, D), perl3)]                    # s2
+    ) + [
         vmem((B, n_heads, head_dim), const3),       # cos (per-row, per-head)
         vmem((B, n_heads, head_dim), const3),       # sin
     ] + (
@@ -1399,10 +1549,15 @@ def decode_stack_step(
         attn_norms.astype(jnp.float32).reshape(L, 1, D),
         ffn_norms.astype(jnp.float32).reshape(L, 1, D),
         ada_vecs.astype(jnp.float32).reshape(L, 1, D),
-        sqkv.astype(jnp.float32).reshape(L, 1, nqkv),
-        so.astype(jnp.float32).reshape(L, 1, D),
-        s13.astype(jnp.float32).reshape(L, 1, 2 * hidden),
-        s2.astype(jnp.float32).reshape(L, 1, D),
+    ] + (
+        [sqkv.astype(jnp.float32), so.astype(jnp.float32),
+         s13.astype(jnp.float32), s2.astype(jnp.float32)]
+        if wg else
+        [sqkv.astype(jnp.float32).reshape(L, 1, nqkv),
+         so.astype(jnp.float32).reshape(L, 1, D),
+         s13.astype(jnp.float32).reshape(L, 1, 2 * hidden),
+         s2.astype(jnp.float32).reshape(L, 1, D)]
+    ) + [
         cos_b,
         sin_b,
         k_cache, v_cache,
@@ -1423,20 +1578,29 @@ def decode_stack_step(
         jax.ShapeDtypeStruct((L, B, n_kv, head_dim), kv_out),
         jax.ShapeDtypeStruct((L, B, n_kv, head_dim), kv_out),
     ]
-    scratch = [
-        pltpu.VMEM((STACK_SLOTS[name], plan[name][0], plan[name][2]),
-                   wdtype)
-        for name in ("qkv", "wo", "w13", "w2")
-    ]
+    if wg:
+        scratch = [
+            pltpu.VMEM((STACK_SLOTS[name], plan[name][2] // 128,
+                        plan[name][0], 128), wdtype)
+            for name in ("qkv", "wo", "w13", "w2")
+        ]
+    else:
+        scratch = [
+            pltpu.VMEM((STACK_SLOTS[name], plan[name][0], plan[name][2]),
+                       wdtype)
+            for name in ("qkv", "wo", "w13", "w2")
+        ]
     if lm is not None:
         V, t_lm = lm
         in_specs += [
             vmem((1, D), const2),                   # final norm
-            vmem((1, V), const2),                   # lm scales
+            (pl.BlockSpec(memory_space=pl.ANY) if wg
+             else vmem((1, V), const2)),            # lm scales
         ]
         operands += [
             final_norm.astype(jnp.float32).reshape(1, D),
-            lm_scale.astype(jnp.float32).reshape(1, V),
+            (lm_scale.astype(jnp.float32) if wg
+             else lm_scale.astype(jnp.float32).reshape(1, V)),
         ]
         if lm_argmax:
             # Greedy token indices [B, 1] instead of [B, V] logits.
@@ -1445,7 +1609,9 @@ def decode_stack_step(
         else:
             out_specs.append(vmem((B, V), const2))  # logits
             out_shape.append(jax.ShapeDtypeStruct((B, V), jnp.float32))
-        scratch.append(pltpu.VMEM((LM_SLOTS, t_lm, D), wdtype))
+        scratch.append(
+            pltpu.VMEM((LM_SLOTS, D // 128, t_lm, 128), wdtype) if wg
+            else pltpu.VMEM((LM_SLOTS, t_lm, D), wdtype))
 
     weights = [*wqkv_segs, *wo_segs, *w13_segs, *w2_segs] + (
         [lm_codes] if lm is not None else [])
@@ -1461,6 +1627,16 @@ def decode_stack_step(
             pltpu.SemaphoreType.DMA((5, max(max(STACK_SLOTS.values()),
                                 LM_SLOTS))),
         ] + ([
+            # g32 scale-tile rotating buffers (one per phase, + lm) and
+            # their own DMA semaphore set.
+            pltpu.VMEM((STACK_SLOTS[name], plan[name][2] // 32, 1,
+                        plan[name][0]), jnp.float32)
+            for name in ("qkv", "wo", "w13", "w2")
+        ] + ([pltpu.VMEM((LM_SLOTS, D // 32, 1, lm[1]), jnp.float32)]
+             if lm is not None else [])
+        + [pltpu.SemaphoreType.DMA((5, max(max(STACK_SLOTS.values()),
+                                           LM_SLOTS)))]
+        if wg else []) + ([
             pltpu.VMEM((2, B, n_kv, cache_chunk, head_dim), k_cache.dtype),
             pltpu.VMEM((2, B, n_kv, cache_chunk, head_dim), v_cache.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
@@ -1472,8 +1648,8 @@ def decode_stack_step(
     need = stack_vmem_need(B, S, D, n_heads, n_kv, head_dim, hidden,
                            lm[0] if lm is not None else None,
                            jnp.dtype(k_cache.dtype).itemsize,
-                           cache_chunk=cache_chunk, weight_itemsize=witem,
-                           spec=spec)
+                           cache_chunk=cache_chunk,
+                           weight_itemsize=plan_item, spec=spec)
     limit = max(64 * 2**20, min(STACK_VMEM_CAP, need))
     out = pl.pallas_call(
         kernel,
@@ -1511,7 +1687,7 @@ def supports_stack_kernel(lm_cfg, weight_itemsize: int = 1) -> bool:
     nkv = lm_cfg.n_kv_heads * lm_cfg.head_dim
     nqkv = nq + 2 * nkv
     segs = _stack_segs(nqkv, nq, nkv, lm_cfg.hidden_dim,
-                       weight_itemsize == 1)
+                       weight_itemsize < 2)
     return _stack_plan(lm_cfg.dim, nqkv, nq, lm_cfg.hidden_dim,
                        itemsize=weight_itemsize, segs=segs) is not None
 
@@ -1564,6 +1740,86 @@ def fuse_decode_weights(decoder_params: Params) -> Params:
     }
 
 
+def _g32_codes(codes) -> jax.Array:
+    """int8 codes [..., N, K] -> the g32 streaming layout
+    [..., SB, N, 128] (SB = K // 128)."""
+    c = jnp.asarray(codes)
+    *lead, n, k = c.shape
+    return jnp.swapaxes(c.reshape(*lead, n, k // 128, 128), -3, -2)
+
+
+def _g32_scales(scales) -> jax.Array:
+    """f16 group scales [..., N, K/32] -> the g32 streaming layout
+    [..., 4*SB, 1, N] f32, r-major: row r*SB + sb = scale of group
+    4*sb + r (lanes r*32..r*32+31 of superblock sb).  f16 -> f32 is
+    exact — the fused path keeps Q4_0's own scale precision."""
+    s = jnp.asarray(scales, jnp.float32)
+    *lead, n, g = s.shape
+    s4 = s.reshape(*lead, n, g // 4, 4)
+    axes = tuple(range(len(lead))) + tuple(
+        len(lead) + i for i in (2, 1, 0))  # [..., 4, SB, N]
+    return jnp.transpose(s4, axes).reshape(*lead, g, 1, n)
+
+
+def fuse_decode_weights_q4g(decoder_params: Params) -> Params:
+    """Prepare g32 (exact-Q4_0) fused stacks from q4 decoder params.
+
+    The unpacked q4 leaves ({"codes": int8 [L, N, K], "scales": f16
+    [L, N, K/32]}) ARE the exact group-32 int8 re-encoding of Q4_0
+    (codes = nibble - 8, scales = the on-disk f16 block scales —
+    reference /root/reference/src/gguf/tensor.rs:88-113), so the fused
+    decode path computes with the reference's exact weight numerics;
+    only the dynamic A8 activation quantization differs from the
+    reference's f32-activation WGSL kernels (shader.wgsl:90-124).
+
+    Returns the stacked HBM arrays for ``decode_stack_step``'s g32 mode:
+    wqkv/wo/w13/w2 as [L, SB, N, 128] int8 with scale stacks
+    [L, 4*SB, 1, N] f32, plus lm_codes/lm_scale when the token-embedding
+    table is q4 (the tied lm_head folds into the kernel).
+    """
+    lyr = decoder_params["layers"]
+    att, ffn = lyr["attention"], lyr["ffn"]
+
+    def parts(leaf):
+        q4 = leaf["q4"]
+        if "codes" not in q4:
+            raise ValueError(
+                "q4g fusing needs unpacked q4 leaves (codes + f16 scales);"
+                " packed codes carry bf16-rounded scales and stay per-op"
+                " (load with pack_nibbles=False)")
+        return q4["codes"], q4["scales"]
+
+    def gc(leaf):
+        return _g32_codes(parts(leaf)[0])
+
+    def gs(leaf):
+        return _g32_scales(parts(leaf)[1])
+
+    out = {
+        "wqkv": jnp.concatenate(
+            [gc(att["wq"]), gc(att["wk"]), gc(att["wv"])], axis=2),
+        "sqkv": jnp.concatenate(
+            [gs(att["wq"]), gs(att["wk"]), gs(att["wv"])], axis=3),
+        "wo": gc(att["wo"]), "so": gs(att["wo"]),
+        "w13": jnp.concatenate([gc(ffn["w1"]), gc(ffn["w3"])], axis=2),
+        "s13": jnp.concatenate([gs(ffn["w1"]), gs(ffn["w3"])], axis=3),
+        "w2": gc(ffn["w2"]), "s2": gs(ffn["w2"]),
+        "attn_norm": lyr["attention_norm"].astype(jnp.float32),
+        "ffn_norm": lyr["ffn_norm"].astype(jnp.float32),
+    }
+    emb = decoder_params.get("tok_embeddings")
+    if isinstance(emb, dict) and "q4" in emb and "codes" in emb["q4"]:
+        out["lm_codes"] = _g32_codes(emb["q4"]["codes"])
+        out["lm_scale"] = _g32_scales(emb["q4"]["scales"])
+    return out
+
+
+def q4g_geometry_ok(lm_cfg) -> bool:
+    """g32 mode needs every streamed contraction dim % 128 == 0."""
+    nq = lm_cfg.n_heads * lm_cfg.head_dim
+    return not (lm_cfg.dim % 128 or nq % 128 or lm_cfg.hidden_dim % 128)
+
+
 def supports_megakernel(decoder_params: Params, head_dim: int) -> bool:
     """The fused W8A8 kernel needs w8 layers and even head_dim."""
     return megakernel_mode(decoder_params, head_dim) == "w8"
@@ -1572,10 +1828,12 @@ def supports_megakernel(decoder_params: Params, head_dim: int) -> bool:
 def megakernel_mode(decoder_params: Params, head_dim: int):
     """Which stack-kernel weight mode this model supports.
 
-    Returns "w8" (rowwise-int8 leaves -> the 4.48 ms W8A8 path), "bf16"
-    (dense bf16/f32 leaves, or already nt-rewritten — the accuracy-hedge
-    dense path, ~2x the bytes/step), or None (q4 dicts / odd head_dim —
-    pair RoPE needs even lanes).
+    Returns "w8" (rowwise-int8 leaves -> the 4.48 ms W8A8 path), "q4g"
+    (unpacked q4 leaves -> the exact-Q4_0 group-32 path, +12.5% scale
+    bytes/step over w8), "bf16" (dense bf16/f32 leaves, or already
+    nt-rewritten — the accuracy-hedge dense path, ~2x the bytes/step),
+    or None (packed q4 dicts / odd head_dim — pair RoPE needs even
+    lanes).
     """
     if head_dim % 2:
         return None
@@ -1589,6 +1847,11 @@ def megakernel_mode(decoder_params: Params, head_dim: int):
             return "w8"
         if "nt" in wq and isinstance(w1, dict) and "nt" in w1:
             return "bf16"
+        if ("q4" in wq and isinstance(w1, dict) and "q4" in w1
+                and "codes" in wq["q4"] and "codes" in w1["q4"]
+                and wq["q4"]["codes"].shape[-1] % 128 == 0
+                and w1["q4"]["codes"].shape[-1] % 128 == 0):
+            return "q4g"
         return None
     if wq.dtype == jnp.bfloat16 and not isinstance(w1, dict):
         # f32 dense models keep the exact XLA path (the kernel computes

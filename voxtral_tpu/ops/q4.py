@@ -162,6 +162,38 @@ def _q4_matmul_blocked(x: jax.Array, codes: jax.Array, scales: jax.Array):
     )
 
 
+def q4g_matmul_a8(x: jax.Array, codes: jax.Array, scales: jax.Array):
+    """XLA reference of the stack kernel's g32 (exact-Q4_0 W, A8) math.
+
+    Per-row dynamic int8 activation quantization (the W8A8 path's
+    ``_quant`` formula), int32 group dots, f16-exact group scales in the
+    f32 epilogue — the fused kernel's ``_g32_matmul_tile`` computes the
+    same sums (tile/group association differences only).  Used by tests
+    and as the decode-path XLA fallback reference.
+
+    x: [..., K] float; codes: [N, K] int8 (nibble - 8); scales:
+    [N, K//32] f16 (the on-disk Q4_0 block scales,
+    /root/reference/src/gguf/tensor.rs:88-113).
+    """
+    n, k = codes.shape
+    nb = k // Q4_BLOCK
+    xf = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    sx = jnp.maximum(absmax, 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    z = jnp.einsum(
+        "...bk,nbk->...nb",
+        xq.reshape(*x.shape[:-1], nb, Q4_BLOCK),
+        codes.reshape(n, nb, Q4_BLOCK),
+        preferred_element_type=jnp.int32,
+    )
+    y = jnp.einsum(
+        "...nb,nb->...n", z.astype(jnp.float32),
+        scales.astype(jnp.float32), preferred_element_type=jnp.float32,
+    )
+    return y * sx
+
+
 def _q4_matmul_dequant(x: jax.Array, codes: jax.Array, scales: jax.Array):
     """Prefill path: dequantize into one big MXU contraction."""
     n, k = codes.shape

@@ -27,13 +27,17 @@ _LINEAR_KEYS = {
 }
 
 
-def _quantize_matrix(w_nk: np.ndarray) -> dict:
-    """[N, K] f32 -> q4 dict (packed when the Pallas kernel supports it)."""
+def _quantize_matrix(w_nk: np.ndarray, pack: bool = True) -> dict:
+    """[N, K] f32 -> q4 dict (packed when the Pallas kernel supports it).
+
+    ``pack=False`` keeps the unpacked {codes, f16 scales} form — the
+    exact group-32 re-encoding the g32 stack-kernel mode streams
+    (ops.decode_step_pallas.fuse_decode_weights_q4g)."""
     n, k = w_nk.shape
     if k % 32 != 0:
         return None  # not quantizable; keep dense
     q4 = repack_q4_0(quantize_q4_0(w_nk), (n, k))
-    if k % 256 == 0 and n % 128 == 0:
+    if pack and k % 256 == 0 and n % 128 == 0:
         q4 = {
             "codes_packed": pack_codes(q4["codes"]),
             "scales_t": transpose_scales(q4["scales"]),
@@ -176,12 +180,14 @@ def quantize_params_w8(params: Params, to_device: bool = True) -> Params:
     return result
 
 
-def random_q4_params(cfg, seed: int = 0, to_device: bool = True) -> Params:
+def random_q4_params(cfg, seed: int = 0, to_device: bool = True,
+                     pack: bool = True) -> Params:
     """Random production-shape Q4 params built ENTIRELY on the host.
 
     For benchmarks: avoids generating 9 GB of dense weights on device and
     hauling them to the host for quantization — only the packed arrays
-    (~2.2 GB) ever cross to the device.
+    (~2.2 GB) ever cross to the device.  ``pack=False`` keeps unpacked
+    {codes, f16 scales} leaves (the g32 fused-decode form).
     """
     import ml_dtypes
 
@@ -192,12 +198,14 @@ def random_q4_params(cfg, seed: int = 0, to_device: bool = True) -> Params:
 
     def rand_q4_stack(n_layers, n, k):
         """Stacked Q4 leaves without materializing f32 for all layers."""
-        qs = [_quantize_matrix(rng.normal(size=(n, k)).astype(np.float32) * 0.02)
+        qs = [_quantize_matrix(
+            rng.normal(size=(n, k)).astype(np.float32) * 0.02, pack=pack)
               for _ in range(n_layers)]
         return {"q4": {kk: np.stack([q["q4"][kk] for q in qs]) for kk in qs[0]["q4"]}}
 
     def rand_q4(n, k):
-        return _quantize_matrix(rng.normal(size=(n, k)).astype(np.float32) * 0.02)
+        return _quantize_matrix(
+            rng.normal(size=(n, k)).astype(np.float32) * 0.02, pack=pack)
 
     def rand_dense(*shape):
         return (rng.normal(size=shape).astype(np.float32) * 0.02).astype(bf16)
@@ -270,11 +278,13 @@ def random_q4_params(cfg, seed: int = 0, to_device: bool = True) -> Params:
     return params
 
 
-def quantize_params_q4(params: Params, to_device: bool = True) -> Params:
+def quantize_params_q4(params: Params, to_device: bool = True,
+                       pack: bool = True) -> Params:
     """Quantize attention/FFN/ADA/adapter linears + tok_embeddings to Q4_0.
 
     Norms, biases and the conv downsampler stay dense, mirroring the GGUF
-    export (reference gguf/loader.rs:263-275).
+    export (reference gguf/loader.rs:263-275).  ``pack=False`` keeps the
+    unpacked g32 form for the exact-Q4_0 fused decode path.
     """
 
     def walk(node, parent_key: str):
@@ -286,7 +296,7 @@ def quantize_params_q4(params: Params, to_device: bool = True) -> Params:
                 out[key] = walk(val, key)
             elif key == "tok_embeddings":
                 w = np.asarray(val, dtype=np.float32)  # [V, D] — K = D
-                q = _quantize_matrix(w)
+                q = _quantize_matrix(w, pack=pack)
                 out[key] = q if q is not None else val
             elif (
                 key in _LINEAR_KEYS.get(parent_key, set())
@@ -294,7 +304,8 @@ def quantize_params_q4(params: Params, to_device: bool = True) -> Params:
             ) and getattr(val, "ndim", 0) >= 2:
                 w = np.asarray(val, dtype=np.float32)
                 if w.ndim == 3:  # stacked layers [L, in, out]
-                    qs = [_quantize_matrix(w[i].T) for i in range(w.shape[0])]
+                    qs = [_quantize_matrix(w[i].T, pack=pack)
+                          for i in range(w.shape[0])]
                     if any(q is None for q in qs):
                         out[key] = val
                     else:
@@ -305,7 +316,7 @@ def quantize_params_q4(params: Params, to_device: bool = True) -> Params:
                             }
                         }
                 else:  # [in, out]
-                    q = _quantize_matrix(w.T)
+                    q = _quantize_matrix(w.T, pack=pack)
                     out[key] = q if q is not None else val
             else:
                 out[key] = val
