@@ -38,9 +38,7 @@ def main() -> None:
 
     from voxtral_tpu.audio import (
         AudioBuffer,
-        ChunkConfig,
         MelSpectrogram,
-        PadConfig,
         chunk_audio,
         pad_audio,
     )
@@ -54,7 +52,28 @@ def main() -> None:
 
     cfg = VoxtralConfig.voxtral()
     t0 = time.time()
-    model = VoxtralModel(random_w8_params(cfg), cfg)
+    # Generating + quantizing ~4.7 GB of random production-shape weights
+    # on the host costs minutes; the params cache (VOXTRAL_PARAMS_CACHE,
+    # loaders/param_cache.py) makes reruns warm — same machinery as the
+    # CLI/serving --params-cache flag.
+    import os
+
+    cache_dir = os.environ.get(
+        "VOXTRAL_PARAMS_CACHE",
+        os.path.expanduser("~/.cache/voxtral_tpu/params"))
+    if cache_dir and cache_dir != "0":
+        from voxtral_tpu.loaders.param_cache import (
+            cache_entry_key,
+            load_or_build_at,
+        )
+
+        params = load_or_build_at(
+            cache_entry_key(cache_dir, "bench-random-w8",
+                            f"random_w8:{cfg.to_params_json()}"),
+            lambda: random_w8_params(cfg, to_device=False))
+    else:
+        params = random_w8_params(cfg)
+    model = VoxtralModel(params, cfg)
     jax.block_until_ready(model.params)
     print(f"# model init (w8): {time.time()-t0:.1f}s", file=sys.stderr)
 

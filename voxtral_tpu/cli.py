@@ -74,9 +74,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="params.json overriding the architecture (with --random-weights)",
     )
     p.add_argument(
-        "--weight-format", choices=["q4", "w8"], default="w8",
-        help="GGUF path: keep int4 (min HBM) or requantize to rowwise "
-        "int8 at load (fastest decode on v5e; default)",
+        "--weight-format", choices=["q4", "q4g", "w8"], default="w8",
+        help="GGUF path: q4 keeps int4 (min HBM, per-op kernels); q4g "
+        "keeps exact Q4_0 numerics on the fused stack kernel (codes + "
+        "f16 group scales, +12.5%% HBM bytes/step vs w8); w8 requantizes "
+        "to rowwise int8 at load (fastest decode on v5e; default)",
     )
     p.add_argument(
         "--platform", choices=["default", "cpu", "tpu"], default="default",
@@ -100,6 +102,13 @@ def build_parser() -> argparse.ArgumentParser:
         "{file, text, words:[{word, start, end}]}), derived from the "
         "model's [STREAMING_WORD] markers (1 decoder position = 160 ms, "
         "delay-corrected).  Beyond reference parity",
+    )
+    p.add_argument(
+        "--params-cache", metavar="DIR",
+        help="Directory caching converted/quantized weight pytrees: the "
+        "first load pays GGUF repack / w8 requantization and saves the "
+        "device-format tree; later runs memmap-restore it (the reference's "
+        "staged-load role, gguf/loader.rs:130-188)",
     )
     p.add_argument("-v", "--verbose", action="store_true")
     return p
@@ -226,6 +235,7 @@ def main(argv: list[str] | None = None) -> int:
             pipeline = TranscribePipeline.from_gguf(
                 args.gguf, args.tokenizer, pcfg, config=cfg,
                 weight_format=args.weight_format, mesh=mesh,
+                params_cache=args.params_cache,
             )
         except (ValueError, EOFError, KeyError) as e:
             print(f"error: failed to load GGUF model: {e}", file=sys.stderr)
@@ -240,7 +250,8 @@ def main(argv: list[str] | None = None) -> int:
             )
             return 2
         pipeline = TranscribePipeline.from_model_dir(
-            model_dir, args.dtype, pcfg, mesh=mesh)
+            model_dir, args.dtype, pcfg, mesh=mesh,
+            params_cache=args.params_cache)
 
     if args.batch_files > 0:
         missing = [p for p in audio_paths if not Path(p).exists()]

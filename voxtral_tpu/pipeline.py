@@ -107,11 +107,15 @@ class TranscribePipeline:
         dtype: str = "bfloat16",
         pipeline_config: Optional[PipelineConfig] = None,
         mesh=None,
+        params_cache: Optional[str | Path] = None,
     ) -> "TranscribePipeline":
         """SafeTensors path: dir with consolidated.safetensors, params.json,
         tekken.json.  dtype: "bfloat16" | "float32" | "w8" (rowwise-int8
         requantized at load — the fast decode path without a GGUF step).
-        ``mesh``: optional device mesh for TP/DP (CLI ``--tp/--dp``)."""
+        ``mesh``: optional device mesh for TP/DP (CLI ``--tp/--dp``).
+        ``params_cache``: directory caching the CONVERTED pytree so warm
+        restarts skip the w8 requantization (``--params-cache``); dense
+        dtypes load via memmap already and bypass the cache."""
         from voxtral_tpu.loaders.safetensors_loader import load_voxtral_params
 
         model_dir = Path(model_dir)
@@ -120,11 +124,24 @@ class TranscribePipeline:
         if dtype == "w8":
             from voxtral_tpu.utils.quantize import quantize_params_w8
 
-            dense = load_voxtral_params(
-                model_dir / "consolidated.safetensors", cfg,
-                dtype="float32", to_device=False,
-            )
-            params = quantize_params_w8(dense)
+            def build():
+                dense = load_voxtral_params(
+                    model_dir / "consolidated.safetensors", cfg,
+                    dtype="float32", to_device=False,
+                )
+                return quantize_params_w8(dense, to_device=False)
+
+            if params_cache:
+                from voxtral_tpu.loaders.param_cache import load_or_build
+
+                params = load_or_build(
+                    params_cache, model_dir / "consolidated.safetensors",
+                    "w8", build)
+            else:
+                import jax
+                import jax.numpy as jnp
+
+                params = jax.tree_util.tree_map(jnp.asarray, build())
         else:
             params = load_voxtral_params(
                 model_dir / "consolidated.safetensors", cfg, dtype=dtype
@@ -144,14 +161,18 @@ class TranscribePipeline:
         config: Optional[VoxtralConfig] = None,
         weight_format: str = "q4",
         mesh=None,
+        params_cache: Optional[str | Path] = None,
     ) -> "TranscribePipeline":
         """Q4_0 GGUF path.
 
         Architecture config: explicit ``config`` > a ``params.json`` next to
         the GGUF file > production defaults (the reference hardcodes the
-        defaults, gguf/loader.rs).
+        defaults, gguf/loader.rs).  ``params_cache``: directory caching the
+        repacked/requantized pytree so warm restarts skip the conversion
+        (``--params-cache``).
         """
-        from voxtral_tpu.loaders.gguf_loader import load_q4_model
+        from voxtral_tpu.loaders.gguf_loader import Q4ModelLoader
+        from voxtral_tpu.models.voxtral import VoxtralModel
 
         gguf_path = Path(gguf_path)
         if config is None:
@@ -160,9 +181,27 @@ class TranscribePipeline:
                 config = VoxtralConfig.from_file(sidecar)
                 log.info("using architecture config from %s", sidecar)
         t0 = time.time()
-        model = load_q4_model(gguf_path, config, weight_format=weight_format,
-                              mesh=mesh)
-        log.info("loaded GGUF Q4 weights in %.1fs", time.time() - t0)
+        if params_cache:
+            from voxtral_tpu.loaders.param_cache import load_or_build
+
+            loader = [None]
+
+            def build():
+                loader[0] = Q4ModelLoader.from_file(
+                    gguf_path, cfg=config, weight_format=weight_format)
+                return loader[0].load(to_device=False)
+
+            params = load_or_build(
+                params_cache, gguf_path, weight_format, build)
+            cfg = loader[0].cfg if loader[0] else (
+                config or VoxtralConfig.voxtral())
+            model = VoxtralModel(params, cfg, mesh=mesh)
+        else:
+            loader = Q4ModelLoader.from_file(
+                gguf_path, cfg=config, weight_format=weight_format)
+            model = VoxtralModel(loader.load(), loader.cfg, mesh=mesh)
+        log.info("loaded GGUF Q4 weights (%s) in %.1fs", weight_format,
+                 time.time() - t0)
         tokenizer = VoxtralTokenizer.from_file(tokenizer_path)
         return cls(model, tokenizer, pipeline_config)
 
@@ -343,19 +382,35 @@ class TranscribePipeline:
         self, paths: list, batch_size: int = 8
     ) -> list[str]:
         """Batched multi-file transcription — the WER harness's batch/DP
-        seam (SURVEY.md §2.6 "DP (batch WER eval)").
+        seam (SURVEY.md §2.6 "DP (batch WER eval)").  File-loading front
+        of :meth:`transcribe_samples_batched`.
+        """
+        audios = [load_wav(p) for p in paths]
+        return self.transcribe_samples_batched(
+            [(a.samples, a.sample_rate) for a in audios],
+            batch_size=batch_size)
+
+    def transcribe_samples_batched(
+        self, buffers: list, batch_size: int = 8
+    ) -> list[str]:
+        """Batched multi-utterance transcription over raw sample buffers
+        (``buffers``: list of ``(samples, sample_rate)``).
 
         Decode streams the same weights regardless of batch, so grouping
-        same-padded-length utterances from DIFFERENT files into one
-        on-device scan cuts eval wall-time nearly ``batch_size``-fold
-        (measured 1304 tok/s aggregate at B=8 vs 220 solo).  Files longer
-        than one chunk fall back to :meth:`transcribe_samples`.  Under a
-        ``--dp`` mesh the batch rows shard over the data axis.
+        same-padded-length utterances from DIFFERENT requests into one
+        on-device scan cuts wall-time nearly ``batch_size``-fold
+        (measured 1304 tok/s aggregate at B=8 vs 220 solo; one extra
+        batch row costs ~0.07 ms/step).  Serving coalesces concurrent
+        /transcribe POSTs through this (the batched-serving role of
+        /root/reference/serve.mjs:41-104 + e2e_bench.rs batch
+        semantics).  Buffers longer than one chunk fall back to
+        :meth:`transcribe_samples`.  Under a ``--dp`` mesh the batch
+        rows shard over the data axis.
         """
-        results: list[Optional[str]] = [None] * len(paths)
+        results: list[Optional[str]] = [None] * len(buffers)
         singles: list[tuple[int, AudioBuffer]] = []
-        for i, p in enumerate(paths):
-            audio = load_wav(p)
+        for i, (samples, rate) in enumerate(buffers):
+            audio = AudioBuffer(np.asarray(samples, np.float32), rate)
             if audio.sample_rate != 16000:
                 audio = resample_to_16k(audio)
             if self.pcfg.peak_normalize is not None:
