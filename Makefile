@@ -12,6 +12,10 @@ test-fast:
 
 lint:
 	$(PY) -m compileall -q voxtral_tpu benches scripts
+	$(PY) scripts/lint.py
+	@command -v ruff >/dev/null 2>&1 \
+	    && ruff check --select F,E9 voxtral_tpu benches scripts tests \
+	    || echo "ruff not installed; ran scripts/lint.py only (CI runs ruff)"
 
 # Headline driver benchmark (one JSON line; runs on the default backend).
 bench:

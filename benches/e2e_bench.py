@@ -90,7 +90,7 @@ def main() -> int:
         pad_audio,
     )
     from voxtral_tpu.config import VoxtralConfig
-    from voxtral_tpu.models.voxtral import VoxtralModel, encode_audio_fn
+    from voxtral_tpu.models.voxtral import VoxtralModel
 
     t0 = time.time()
     if args.model:

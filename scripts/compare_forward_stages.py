@@ -189,7 +189,7 @@ def jax_stages(model_dir: Path, mel: np.ndarray, delay: float):
         embed_tokens,
         lm_head,
     )
-    from voxtral_tpu.models.encoder import encoder_forward, encoder_spec
+    from voxtral_tpu.models.encoder import encoder_forward
     from voxtral_tpu.models.layers import (
         conv_downsample,
         decoder_block,

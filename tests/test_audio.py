@@ -245,8 +245,9 @@ def _mel_db(samples: np.ndarray) -> np.ndarray:
     return np.asarray(MelSpectrogram.voxtral().compute_log(samples))
 
 
+@pytest.mark.parametrize("kind", ["chirp", "speech_noise"])
 @pytest.mark.parametrize("src_rate", [44100, 48000, 22050])
-def test_resampler_parity_vs_fft(src_rate):
+def test_resampler_parity_vs_fft(src_rate, kind):
     """Polyphase resampler vs a high-quality FFT reference on a chirp.
 
     The reference uses rubato's FFT resampler (src/audio/resample.rs:11-30);
@@ -265,7 +266,19 @@ def test_resampler_parity_vs_fft(src_rate):
     # stays below the new Nyquist (8 kHz) so both anti-alias filters are
     # compared in their passband.
     f0, f1 = 100.0, 7600.0
-    sig = (0.5 * np.sin(2 * np.pi * (f0 + (f1 - f0) / (2 * dur) * t) * t))
+    if kind == "chirp":
+        sig = (0.5 * np.sin(2 * np.pi * (f0 + (f1 - f0) / (2 * dur) * t)
+                            * t))
+    else:
+        # Speech-shaped noise: low-passed noise with 4 Hz amplitude
+        # modulation (broadband content through the mel bank, unlike the
+        # single-line chirp).
+        rng = np.random.default_rng(13)
+        n = rng.standard_normal(t.size)
+        k = np.hanning(int(src_rate / 16000 * 65) | 1)
+        n = np.convolve(n, k / k.sum(), mode="same")
+        sig = 0.5 * n / max(1e-9, np.abs(n).max()) * (
+            0.6 + 0.4 * np.sin(2 * np.pi * 4.0 * t))
     sig = sig.astype(np.float32)
 
     ours = resample_to_16k(AudioBuffer(sig, src_rate)).samples

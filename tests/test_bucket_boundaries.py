@@ -13,7 +13,7 @@ import jax.numpy as jnp
 
 from tests.test_model import tiny_config
 from voxtral_tpu.audio import AudioBuffer
-from voxtral_tpu.models.voxtral import PREFIX_LEN, VoxtralModel
+from voxtral_tpu.models.voxtral import VoxtralModel
 from voxtral_tpu.pipeline import (
     SAMPLES_PER_POSITION,
     PipelineConfig,

@@ -1,7 +1,5 @@
 """CLI tests: flag contract, error paths, end-to-end with random tiny weights."""
 
-import subprocess
-import sys
 from pathlib import Path
 
 import numpy as np

@@ -2,7 +2,6 @@
 very short audio, empty-ish audio."""
 
 import numpy as np
-import pytest
 
 from pathlib import Path
 

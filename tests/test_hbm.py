@@ -9,7 +9,6 @@ testable on the CPU backend (where no budget applies by default).
 import json
 import threading
 
-import numpy as np
 import pytest
 
 import jax

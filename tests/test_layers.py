@@ -14,7 +14,6 @@ import jax.numpy as jnp
 
 from voxtral_tpu.models.layers import (
     AttentionSpec,
-    KVCache,
     ada_modulate,
     apply_rope,
     attention,

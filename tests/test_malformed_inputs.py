@@ -15,7 +15,6 @@ import pytest
 
 from voxtral_tpu.loaders.gguf import (
     GGML_F32,
-    GGUF_MAGIC,
     GgufReader,
     write_gguf,
 )

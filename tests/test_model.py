@@ -18,7 +18,6 @@ from voxtral_tpu.models.voxtral import (
     PREFIX_LEN,
     VoxtralModel,
     make_prefix_ids,
-    transcribe_streaming_fn,
 )
 
 
@@ -117,7 +116,7 @@ def test_transcribe_batch_matches_single(tiny_model):
 def test_transcribe_matches_naive_loop(tiny_model):
     """The scanned on-device loop must match a step-by-step host loop built
     from the cache-free full forward (greedy feedback equivalence)."""
-    from voxtral_tpu.models.voxtral import encode_audio_fn, forward_streaming_fn
+    from voxtral_tpu.models.voxtral import encode_audio_fn
 
     cfg = tiny_model.config
     mel = jax.random.normal(jax.random.PRNGKey(2), (1, 128, 41 * 16), jnp.float32) * 0.3

@@ -8,7 +8,6 @@ the fused frontend is token- and text-identical to the host-mel path
 """
 
 import numpy as np
-import pytest
 
 from voxtral_tpu.audio import AudioBuffer, MelSpectrogram, PadConfig, pad_audio
 from voxtral_tpu.audio.mel import mel_log_jax_batch

@@ -34,7 +34,6 @@ from voxtral_tpu.ops.q4_pallas import (
     pallas_supported,
     q4_matmul_pallas,
     q4_packed_dequant_full,
-    q4_packed_dequant_rows,
     transpose_scales,
     unpack_codes,
 )

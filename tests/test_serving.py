@@ -56,7 +56,6 @@ def test_index_page(server):
 
 
 def test_transcribe_wav(server):
-    from voxtral_tpu.audio import AudioBuffer
     from scipy.io import wavfile
 
     t = np.arange(32000) / 16000.0
@@ -379,3 +378,54 @@ def test_body_cap_closes_connection(server, monkeypatch):
     assert (resp.getheader("Connection") or "").lower() == "close"
     assert resp.will_close  # the client will not reuse this socket
     conn.close()
+
+
+def test_transcribe_coalesces_concurrent_posts(server):
+    """N concurrent whole-file POSTs must be served by ONE batched
+    decode (transcribe_samples_batched) — the serving analogue of the
+    reference's batch semantics (serve.mjs:41-104, e2e_bench.rs).
+    Asserts the observable contract: concurrent posts all succeed,
+    identical audio yields identical transcripts, and the coalesced
+    counter surfaces in /metrics."""
+    import http.client
+
+    samples = (np.random.default_rng(3).normal(size=16000) * 0.2
+               ).astype(np.float32)
+    results = [None] * 4
+    errors = []
+
+    def post(i):
+        try:
+            conn = http.client.HTTPConnection(*server, timeout=300)
+            conn.request("POST", "/transcribe_pcm?rate=16000",
+                         body=samples.tobytes())
+            resp = conn.getresponse()
+            results[i] = (resp.status, json.loads(resp.read()))
+            conn.close()
+        except Exception as e:  # pragma: no cover - surfaced below
+            errors.append(e)
+
+    threads = [threading.Thread(target=post, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    texts = set()
+    for status, payload in results:
+        assert status == 200
+        assert "text" in payload
+        texts.add(payload["text"])
+    assert len(texts) == 1  # identical audio -> identical transcript
+
+    status, data = request(server, "GET", "/metrics")
+    assert status == 200
+    body = data.decode()
+    # At least one group of >= 2 requests shared a batched decode.
+    for line in body.splitlines():
+        if line.startswith("voxtral_transcribe_coalesced_total"):
+            assert float(line.split()[-1]) >= 2
+            break
+    else:
+        raise AssertionError(
+            f"coalesced counter missing from /metrics:\n{body}")

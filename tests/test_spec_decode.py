@@ -20,7 +20,6 @@ from tests.test_decode_megakernel import (
     B,
     D,
     HEAD_DIM,
-    HIDDEN,
     EPS,
     L,
     N_HEADS,
@@ -427,6 +426,81 @@ def test_pool_speculative_guards(monkeypatch):
     with pytest.raises(ValueError, match="fused"):
         StreamPool(plain, max_streams=2, step_positions=8,
                    max_duration_s=30, speculative=4)
+
+
+def test_streaming_ngram_token_identity_and_acceptance(monkeypatch):
+    """The ngram draft policy is token-identical to the sequential
+    session (exactness is draft-independent) AND accepts strictly more
+    than the pad policy on this model: random weights make the silence
+    token arbitrary (!= [STREAMING_PAD]), so pad drafts accept ~nothing
+    while the bigram table learns the cycle after one pass."""
+    from voxtral_tpu.streaming import StreamingSession
+
+    model, audio = _spec_env(monkeypatch)
+    ref = StreamingSession(model, step_positions=8, max_duration_s=30)
+    ref.feed(audio)
+    ref.finish()
+
+    def run(draft):
+        s = StreamingSession(model, step_positions=8, max_duration_s=30,
+                             speculative=4, draft=draft)
+        s.feed(audio)
+        s.finish()
+        return s.tokens, s.spec_metrics()
+
+    toks_pad, m_pad = run("pad")
+    toks_ng, m_ng = run("ngram")
+    assert toks_pad == ref.tokens
+    assert toks_ng == ref.tokens
+    # Both ran the same positions; better acceptance = fewer passes.
+    assert m_ng["passes"] < m_pad["passes"], (m_ng, m_pad)
+    assert m_ng["tokens_per_pass"] > m_pad["tokens_per_pass"]
+    # Counters are consistent: accepted rows == decoded positions.
+    assert m_ng["accepted_rows"] == m_pad["accepted_rows"]
+
+
+def test_pool_ngram_matches_sequential_pool(monkeypatch):
+    """ngram-drafted int8 spec pool == sequential int8 pool tokens, with
+    the shared table improving pool acceptance over pad drafts."""
+    from voxtral_tpu.streaming import StreamingSession, StreamPool
+
+    model, audio_a = _spec_env(monkeypatch)
+    rng = np.random.default_rng(31)
+    audio_b = np.concatenate([
+        rng.normal(size=16000 * 2).astype(np.float32) * 0.3,
+        np.zeros(16000 * 2, np.float32)])
+
+    def run(spec, draft="pad"):
+        pool = StreamPool(model, max_streams=2, step_positions=8,
+                          max_duration_s=30, speculative=spec,
+                          kv_dtype="int8", draft=draft)
+        a = StreamingSession(model, step_positions=8, pool=pool)
+        b = StreamingSession(model, step_positions=8, pool=pool)
+        a.feed(audio_a)
+        b.feed(audio_b)
+        a.finish()
+        b.finish()
+        return a.tokens, b.tokens, pool.spec_metrics()
+
+    ref_a, ref_b, _ = run(0)
+    ng_a, ng_b, m_ng = run(4, "ngram")
+    assert ng_a == ref_a
+    assert ng_b == ref_b
+    pad_a, pad_b, m_pad = run(4, "pad")
+    assert pad_a == ref_a
+    assert m_ng["passes"] < m_pad["passes"], (m_ng, m_pad)
+
+
+def test_draft_policy_guard(monkeypatch):
+    from voxtral_tpu.streaming import StreamingSession, StreamPool
+
+    model, _ = _spec_env(monkeypatch)
+    with pytest.raises(ValueError, match="pad|ngram"):
+        StreamingSession(model, step_positions=8, speculative=2,
+                         draft="markov")
+    with pytest.raises(ValueError, match="pad|ngram"):
+        StreamPool(model, max_streams=2, step_positions=8,
+                   max_duration_s=30, speculative=2, draft="markov")
 
 
 def test_speculative_bf16_weights(monkeypatch):

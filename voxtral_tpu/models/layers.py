@@ -31,8 +31,6 @@ Reference parity notes:
 from __future__ import annotations
 
 import dataclasses
-import math
-from functools import partial
 from typing import Any, Optional
 
 import jax

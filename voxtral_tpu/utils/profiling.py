@@ -13,7 +13,7 @@ from __future__ import annotations
 import contextlib
 import logging
 import time
-from typing import Iterator, Optional
+from typing import Iterator
 
 log = logging.getLogger("voxtral_tpu.profiling")
 
