@@ -49,10 +49,11 @@ class _State:
     def __init__(self, pipeline: TranscribePipeline, step_positions: int = 8,
                  pool_streams: int = 0, pool_unbounded: bool = False,
                  pool_kv: str = "auto", state_dir: Optional[str] = None,
-                 speculative: int = 0):
+                 speculative: int = 0, draft: str = "pad"):
         self.pipeline = pipeline
         self.step_positions = step_positions
         self.speculative = speculative
+        self.draft = draft
         self.state_dir = Path(state_dir) if state_dir else None
         self.lock = threading.Lock()
         self.sessions: dict[str, object] = {}
@@ -85,6 +86,14 @@ class _State:
                    "currently open streaming sessions")
         m.describe("voxtral_pool_free_slots", "gauge",
                    "free StreamPool slots (absent if pooling is off)")
+        m.describe("voxtral_transcribe_coalesced_total", "counter",
+                   "whole-file requests served by a shared batched decode")
+        m.describe("voxtral_spec_passes_total", "gauge",
+                   "speculative verification passes (device-accumulated)")
+        m.describe("voxtral_spec_accepted_rows_total", "gauge",
+                   "verify rows accepted across speculative passes")
+        m.describe("voxtral_spec_tokens_per_pass", "gauge",
+                   "accepted rows / passes (K = upper bound per slot)")
 
         # Optional StreamPool: concurrent sessions share one BATCHED decode
         # step (HBM-bound weights are streamed once for all of them).  A
@@ -93,6 +102,13 @@ class _State:
         self._pump_cv = threading.Condition()
         self._feed_pending = False
         self._pump_seq = 0
+        # Whole-file /transcribe coalescing: concurrent POSTs elect a
+        # leader that waits COALESCE_S, then runs ONE batched decode for
+        # the whole group (transcribe_samples_batched — an extra batch
+        # row costs ~0.07 ms/step vs the full weight stream per file).
+        self._batch_cv = threading.Condition()
+        self._batch_queue: list[dict] = []
+        self._batch_leader = False
         if pool_streams > 0:
             from voxtral_tpu.streaming import StreamPool
 
@@ -103,9 +119,53 @@ class _State:
                 unbounded=pool_unbounded,
                 kv_dtype=pool_kv,
                 speculative=speculative,
+                draft=draft,
             )
             threading.Thread(target=self._pump_loop, daemon=True).start()
         self._restore_drained()
+
+    def transcribe_coalesced(self, samples, rate) -> str:
+        """Leader-elected request coalescing for concurrent whole-file
+        POSTs: the first thread in an empty window becomes the leader,
+        sleeps ``COALESCE_S`` to let concurrent uploads join, then runs
+        one ``transcribe_samples_batched`` for the group under the model
+        lock; followers just wait on their event.  A lone request pays
+        only the window (20 ms, ~3% of a 16 s transcribe)."""
+        import time as _time
+
+        req = {"samples": samples, "rate": rate,
+               "event": threading.Event(), "result": None, "error": None}
+        with self._batch_cv:
+            self._batch_queue.append(req)
+            leader = not self._batch_leader
+            if leader:
+                self._batch_leader = True
+        if leader:
+            _time.sleep(self.COALESCE_S)
+            with self._batch_cv:
+                batch = self._batch_queue
+                self._batch_queue = []
+                self._batch_leader = False
+            try:
+                with self.lock, Timer(self.metrics,
+                                      "voxtral_transcribe_seconds"):
+                    texts = self.pipeline.transcribe_samples_batched(
+                        [(r["samples"], r["rate"]) for r in batch])
+                for r, t in zip(batch, texts):
+                    r["result"] = t
+                if len(batch) > 1:
+                    self.metrics.inc("voxtral_transcribe_coalesced_total",
+                                     len(batch))
+            except Exception as e:
+                for r in batch:
+                    r["error"] = e
+            finally:
+                for r in batch:
+                    r["event"].set()
+        req["event"].wait()
+        if req["error"] is not None:
+            raise req["error"]
+        return req["result"]
 
     # -- drain / restore -----------------------------------------------------
 
@@ -231,6 +291,7 @@ def _new_session(state: _State):
         # Pooled sessions decode via the pool (which carries its own
         # speculative config); solo fallbacks get the session flag.
         speculative=(state.speculative if pool is None else 0),
+        draft=state.draft,
     )
 
 
@@ -309,6 +370,13 @@ class _Handler(BaseHTTPRequestHandler):
             m.set("voxtral_sessions_active", len(state.sessions))
             if state.pool is not None:
                 m.set("voxtral_pool_free_slots", state.pool.free_slots)
+                spec = state.pool.spec_metrics()
+                if spec is not None:
+                    m.set("voxtral_spec_passes_total", spec["passes"])
+                    m.set("voxtral_spec_accepted_rows_total",
+                          spec["accepted_rows"])
+                    m.set("voxtral_spec_tokens_per_pass",
+                          spec["tokens_per_pass"])
             body = m.render().encode()
             self.send_response(200)
             self.send_header("Content-Type",
@@ -521,14 +589,16 @@ class _Handler(BaseHTTPRequestHandler):
         the model's [STREAMING_WORD] markers."""
         timestamps = self._want_timestamps()
         t0 = time.time()
-        with self.state.lock, Timer(self.state.metrics,
-                                    "voxtral_transcribe_seconds"):
-            if timestamps:
+        if timestamps:
+            with self.state.lock, Timer(self.state.metrics,
+                                        "voxtral_transcribe_seconds"):
                 result = self.state.pipeline.transcribe_samples_words(
                     samples, rate)
-            else:
-                result = {"text": self.state.pipeline.transcribe_samples(
-                    samples, rate)}
+        else:
+            # Concurrent whole-file POSTs coalesce into ONE batched
+            # decode (weights stream once for the group).
+            result = {"text": self.state.transcribe_coalesced(
+                samples, rate)}
         self.state.metrics.inc("voxtral_audio_seconds_total",
                                len(samples) / rate, path="batch")
         self._json(200, {
@@ -548,6 +618,7 @@ def make_server(
     pool_kv: str = "auto",
     state_dir: Optional[str] = None,
     speculative: int = 0,
+    draft: str = "pad",
 ) -> VoxtralHTTPServer:
     """``state_dir`` enables drain/restore: :meth:`VoxtralHTTPServer.
     drain` snapshots live streaming sessions there on shutdown, and the
@@ -556,7 +627,7 @@ def make_server(
     return VoxtralHTTPServer(
         (host, port),
         _State(pipeline, step_positions, pool_streams, pool_unbounded,
-               pool_kv, state_dir, speculative),
+               pool_kv, state_dir, speculative, draft),
     )
 
 
@@ -598,6 +669,21 @@ def main(argv: Optional[list[str]] = None) -> int:
                     help="drain live streaming sessions here on "
                     "SIGTERM/SIGINT and resume any found at startup "
                     "(graceful restart without dropping streams)")
+    ap.add_argument("--draft-policy", choices=["pad", "ngram"],
+                    default="ngram",
+                    help="speculative draft source: ngram = device-"
+                    "resident bigram table trained by every verification "
+                    "pass (covers silence AND repetition in speech; "
+                    "degenerates to pad while untrained); pad = static "
+                    "[STREAMING_PAD] drafts (silence only)")
+    ap.add_argument("--weight-format", choices=["q4", "q4g", "w8"],
+                    default="w8",
+                    help="GGUF weights: w8 (rowwise int8, fastest), q4g "
+                    "(exact Q4_0 numerics on the fused kernel), q4 "
+                    "(per-op int4, min HBM)")
+    ap.add_argument("--params-cache", metavar="DIR",
+                    help="cache converted/quantized weight pytrees so "
+                    "serving restarts skip GGUF repack / w8 requant")
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO, stream=sys.stderr)
@@ -637,10 +723,13 @@ def main(argv: Optional[list[str]] = None) -> int:
         if not args.tokenizer:
             print("error: --gguf requires --tokenizer", file=sys.stderr)
             return 2
-        pipeline = TranscribePipeline.from_gguf(args.gguf, args.tokenizer,
-                                                mesh=mesh)
+        pipeline = TranscribePipeline.from_gguf(
+            args.gguf, args.tokenizer, mesh=mesh,
+            weight_format=args.weight_format,
+            params_cache=args.params_cache)
     elif args.model:
-        pipeline = TranscribePipeline.from_model_dir(args.model, mesh=mesh)
+        pipeline = TranscribePipeline.from_model_dir(
+            args.model, mesh=mesh, params_cache=args.params_cache)
     else:
         print("error: need --model, --gguf or --random-weights", file=sys.stderr)
         return 2
@@ -650,7 +739,8 @@ def main(argv: Optional[list[str]] = None) -> int:
                          pool_unbounded=args.pool_unbounded,
                          pool_kv=args.pool_kv,
                          state_dir=args.state_dir,
-                         speculative=args.speculative)
+                         speculative=args.speculative,
+                         draft=args.draft_policy)
     log.info("serving on http://%s:%d", args.host, args.port)
     if args.state_dir:
         import signal

@@ -67,6 +67,27 @@ def _mel_frames_needed(last_frame: int) -> int:
     return MEL_HOP * (last_frame - 1) + 200 + MEL_HOP
 
 
+def _ngram_table_init(vocab: int, draft_token: int = STREAMING_PAD):
+    """Device-resident bigram draft table for speculative decode: entry t
+    = the most recently VERIFIED continuation of token t, initialized to
+    the [STREAMING_PAD] fallback (so an untrained table degenerates to
+    the pad policy).  512 KB at the production vocab — lives in HBM and
+    updates inside the jitted step (a host-side n-gram table would force
+    a sync per verification pass; the table makes drafting a chain of
+    K-1 device gathers instead).  Beyond reference parity (the
+    reference has no speculative decode)."""
+    return jnp.full((vocab,), draft_token, jnp.int32)
+
+
+def _ngram_drafts(table, prev, K: int):
+    """Chained bigram drafts: d0 = prev, d_{j+1} = table[d_j].
+    ``prev`` [] or [B] -> drafts [K] or [B, K] (leading axis preserved)."""
+    d = [prev]
+    for _ in range(K - 1):
+        d.append(table[d[-1]])
+    return jnp.stack(d, axis=-1)
+
+
 def _decode_scan(params, audio_inputs, prev_token, dec_cache, t_embed, cfg,
                  rope, dec_base=0, ring=None):
     """Greedy-decode len(audio_inputs) tokens with the decoder cache.
@@ -204,7 +225,8 @@ def _stream_step_fused_fn(params, fused_w, ada_vecs, mel_win, prev_token,
         enc_ring,
     )  # [1, P, D]
     inputs = jnp.concatenate([prev_audio, audio[:, :-1, :]], axis=1)
-    lm_kw = _fused_lm_kwargs(params, fold and tp_mesh is None)
+    lm_kw = _fused_lm_kwargs(params, fold and tp_mesh is None,
+                             fused_w)
 
     def dstep(carry, i):
         prev, dk, dv, off = carry
@@ -286,21 +308,33 @@ def _stream_step_spec_fn(params, fused_w, ada_vecs, mel_win, prev_token,
                          dec_cache, n_positions: int, spec_k: int,
                          enc_ring=None, dec_ring=None, fold=False,
                          mk_interpret=False, draft_token=STREAMING_PAD,
-                         tp_mesh=None):
+                         tp_mesh=None, draft_table=None, spec_stats=None):
     """Speculative steady-state step (solo session, B=1): each while-loop
     iteration verifies ``spec_k`` drafted tokens in ONE stack-kernel
     weight pass (``decode_stack_step(spec=K)``) and advances by the
     accepted count — EXACT greedy tokens regardless of draft quality
     (the draft only moves throughput; token identity pinned in
-    tests/test_spec_decode.py).  Draft policy: all-``[STREAMING_PAD]``
-    (the model emits 32 for silence, the dominant streaming regime), so
-    silence decodes at up to K tokens per weight pass at unchanged pass
-    latency — the pass is weight-stream-bound (batch-rides-free,
-    ROADMAP r4 #5).  Worst case (all speech, zero acceptance) degrades
-    to 1 token/pass = exactly the non-speculative cost.  ``tp_mesh``:
-    run each verification pass through the spec-capable TP half-kernels
-    + the vocab-sharded lm fold (K query rows per shard, weight traffic
-    /tp) instead of the single-chip stack kernel."""
+    tests/test_spec_decode.py).  Draft policies:
+
+    * pad (``draft_table=None``) — all-``[STREAMING_PAD]`` drafts (the
+      model emits 32 for silence, the dominant streaming regime), so
+      silence decodes at up to K tokens per weight pass at unchanged
+      pass latency — the pass is weight-stream-bound.
+    * ngram (``draft_table`` = ``_ngram_table_init`` array) — chained
+      bigram drafts from the device-resident table, which every
+      verification pass trains in place (table[d_j] := y_j; all K rows
+      are model-verified continuations).  Covers repetition during
+      SPEECH too — e.g. a model that settles into any per-token cycle
+      gets K tokens/pass once the table has seen the cycle — and
+      degenerates to the pad policy while untrained.
+
+    Worst case (zero acceptance) degrades to 1 token/pass = exactly the
+    non-speculative cost.  ``spec_stats`` [2] int32 (passes, accepted
+    rows) accumulates on device across steps — fetch-free acceptance
+    counters for /metrics.  ``tp_mesh``: run each verification pass
+    through the spec-capable TP half-kernels + the vocab-sharded lm
+    fold (K query rows per shard, weight traffic /tp) instead of the
+    single-chip stack kernel."""
     from voxtral_tpu.models.layers import ring_slot, rms_norm
     from voxtral_tpu.ops.decode_step_pallas import (
         decode_stack_step,
@@ -318,13 +352,19 @@ def _stream_step_spec_fn(params, fused_w, ada_vecs, mel_win, prev_token,
     # rows' outputs are never accepted (n_acc is clamped to P - pos).
     inputs = jnp.concatenate(
         [inputs, jnp.tile(inputs[:, -1:, :], (1, K - 1, 1))], axis=1)
-    lm_kw = _fused_lm_kwargs(params, fold and tp_mesh is None)
+    lm_kw = _fused_lm_kwargs(params, fold and tp_mesh is None,
+                             fused_w)
+
+    ngram = draft_table is not None
 
     def body(st):
-        pos, prev, dk, dv, off, toks = st
+        pos, prev, dk, dv, off, toks, table, stats = st
         a = jax.lax.dynamic_slice_in_dim(inputs, pos, K, axis=1)[0]
-        drafts = jnp.concatenate(
-            [prev[None], jnp.full((K - 1,), draft_token, jnp.int32)])
+        if ngram:
+            drafts = _ngram_drafts(table, prev, K)
+        else:
+            drafts = jnp.concatenate(
+                [prev[None], jnp.full((K - 1,), draft_token, jnp.int32)])
         text = embed_tokens(params["decoder"], drafts[None])[0]
         x = (a + text).astype(jnp.float32)  # [K, D] rows (stream 0, j)
         cs = [rope_pair_vectors(off + j, lmc.head_dim, lmc.rope_theta)
@@ -399,15 +439,28 @@ def _stream_step_spec_fn(params, fused_w, ada_vecs, mel_win, prev_token,
             dv = jax.lax.dynamic_update_slice(dv, vj, (z, z, z, slot, z))
         toks = jax.lax.dynamic_update_slice(toks, y, (pos,))
         prev = jnp.take(y, n_acc - 1)
-        return (pos + n_acc, prev, dk, dv, off + n_acc, toks)
+        if ngram:
+            # Train the table on every verified row: y[j] IS the model's
+            # greedy continuation of drafts[j] in row j's context.
+            table = table.at[drafts].set(y)
+        stats = stats + jnp.stack(
+            [jnp.ones((), jnp.int32), n_acc])
+        return (pos + n_acc, prev, dk, dv, off + n_acc, toks, table,
+                stats)
 
     toks0 = jnp.zeros((P + K - 1,), jnp.int32)
+    table0 = (draft_table if ngram
+              else jnp.zeros((1,), jnp.int32))
+    stats0 = (spec_stats if spec_stats is not None
+              else jnp.zeros((2,), jnp.int32))
     st = (jnp.zeros((), jnp.int32), prev_token,
-          dec_cache.k, dec_cache.v, dec_cache.length, toks0)
+          dec_cache.k, dec_cache.v, dec_cache.length, toks0, table0,
+          stats0)
     st = jax.lax.while_loop(lambda s: s[0] < P, body, st)
-    _, last, dk, dv, off, toks = st
+    _, last, dk, dv, off, toks, table, stats = st
     dec_cache = KVCache(dk, dv, off)
-    return toks[:P], last, audio[:, -1:, :], enc_cache, dec_cache
+    return (toks[:P], last, audio[:, -1:, :], enc_cache, dec_cache,
+            table if ngram else None, stats)
 
 
 _STEP_JIT_CACHE: "dict" = {}
@@ -470,7 +523,8 @@ def _session_jits(cfg: VoxtralConfig, P: int, enc_ring, dec_ring,
                         enc_ring=enc_ring, dec_ring=dec_ring,
                         fold=fold, mk_interpret=mk_interpret,
                         draft_token=draft_token, tp_mesh=tp_mesh),
-                donate_argnames=("enc_cache", "dec_cache"))
+                donate_argnames=("enc_cache", "dec_cache",
+                                 "draft_table", "spec_stats"))
         else:
             fstep = jax.jit(
                 partial(_stream_step_fused_fn, cfg=cfg,
@@ -547,13 +601,20 @@ def _fused_plan(model, batch: int, cache_s: int, itemsize: int = None,
 
     lm = model.config.language_model
     bf16_w = isinstance(model.fused_decode.get("wqkv"), tuple)
-    witem = 2 if bf16_w else 1
+    wg = (not bf16_w and model.fused_decode.get("sqkv") is not None
+          and model.fused_decode["sqkv"].ndim == 4)
+    witem = 2 if bf16_w else (1.125 if wg else 1)
     emb = model.params["decoder"]["tok_embeddings"]
-    lm_w8 = emb.get("w8") if isinstance(emb, dict) else None
+    lm_w8 = (emb.get("w8") if isinstance(emb, dict) and not wg else None)
     if bf16_w:
         fold = (not isinstance(emb, dict)
                 and _lm_tile(emb.shape[0], lm.dim, witem) is not None)
         vocab = emb.shape[0] if fold else None
+    elif wg:
+        lm_g = model.fused_decode.get("lm_codes")
+        fold = (lm_g is not None
+                and _lm_tile(lm_g.shape[1], lm.dim, witem) is not None)
+        vocab = lm_g.shape[1] if fold else None
     else:
         fold = (lm_w8 is not None
                 and _lm_tile(lm_w8["codes"].shape[0], lm.dim) is not None)
@@ -571,11 +632,21 @@ def _fused_plan(model, batch: int, cache_s: int, itemsize: int = None,
     return {"w": model.fused_decode, "fold": fold}
 
 
-def _fused_lm_kwargs(params, fold: bool):
-    """kwargs folding final norm + tied lm_head (w8 or dense bf16) into
-    the kernel."""
+def _fused_lm_kwargs(params, fold: bool, fused_w=None):
+    """kwargs folding final norm + tied lm_head (w8, dense bf16, or g32)
+    into the kernel.  g32 fused dicts (exact-Q4_0 stacks,
+    ops.decode_step_pallas.fuse_decode_weights_q4g) carry their own
+    pre-transposed lm_codes/lm_scale."""
     if not fold:
         return {}
+    if (fused_w is not None and fused_w.get("sqkv") is not None
+            and not isinstance(fused_w.get("wqkv"), tuple)
+            and fused_w["sqkv"].ndim == 4):
+        return dict(
+            final_norm=params["decoder"]["norm"],
+            lm_codes=fused_w["lm_codes"],
+            lm_scale=fused_w["lm_scale"],
+        )
     emb = params["decoder"]["tok_embeddings"]
     if not isinstance(emb, dict):
         return dict(
@@ -673,6 +744,7 @@ class StreamPool:
         kv_dtype: str = "auto",
         speculative: int = 0,
         draft_token: int = STREAMING_PAD,
+        draft: str = "pad",
     ):
         """``speculative=K >= 2``: every pooled decode pass verifies K
         drafted tokens PER SLOT in one stack-kernel weight pass
@@ -709,6 +781,21 @@ class StreamPool:
         self.unbounded = unbounded
         self.speculative = int(speculative or 0)
         self._draft_token = int(draft_token)
+        if draft not in ("pad", "ngram"):
+            raise ValueError(f"draft policy must be pad|ngram, got {draft}")
+        self.draft = draft
+        # One bigram draft table SHARED across slots (concurrent streams
+        # usually speak the same language; cross-slot writes are benign
+        # heuristics — exactness never depends on the draft).  Dummy
+        # 1-entry table on the pad policy keeps the jitted arity fixed.
+        self._draft_table = None
+        self._spec_stats = None
+        if self.speculative > 1:
+            self._spec_stats = jnp.zeros((2,), jnp.int32)
+            self._draft_table = (
+                _ngram_table_init(self.cfg.language_model.vocab_size,
+                                  self._draft_token)
+                if draft == "ngram" else jnp.zeros((1,), jnp.int32))
         if self.speculative > self.P:
             raise ValueError(
                 f"speculative={self.speculative} must be <= "
@@ -952,7 +1039,7 @@ class StreamPool:
             inputs = jnp.concatenate(
                 [prev_audio[:, 0, :, :], audio[:, :-1, :]], axis=1)
             tp = self._tp_mesh is not None
-            lm_kw = _fused_lm_kwargs(params, fold and not tp)
+            lm_kw = _fused_lm_kwargs(params, fold and not tp, fused_w)
 
             def dstep(carry, i):
                 if int8:
@@ -1062,7 +1149,8 @@ class StreamPool:
 
         def _pool_step_spec(params, fused_w, ada_vecs, mel_wins, prev_tok,
                             prev_audio, ready, enc_k, enc_v, enc_len,
-                            dec_k, dec_v, dec_len, *dec_scales):
+                            dec_k, dec_v, dec_len, draft_table, spec_stats,
+                            *dec_scales):
             """Pooled SPECULATIVE step: a while-loop of spec-K kernel
             passes; each pass verifies K drafted tokens per slot and
             each slot advances by its own accepted count until every
@@ -1088,6 +1176,7 @@ class StreamPool:
             int8 = self.cache_int8
             K, B, P = self.speculative, self.B, self.P
             tp = self._tp_mesh is not None
+            ngram = self.draft == "ngram"
 
             def enc_one(mel_win, ek, ev, el, params):
                 cache = KVCache(ek, ev, el)
@@ -1105,7 +1194,7 @@ class StreamPool:
             inputs = jnp.concatenate(
                 [inputs, jnp.tile(inputs[:, -1:, :], (1, K - 1, 1))],
                 axis=1)  # [B, P+K-1, D]
-            lm_kw = _fused_lm_kwargs(params, fold and not tp)
+            lm_kw = _fused_lm_kwargs(params, fold and not tp, fused_w)
 
             def cond(st):
                 pos = st[0]
@@ -1113,20 +1202,24 @@ class StreamPool:
 
             def body(st):
                 if int8:
-                    pos, prev, dk, dv, dks, dvs, toks = st
+                    pos, prev, dk, dv, dks, dvs, toks, table, stats = st
                     scale_kw = dict(k_scales=dks, v_scales=dvs)
                 else:
-                    pos, prev, dk, dv, toks = st
+                    pos, prev, dk, dv, toks, table, stats = st
                     scale_kw = {}
                 offs = dec_len + pos  # [B] per-slot absolute positions
                 a = jax.vmap(
                     lambda inp, q: jax.lax.dynamic_slice_in_dim(
                         inp, q, K, axis=0)
                 )(inputs, pos)  # [B, K, D]
-                drafts = jnp.concatenate(
-                    [prev[:, None],
-                     jnp.full((B, K - 1), self._draft_token, jnp.int32)],
-                    axis=1)  # [B, K]
+                if ngram:
+                    drafts = _ngram_drafts(table, prev, K)  # [B, K]
+                else:
+                    drafts = jnp.concatenate(
+                        [prev[:, None],
+                         jnp.full((B, K - 1), self._draft_token,
+                                  jnp.int32)],
+                        axis=1)  # [B, K]
                 text = embed_tokens(params["decoder"], drafts)
                 x = (a + text).reshape(B * K, lmc.dim).astype(jnp.float32)
                 pos_rows = (offs[:, None]
@@ -1246,27 +1339,44 @@ class StreamPool:
                 idx = jnp.clip(adv - 1, 0, K - 1)
                 picked = jnp.take_along_axis(y, idx[:, None], axis=1)[:, 0]
                 prev = jnp.where(adv > 0, picked, prev)
+                if ngram:
+                    # Train on ready slots' verified rows only (masked
+                    # slots' y comes from garbage audio context): dead
+                    # slots' writes are routed to entry 0 with entry 0's
+                    # current value — a no-op scatter.
+                    live = ready & (pos < P)
+                    tgt = jnp.where(live[:, None], drafts, 0)
+                    val = jnp.where(live[:, None], y, table[0])
+                    table = table.at[tgt.reshape(-1)].set(val.reshape(-1))
+                stats = stats + jnp.stack(
+                    [jnp.ones((), jnp.int32), jnp.sum(adv)])
                 if int8:
-                    return (pos + adv, prev, dk, dv, dks, dvs, toks)
-                return (pos + adv, prev, dk, dv, toks)
+                    return (pos + adv, prev, dk, dv, dks, dvs, toks,
+                            table, stats)
+                return (pos + adv, prev, dk, dv, toks, table, stats)
 
             st0 = (jnp.zeros((B,), jnp.int32), prev_tok, dec_k, dec_v)
             if int8:
                 st0 = st0 + tuple(dec_scales)
             st = jax.lax.while_loop(
-                cond, body, st0 + (jnp.zeros((B, P + K - 1), jnp.int32),))
+                cond, body, st0 + (jnp.zeros((B, P + K - 1), jnp.int32),
+                                   draft_table, spec_stats))
             pos, last, dec_k, dec_v = st[:4]
-            toks = st[-1]
+            toks, table, stats = st[-3:]
             tokens = toks[:, :P]
             pa = audio[:, None, -1:, :]
             last = jnp.where(ready, last, prev_tok)
             pa = jnp.where(ready[:, None, None, None], pa, prev_audio)
-            return (tokens, last, pa, enc_k, enc_v, dec_k, dec_v) + st[4:-1]
+            return ((tokens, last, pa, enc_k, enc_v, dec_k, dec_v)
+                    + st[4:-3] + (table, stats))
 
         if self._fused is not None:
             self._pool_step_jit = None
             donate = (7, 8, 10, 11) + ((13, 14) if self.cache_int8 else ())
             if self.speculative > 1:
+                # + the draft table (13) and stats (14); scales shift.
+                donate = (7, 8, 10, 11, 13, 14) + (
+                    (15, 16) if self.cache_int8 else ())
                 self._pool_step_fused_jit = jax.jit(
                     _pool_step_spec, donate_argnums=donate)
             else:
@@ -1556,6 +1666,8 @@ class StreamPool:
                 if self._fused is not None:
                     scales = ((self.dec_ks, self.dec_vs)
                               if self.cache_int8 else ())
+                    spec_extra = ((self._draft_table, self._spec_stats)
+                                  if self.speculative > 1 else ())
                     out = self._pool_step_fused_jit(
                         self.model.params, self._fused["w"],
                         self._fused["ada"],
@@ -1563,8 +1675,11 @@ class StreamPool:
                         self.prev_tok, self.prev_audio, jnp.asarray(ready),
                         self.enc_k, self.enc_v, jnp.asarray(enc_len),
                         self.dec_k, self.dec_v, jnp.asarray(dec_len),
-                        *scales,
+                        *spec_extra, *scales,
                     )
+                    if self.speculative > 1:
+                        self._draft_table, self._spec_stats = out[-2:]
+                        out = out[:-2]
                     if self.cache_int8:
                         self.dec_ks, self.dec_vs = out[7:9]
                         out = out[:7]
@@ -1586,6 +1701,21 @@ class StreamPool:
                     if self.unbounded:
                         sess._trim_samples()
 
+    def spec_metrics(self) -> Optional[dict]:
+        """Pool-level speculative acceptance counters (one host fetch;
+        None when spec is off).  ``accepted_rows`` sums per-slot
+        advances, so ``tokens_per_pass`` is the POOL aggregate (up to
+        ready_slots * K)."""
+        if self.speculative <= 1 or self._spec_stats is None:
+            return None
+        passes, accepted = (int(x) for x in np.asarray(self._spec_stats))
+        return {
+            "passes": passes,
+            "accepted_rows": accepted,
+            "tokens_per_pass": round(accepted / max(1, passes), 3),
+            "draft": self.draft,
+        }
+
 
 class StreamingSession:
     """Incremental transcription over a live 16 kHz mono stream."""
@@ -1602,6 +1732,7 @@ class StreamingSession:
         pool: Optional[StreamPool] = None,
         speculative: int = 0,
         draft_token: int = STREAMING_PAD,
+        draft: str = "pad",
     ):
         """``unbounded=True`` lays the KV caches out as head+ring buffers
         INSIDE the jitted step (permanent 38-position prefix head + a
@@ -1719,6 +1850,16 @@ class StreamingSession:
         self._mk_interpret = getattr(model, "_mk_interpret", False)
         self.speculative = int(speculative or 0)
         self._draft_token = int(draft_token)
+        if draft not in ("pad", "ngram"):
+            raise ValueError(f"draft policy must be pad|ngram, got {draft}")
+        self.draft = draft
+        self._draft_table = None
+        self._spec_stats = None
+        if self.speculative > 1:
+            self._spec_stats = jnp.zeros((2,), jnp.int32)
+            if draft == "ngram":
+                self._draft_table = _ngram_table_init(
+                    self.cfg.language_model.vocab_size, self._draft_token)
         if self.speculative > self.P:
             raise ValueError(
                 f"speculative={self.speculative} must be <= "
@@ -1831,6 +1972,25 @@ class StreamingSession:
                 self._maybe_shift()
                 p0 = self._positions_done
                 mel_win = self._mel_window(16 * p0 - 4, 16 * (p0 + self.P) + 4)
+                if self._fused is not None and self.speculative > 1:
+                    out = self._fstep_jit(
+                        self.model.params, self._fused["w"],
+                        self._fused["ada"],
+                        jnp.asarray(mel_win, self.model.compute_dtype),
+                        self._prev_token, self._prev_audio,
+                        jnp.int32(self._enc_base),
+                        enc_cache=self.enc_cache, dec_cache=self.dec_cache,
+                        draft_table=self._draft_table,
+                        spec_stats=self._spec_stats,
+                    )
+                    (tokens, self._prev_token, self._prev_audio,
+                     self.enc_cache, self.dec_cache, table,
+                     self._spec_stats) = out
+                    if table is not None:
+                        self._draft_table = table
+                    pending.append(tokens)
+                    self._positions_done = p0 + self.P
+                    continue
                 if self._fused is not None:
                     out = self._fstep_jit(
                         self.model.params, self._fused["w"],
@@ -1963,6 +2123,26 @@ class StreamingSession:
     @property
     def positions_done(self) -> int:
         return self._positions_done
+
+    def spec_metrics(self) -> Optional[dict]:
+        """Speculative acceptance counters (one host fetch; None when
+        spec is off or no spec step ran yet): passes, accepted verify
+        rows, tokens/pass, and the draft acceptance rate ((accepted -
+        passes) / ((K-1) * passes) — the fraction of the K-1 true
+        drafts per pass the model agreed with)."""
+        if self.speculative <= 1 or self._spec_stats is None:
+            return None
+        passes, accepted = (int(x) for x in np.asarray(self._spec_stats))
+        if passes == 0:
+            return {"passes": 0, "accepted_rows": 0,
+                    "tokens_per_pass": 0.0, "draft_acceptance": 0.0}
+        return {
+            "passes": passes,
+            "accepted_rows": accepted,
+            "tokens_per_pass": round(accepted / passes, 3),
+            "draft_acceptance": round(
+                (accepted - passes) / ((self.speculative - 1) * passes), 4),
+        }
 
     # -- checkpoint / restore ------------------------------------------------
     #
