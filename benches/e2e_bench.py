@@ -54,6 +54,9 @@ def main() -> int:
                     help="random weights quantized to Q4_0 (kernel path)")
     ap.add_argument("--w8-random", action="store_true",
                     help="random rowwise-int8 weights (int8 MXU path)")
+    ap.add_argument("--q4g-random", action="store_true",
+                    help="random Q4_0 weights kept in the exact group-32 "
+                    "form (the q4g fused stack-kernel mode)")
     ap.add_argument("--seconds", type=float, default=16.0)
     ap.add_argument("--iterations", type=int, default=3)
     ap.add_argument("--delay", type=float, default=6.0)
@@ -120,6 +123,12 @@ def main() -> int:
 
             model = VoxtralModel(random_q4_params(cfg), cfg)
             mode = "random-q4"
+        elif args.q4g_random:
+            from voxtral_tpu.utils.quantize import random_q4_params
+
+            model = VoxtralModel(random_q4_params(cfg, pack=False), cfg)
+            assert model.megakernel_weights == "q4g", "q4g routing lost"
+            mode = "random-q4g"
         else:
             model = VoxtralModel.init_random(jax.random.PRNGKey(0), cfg,
                                              dtype=jnp.bfloat16)

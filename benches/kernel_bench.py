@@ -639,7 +639,7 @@ def suite_step_bf16(batches, seq=160, short=None, long=None):
 
 
 def suite_step_spec(ks=(2, 4, 8), streams=1, seq=1024, short=None,
-                    long=None, int8=False):
+                    long=None, int8=False, weights="w8"):
     """Speculative K-token decode step (``decode_stack_step(spec=K)``)
     at forced full acceptance: every chained step verifies K drafts in
     ONE weight pass and advances the cache by K — the K-x throughput
@@ -654,7 +654,8 @@ def suite_step_spec(ks=(2, 4, 8), streams=1, seq=1024, short=None,
     speculative serving point (streams=8, seq=804, K<=4 is the v5e
     VMEM ceiling: B*K query rows + the int8 cache blocks; pool16xK=4
     measured 139 MB of 128 MB and the stack_vmem_need gate refuses
-    it)."""
+    it).  ``weights="q4g"`` runs the exact-Q4_0 group-32 mode instead
+    of w8 (the accuracy-exact speculative ceiling)."""
     import functools
 
     import jax
@@ -668,17 +669,32 @@ def suite_step_spec(ks=(2, 4, 8), streams=1, seq=1024, short=None,
         quantize_kv,
         rope_pair_vectors,
     )
-    from voxtral_tpu.utils.quantize import random_w8_params
     from voxtral_tpu.ops.decode_step_pallas import fuse_decode_weights
 
     cfg = VoxtralConfig.voxtral()
     lm_cfg = cfg.language_model
-    params = random_w8_params(cfg)["decoder"]
-    fused = fuse_decode_weights(params)
+    if weights == "q4g":
+        from voxtral_tpu.ops.decode_step_pallas import (
+            fuse_decode_weights_q4g,
+        )
+        from voxtral_tpu.utils.quantize import random_q4_params
+
+        params = random_q4_params(cfg, pack=False)["decoder"]
+        fused = fuse_decode_weights_q4g(params)
+        lm_fold = dict(lm_codes=fused["lm_codes"],
+                       lm_scale=fused["lm_scale"])
+        witem = 1.125
+    else:
+        from voxtral_tpu.utils.quantize import random_w8_params
+
+        params = random_w8_params(cfg)["decoder"]
+        fused = fuse_decode_weights(params)
+        lm_fold = None
+        witem = 1.0
     ada_vecs = jnp.ones((lm_cfg.n_layers, lm_cfg.dim), jnp.float32)
 
-    layer_bytes = sum(n * k + 4 * n for n, k in LAYER_SHAPES)
-    step_bytes = 26 * layer_bytes + 131072 * 3072 + 4 * 131072
+    layer_bytes = sum(int(n * k * witem) + 4 * n for n, k in LAYER_SHAPES)
+    step_bytes = 26 * layer_bytes + int(131072 * 3072 * witem) + 4 * 131072
     if int8:
         step_bytes += (2 * 26 * streams * lm_cfg.n_kv_heads * seq
                        * (lm_cfg.head_dim + 4))
@@ -722,7 +738,12 @@ def suite_step_spec(ks=(2, 4, 8), streams=1, seq=1024, short=None,
 
                 # lm table from the ARG params dict — a closure constant
                 # would be serialized into the program (tunnel 413).
-                emb = params["tok_embeddings"]["w8"]
+                if lm_fold is not None:
+                    lm_kw = dict(lm_fold)
+                else:
+                    emb = params["tok_embeddings"]["w8"]
+                    lm_kw = dict(lm_codes=emb["codes"],
+                                 lm_scale=emb["scale"])
                 scale_kw = (dict(k_scales=k_sc, v_scales=v_sc)
                             if int8 else {})
                 x, k_new, v_new, tok = decode_stack_step(
@@ -731,8 +752,8 @@ def suite_step_spec(ks=(2, 4, 8), streams=1, seq=1024, short=None,
                     fused["sqkv"], fused["so"], fused["s13"], fused["s2"],
                     cos_r, sin_r, cache.k, cache.v,
                     fused["wqkv"], fused["wo"], fused["w13"], fused["w2"],
-                    final_norm=params["norm"], lm_codes=emb["codes"],
-                    lm_scale=emb["scale"], lm_argmax=True, spec=K,
+                    final_norm=params["norm"], **lm_kw,
+                    lm_argmax=True, spec=K,
                     n_heads=lm_cfg.n_heads, n_kv=lm_cfg.n_kv_heads,
                     head_dim=lm_cfg.head_dim, eps=lm_cfg.norm_eps,
                     **scale_kw,
@@ -787,7 +808,8 @@ def suite_step_spec(ks=(2, 4, 8), streams=1, seq=1024, short=None,
         lo = min(lo, max(2, hi // 4))
         per_step = _timed_slope(runner, lo, hi)
         r = {
-            "bench": ("decode_step_spec_int8" if int8
+            "bench": (("decode_step_spec_q4g" if weights == "q4g" else
+                       "decode_step_spec_int8") if int8 or weights == "q4g"
                       else "decode_step_spec"),
             "k": K, "streams": b, "seq": seq,
             "ms_per_step": round(per_step * 1e3, 3),
@@ -1306,6 +1328,7 @@ def main():
     ap.add_argument("--suite", default="all",
                     choices=["all", "matmul", "step", "step-fused", "step-q4g",
                              "step-bf16", "step-spec", "step-spec-int8",
+                             "step-spec-q4g",
                              "step-int8kv", "step-chunked", "encode",
                              "tp-lm", "tp-halves"])
     ap.add_argument("--m", default="1,2,8")
@@ -1354,6 +1377,10 @@ def main():
     if args.suite == "step-spec":
         suite_step_spec(ks=[int(x) for x in args.batch.split(",")],
                         seq=args.seq)
+    if args.suite == "step-spec-q4g":
+        # Exact-Q4_0 speculative ceiling (g32 weights, bf16 KV).
+        suite_step_spec(ks=[int(x) for x in args.batch.split(",")],
+                        streams=args.streams, seq=args.seq, weights="q4g")
     if args.suite == "step-spec-int8":
         # The pooled speculative serving point: int8-KV streams at the
         # bounded-pool S=804 geometry, K drafts per slot.

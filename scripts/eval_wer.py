@@ -97,8 +97,10 @@ def main() -> int:
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["bfloat16", "float32", "w8"],
                     help="SafeTensors weights (in-process mode)")
-    ap.add_argument("--weight-format", default="w8", choices=["q4", "w8"],
-                    help="GGUF weight handling (in-process mode)")
+    ap.add_argument("--weight-format", default="w8",
+                    choices=["q4", "q4g", "w8"],
+                    help="GGUF weight handling (in-process mode; q4g = "
+                    "exact Q4_0 on the fused stack kernel)")
     ap.add_argument("--dp", type=int, default=1,
                     help="data-parallel ways: shard eval batch rows over "
                     "the mesh's data axis (in-process mode)")

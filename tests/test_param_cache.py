@@ -87,9 +87,11 @@ def test_corrupt_entry_rebuilds(tmp_path):
     src = tmp_path / "weights.bin"
     src.write_bytes(b"x")
     base = cache_entry(tmp_path / "cache", src, "w8")
-    base.parent.mkdir(parents=True)
-    (base.parent / (base.name + ".npz")).write_bytes(b"not a zip")
-    (base.parent / (base.name + ".json")).write_text("{}")
+    (base.parent / (base.name + ".npd")).mkdir(parents=True)
+    (base.parent / (base.name + ".npd") / "0.npy").write_bytes(b"junk")
+    (base.parent / (base.name + ".json")).write_text(
+        '{"skeleton": {"a": {"__leaf__": "a", "dtype": "float32"}}, '
+        '"index": {"a": 0}}')
     got = load_or_build(tmp_path / "cache", src, "w8",
                         lambda: {"a": np.ones(3, np.float32)},
                         to_device=False)

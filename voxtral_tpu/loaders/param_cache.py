@@ -1,11 +1,18 @@
 """Save/load converted parameter pytrees (the checkpoint/resume aux).
 
-Repacking a GGUF (or requantizing to W8) costs tens of seconds per load;
-serving restarts shouldn't pay it twice.  ``save_params`` writes the
-device-format pytree to one ``.npz`` (+ a JSON treedef), ``load_params``
-memory-maps it back — the equivalent role of the reference's memory-staged
-loading machinery (two-phase deferred GGUF load, per-layer decoder
-serialization; SURVEY.md §5 checkpoint/resume).
+Repacking a GGUF (or requantizing to W8) costs minutes per load at
+production scale; serving restarts shouldn't pay it twice.
+``save_params`` writes the device-format pytree as a ``<path>.npd/``
+directory of raw ``.npy`` leaves (+ a ``<path>.json`` treedef);
+``load_params`` memory-maps them back, so a warm restore costs one mmap
+per leaf and the actual bytes page in lazily during the device transfer
+— the equivalent role of the reference's memory-staged loading machinery
+(two-phase deferred GGUF load, per-layer decoder serialization;
+SURVEY.md §5 checkpoint/resume).
+
+Why not ``np.savez``: the zip container computes a CRC over every byte
+(measured ~215 s to write the 4.4 GB production w8 tree on this disk vs
+~30 s of raw writes) and ``np.load`` of an npz cannot mmap.
 """
 
 from __future__ import annotations
@@ -13,6 +20,7 @@ from __future__ import annotations
 import hashlib
 import json
 import logging
+import shutil
 import time
 from pathlib import Path
 from typing import Any, Callable
@@ -25,9 +33,9 @@ log = logging.getLogger("voxtral_tpu")
 
 _SEP = "."
 
-# Bump when the on-disk pytree layout of any weight format changes
-# (e.g. q4 leaf schema) — stale entries must miss, not mis-load.
-CACHE_FORMAT_VERSION = 1
+# Bump when the on-disk layout changes (container format or any weight
+# format's pytree schema) — stale entries must miss, not mis-load.
+CACHE_FORMAT_VERSION = 2
 
 
 def _flatten(node: Any, prefix: str, out: dict[str, np.ndarray]) -> Any:
@@ -41,29 +49,40 @@ def _flatten(node: Any, prefix: str, out: dict[str, np.ndarray]) -> Any:
 
 
 def save_params(params: Params, path: str | Path) -> None:
-    """Write the pytree to <path>.npz + <path>.json."""
+    """Write the pytree to ``<path>.npd/`` (raw .npy per leaf, files
+    named by index) + ``<path>.json`` (treedef + key->index map)."""
     path = Path(path)
     arrays: dict[str, np.ndarray] = {}
     skeleton = _flatten(params, "", arrays)
-    # bf16 isn't npz-native: store raw bits, restore via the recorded dtype.
-    stored = {
-        k: (v.view(np.uint16) if v.dtype.name == "bfloat16" else v)
-        for k, v in arrays.items()
-    }
-    np.savez(str(path) + ".npz", **stored)
-    Path(str(path) + ".json").write_text(json.dumps(skeleton))
+    d = Path(str(path) + ".npd")
+    if d.exists():
+        shutil.rmtree(d)
+    d.mkdir(parents=True)
+    index = {}
+    for i, (key, v) in enumerate(arrays.items()):
+        # bf16/f16 etc. aren't portable across npy readers: store raw
+        # bits for bf16, restore via the dtype recorded in the skeleton.
+        stored = v.view(np.uint16) if v.dtype.name == "bfloat16" else v
+        np.save(d / f"{i}.npy", stored, allow_pickle=False)
+        index[key] = i
+    Path(str(path) + ".json").write_text(
+        json.dumps({"skeleton": skeleton, "index": index}))
 
 
 def load_params(path: str | Path, to_device: bool = True) -> Params:
+    """Memory-map a saved pytree back (bytes page in lazily — the device
+    transfer is the first full read)."""
     path = Path(path)
-    skeleton = json.loads(Path(str(path) + ".json").read_text())
-    data = np.load(str(path) + ".npz")
+    meta = json.loads(Path(str(path) + ".json").read_text())
+    skeleton, index = meta["skeleton"], meta["index"]
+    d = Path(str(path) + ".npd")
 
     import ml_dtypes
 
     def rebuild(node):
         if isinstance(node, dict) and "__leaf__" in node:
-            arr = data[node["__leaf__"]]
+            arr = np.load(d / f"{index[node['__leaf__']]}.npy",
+                          mmap_mode="r", allow_pickle=False)
             if node["dtype"] == "bfloat16":
                 arr = arr.view(ml_dtypes.bfloat16)
             return arr
@@ -125,8 +144,8 @@ def load_or_build_at(
     to_device: bool = True,
 ) -> Params:
     """:func:`load_or_build` on a precomputed cache basename."""
-    npz, js = Path(str(base) + ".npz"), Path(str(base) + ".json")
-    if npz.exists() and js.exists():
+    npd, js = Path(str(base) + ".npd"), Path(str(base) + ".json")
+    if npd.is_dir() and js.exists():
         t0 = time.time()
         try:
             params = load_params(base, to_device=to_device)
@@ -141,9 +160,13 @@ def load_or_build_at(
     build_s = time.time() - t0
     base.parent.mkdir(parents=True, exist_ok=True)
     t0 = time.time()
+    # Atomic publish: write under a tmp basename, rename the dir last
+    # (readers key on the .json, written after the renamed dir).
     tmp = Path(str(base) + f".tmp{hash(str(base)) & 0xffff:x}")
     save_params(params, tmp)
-    Path(str(tmp) + ".npz").rename(npz)
+    if npd.exists():
+        shutil.rmtree(npd)
+    Path(str(tmp) + ".npd").rename(npd)
     Path(str(tmp) + ".json").rename(js)
     log.info("params-cache miss %s: built %.1fs, saved %.1fs",
              base.name, build_s, time.time() - t0)

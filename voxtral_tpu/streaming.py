@@ -2216,6 +2216,7 @@ class StreamingSession:
                 tokenizer: Optional[VoxtralTokenizer] = None,
                 pool: Optional["StreamPool"] = None,
                 speculative: int = 0,
+                draft: str = "pad",
                 ) -> "StreamingSession":
         """Rebuild a live session from :meth:`state_dict` output.
 
@@ -2266,7 +2267,7 @@ class StreamingSession:
         mds = (int(state["max_dec"]) - PREFIX_LEN - 2 * P + 0.5) / 6.25
         s = cls(model, tokenizer, delay_tokens=float(state["delay_tokens"]),
                 step_positions=P, max_duration_s=mds, unbounded=unbounded,
-                speculative=speculative)
+                speculative=speculative, draft=draft)
         if s._max_dec != int(state["max_dec"]):
             raise ValueError(
                 f"cache geometry mismatch: checkpoint max_dec="
