@@ -1158,7 +1158,8 @@ def suite_tp_lm(tps=(2, 4, 8), batches=(1, 8), short=20, long=220):
 
 def suite_tp_halves(tps=(2, 4), batches=(1, 4), seq=160,
                     variants=("bf16", "int8", "int8-chunk",
-                              "spec4", "int8-spec4"),
+                              "spec4", "int8-spec4",
+                              "q4g", "q4g-spec4"),
                     short=None, long=None, chunk=512):
     """Per-shard cost of ONE decoder layer under tensor parallelism —
     attn_half_step + ffn_half_step chained at production tp-local
@@ -1198,7 +1199,13 @@ def suite_tp_halves(tps=(2, 4), batches=(1, 4), seq=160,
     against per-stream caches) — the layer should cost the same as
     sequential (weight-stream-bound), making TP spec the latency x
     throughput composition; these are also the Mosaic validation for
-    the spec halves."""
+    the spec halves.
+
+    "q4g"/"q4g-spec4" stream the g32 (exact-Q4_0) weight layout —
+    [L, SB, N_l, 128] codes + [L, 4*SB, 1, N_l] group-scale stacks
+    DMA'd alongside (+12.5%% bytes) — the Mosaic validation for the TP
+    g32 halves (tests/test_tp_q4g.py pins their numerics in interpret
+    mode; only a real-TPU compile catches layout faults)."""
     import functools
 
     import jax
@@ -1237,10 +1244,27 @@ def suite_tp_halves(tps=(2, 4), batches=(1, 4), seq=160,
             "norm": jnp.asarray(1 + rng.randn(D) * 0.05, jnp.float32),
             "ada": jnp.asarray(1 + rng.randn(D) * 0.05, jnp.float32),
         }
+
+        def _g32(n, k):
+            # g32 layout at local shapes: codes [L, K/128, N, 128] +
+            # r-major group scales [L, 4*(K/128), 1, N] f32.
+            sb = k // 128
+            return (
+                jnp.asarray(rng.randint(-8, 8, (L, sb, n, 128)), jnp.int8),
+                jnp.asarray(rng.rand(L, 4 * sb, 1, n) * 1e-3, jnp.float32),
+            )
+
+        wq_c, wq_s = _g32(nqkv_l, D)
+        wo_c, wo_s = _g32(D, nq_l)
+        w13_c, w13_s = _g32(2 * f_l, D)
+        w2_c, w2_s = _g32(D, f_l)
+        w_g32 = {**w, "wqkv": wq_c, "sqkv": wq_s, "wo": wo_c, "so": wo_s,
+                 "w13": w13_c, "s13": w13_s, "w2": w2_c, "s2": w2_s}
         interp = jax.default_backend() != "tpu"
         for variant in variants:
             chunked = variant.endswith("chunk")
             int8 = variant.startswith("int8")
+            wg = variant.startswith("q4g")
             spec = 4 if "spec" in variant else 1
             S = -(-8448 // chunk) * chunk if chunked else seq
             for b in batches:
@@ -1301,10 +1325,14 @@ def suite_tp_halves(tps=(2, 4), batches=(1, 4), seq=160,
                 def _jitted(length, run=run):
                     return jax.jit(functools.partial(run, length=length))
 
-                def runner(length):
-                    return _jitted(length)(x0, w, kc, vc, ks, vs)
+                wt = w_g32 if wg else w
+
+                def runner(length, wt=wt):
+                    return _jitted(length)(x0, wt, kc, vc, ks, vs)
 
                 wbytes = (nqkv_l * D + D * nq_l + 2 * f_l * D + D * f_l)
+                if wg:
+                    wbytes = int(wbytes * 1.125)
                 cbytes = 2 * b * hkv_l * S * HD * (1 if int8 else 2)
                 if int8:
                     cbytes += 2 * b * hkv_l * S * 4

@@ -196,13 +196,15 @@ def transcribe_streaming_fn(
         # shard_map.  tp takes precedence on a combined mesh (dp x tp
         # fused composition rides the XLA path).
         bf16_w = isinstance(fused["wqkv"], tuple)
-        # g32 (exact-Q4_0) stacks carry 4D group-scale stacks; the TP
-        # half-kernel stacks are also 4D but their scales stay 2D/3D.
+        # Single-chip g32 (exact-Q4_0) stacks carry 4D group-scale
+        # stacks; the TP half-kernel stacks are 4D (w8, scales 2D/3D) or
+        # 5D (g32 with a leading shard axis, scales 5D).
         wg = (not bf16_w and fused.get("sqkv") is not None
-              and fused["sqkv"].ndim == 4)
+              and fused["sqkv"].ndim == 4 and fused["wqkv"].ndim == 4)
         witem = 2 if bf16_w else (1.125 if wg else 1)
         use_tp = (parallel is not None and parallel.tp > 1
-                  and not bf16_w and not wg and fused["wqkv"].ndim == 4)
+                  and not bf16_w and not wg
+                  and fused["wqkv"].ndim in (4, 5))
         use_dp = (parallel is not None and not use_tp and parallel.dp > 1
                   and batch % parallel.dp == 0)
         use_stack = not use_tp and supports_stack_kernel(lm_cfg, witem)
@@ -605,19 +607,29 @@ class VoxtralModel:
 
             plan = ParallelPlan.from_mesh(mesh)
             self.parallel = plan
-            if plan.tp > 1 and self.megakernel_weights == "q4g":
-                # The TP half-kernels shard the w8 layout; q4g models on
-                # a tp mesh ride the GSPMD-partitioned XLA step instead.
-                self.fused_decode = None
-                self.megakernel_weights = None
+            wg = self.megakernel_weights == "q4g"
+            if plan.tp > 1 and wg:
+                # The g32 TP halves contract whole 128-lane superblocks:
+                # the LOCAL contraction dims must stay % 128 or the
+                # model rides the GSPMD-partitioned XLA step instead.
+                nq = lm.n_heads * lm.head_dim
+                if (lm.n_kv_heads % plan.tp or lm.hidden_dim % plan.tp
+                        or (nq // plan.tp) % 128
+                        or (lm.hidden_dim // plan.tp) % 128):
+                    self.fused_decode = None
+                    self.megakernel_weights = None
+                    wg = False
             if plan.tp > 1 and self.fused_decode is not None:
                 if (lm.n_kv_heads % plan.tp == 0
                         and lm.hidden_dim % plan.tp == 0):
                     from voxtral_tpu.ops.decode_tp_pallas import (
                         tp_shard_fused_weights,
+                        tp_shard_fused_weights_q4g,
                     )
 
-                    tp_w = tp_shard_fused_weights(
+                    shard_fused = (tp_shard_fused_weights_q4g if wg
+                                   else tp_shard_fused_weights)
+                    tp_w = shard_fused(
                         self.fused_decode, lm.n_heads, lm.n_kv_heads,
                         lm.head_dim, lm.hidden_dim, plan.tp)
                     rep = NamedSharding(mesh, P())
@@ -631,15 +643,20 @@ class VoxtralModel:
                         self.fused_tp[name] = jax.device_put(
                             self.fused_decode[name], rep)
                     # Vocab-sharded tied lm_head for the greedy TP fold
-                    # (tp_lm_head_token) — only when the table is w8 and
-                    # the per-shard vocab tiles cleanly.
+                    # (tp_lm_head_token) — when the table matches the
+                    # weight mode (w8 dict / g32 stacks) and the
+                    # per-shard vocab tiles cleanly.
                     emb_p = params["decoder"]["tok_embeddings"]
                     emb_w8 = (emb_p.get("w8")
-                              if isinstance(emb_p, dict) else None)
+                              if isinstance(emb_p, dict) and not wg
+                              else None)
+                    lm_g32 = self.fused_decode.get("lm_codes") if wg \
+                        else None
+                    from voxtral_tpu.ops.decode_step_pallas import (
+                        _lm_tile,
+                    )
+
                     if emb_w8 is not None:
-                        from voxtral_tpu.ops.decode_step_pallas import (
-                            _lm_tile,
-                        )
                         from voxtral_tpu.ops.decode_tp_pallas import (
                             tp_shard_lm_head,
                         )
@@ -649,6 +666,20 @@ class VoxtralModel:
                                 and _lm_tile(V // plan.tp, lm.dim)
                                 is not None):
                             lm_tp = tp_shard_lm_head(emb_w8, plan.tp)
+                            self.fused_tp["lm_codes"] = put(lm_tp["codes"])
+                            self.fused_tp["lm_scale"] = put(lm_tp["scale"])
+                    elif lm_g32 is not None:
+                        from voxtral_tpu.ops.decode_tp_pallas import (
+                            tp_shard_lm_head_q4g,
+                        )
+
+                        V = lm_g32.shape[1]
+                        if (V % plan.tp == 0
+                                and _lm_tile(V // plan.tp, lm.dim, 1.125)
+                                is not None):
+                            lm_tp = tp_shard_lm_head_q4g(
+                                lm_g32, self.fused_decode["lm_scale"],
+                                plan.tp)
                             self.fused_tp["lm_codes"] = put(lm_tp["codes"])
                             self.fused_tp["lm_scale"] = put(lm_tp["scale"])
                 # TP sessions/pools would feed decode_stack_step sharded

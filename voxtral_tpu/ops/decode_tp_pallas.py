@@ -57,17 +57,28 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from voxtral_tpu.ops.decode_step_pallas import _quant, _rope_swap
+from voxtral_tpu.ops.decode_step_pallas import (
+    _MultiCopy,
+    _g32_mask_codes,
+    _g32_matmul_tile,
+    _quant,
+    _quant_f,
+    _rope_swap,
+)
 
 Params = dict[str, Any]
 
 
-def _half_plan(phases: dict[str, tuple[int, int]]):
-    """{name: (n_out, k_in)} -> {name: (tile, n_tiles, k_in)} or None."""
+def _half_plan(phases: dict[str, tuple[int, int]], wg: bool = False):
+    """{name: (n_out, k_in)} -> {name: (tile, n_tiles, k_in)} or None.
+
+    ``wg`` budgets the f32 group-scale tiles that ride along with g32
+    code tiles (+12.5% bytes, decode_step_pallas g32 mode)."""
     plan = {}
     for name, (n_out, k_in) in phases.items():
         t = 512
-        while t >= 8 and (n_out % t or t * k_in > 3 * 2**19):
+        item = 1.125 if wg else 1.0
+        while t >= 8 and (n_out % t or int(t * k_in * item) > 3 * 2**19):
             t //= 2
         if t < 8:
             return None
@@ -75,18 +86,40 @@ def _half_plan(phases: dict[str, tuple[int, int]]):
     return plan
 
 
-def _stream_factory(layer, plan, bufs, sems):
-    """Double-buffered W8 row-streaming matmul over stacked HBM weights
-    (same scheme as the v1 layer kernel, one buffer per phase)."""
+def _stream_factory(layer, plan, bufs, sems, wg=False, sbufs=None,
+                    sems_s=None):
+    """Double-buffered row-streaming matmul over stacked HBM weights
+    (same scheme as the v1 layer kernel, one buffer per phase).
+
+    w8 mode: weights [L, N, K] int8 + rowwise ``scale_ref`` [1, N] VMEM;
+    ``xq`` is int8 activation codes.  ``wg`` (g32, exact Q4_0): weights
+    [L, SB, N, 128] int8; ``scale_ref`` is the HBM group-scale stack
+    [L, 4*SB, 1, N] whose tiles DMA alongside the code tiles; ``xq`` is
+    f32 activation codes (``_quant_f``) masked per phase into the 4
+    lane-masked stacks the group-32 dots contract."""
 
     def stream(name, xq, sx, w_hbm, scale_ref, n_out):
-        tile_n, n_tiles, _ = plan[name]
+        tile_n, n_tiles, k_in = plan[name]
         buf, sem = bufs[name], sems[name]
+        if wg:
+            sbuf, sem_s = sbufs[name], sems_s[name]
+            xms = _g32_mask_codes(xq, k_in, xq.shape[0])
 
-        def dma(slot, j):
-            return pltpu.make_async_copy(
-                w_hbm.at[layer, pl.ds(j * tile_n, tile_n), :],
-                buf.at[slot], sem.at[slot])
+            def dma(slot, j):
+                return _MultiCopy([
+                    pltpu.make_async_copy(
+                        w_hbm.at[layer, :, pl.ds(j * tile_n, tile_n), :],
+                        buf.at[slot], sem.at[slot]),
+                    pltpu.make_async_copy(
+                        scale_ref.at[layer, :, :,
+                                     pl.ds(j * tile_n, tile_n)],
+                        sbuf.at[slot], sem_s.at[slot]),
+                ])
+        else:
+            def dma(slot, j):
+                return pltpu.make_async_copy(
+                    w_hbm.at[layer, pl.ds(j * tile_n, tile_n), :],
+                    buf.at[slot], sem.at[slot])
 
         dma(0, 0).start()
         outs = []
@@ -94,6 +127,10 @@ def _stream_factory(layer, plan, bufs, sems):
             if j + 1 < n_tiles:
                 dma((j + 1) % 2, j + 1).start()
             dma(j % 2, j).wait()
+            if wg:
+                outs.append(_g32_matmul_tile(xms, sx, buf[j % 2],
+                                             sbuf[j % 2]))
+                continue
             z = jax.lax.dot_general(
                 xq, buf[j % 2],
                 dimension_numbers=(((1,), (1,)), ((), ())),
@@ -255,7 +292,8 @@ def _spec_attn(q, k, v, kc_ref, vc_ref, ks_ref, vs_ref, offs_ref,
 
 
 def _make_attn_half(B, D, S, n_heads_l, n_kv_l, head_dim, plan, eps, window,
-                    ring, cache_q=False, cache_chunk=None, spec=1):
+                    ring, cache_q=False, cache_chunk=None, spec=1,
+                    wg=False):
     """Attention half on a head shard; emits the WO PARTIAL (no residual
     add — the caller psums partials across shards first).
 
@@ -272,19 +310,28 @@ def _make_attn_half(B, D, S, n_heads_l, n_kv_l, head_dim, plan, eps, window,
     refs and ``offs_ref`` carry ONE row per stream (B/spec), and row j
     additionally attends the fresh K/V of rows i <= j of its stream
     (decode_step_pallas.py's spec contract applied to the local heads).
+    ``wg``: g32 (exact-Q4_0) weight mode — the qkv/wo stacks are
+    [L, SB, N_l, 128] int8 codes and the scale operands are the HBM
+    group-scale stacks [L, 4*SB, 1, N_l] (decode_step_pallas g32 mode
+    applied per shard); activations quantize via ``_quant_f``.
     """
     nq = n_heads_l * head_dim
     nkv = n_kv_l * head_dim
     nqkv = nq + 2 * nkv
     groups = n_heads_l // n_kv_l
     scale = head_dim ** -0.5
+    prep = _quant_f if wg else _quant
 
     def kernel(*refs):
-        # Optional int8-cache scale refs sit right after vc_ref; chunked
-        # mode appends (kbuf, vbuf, sem_kv) scratch at the very end.
+        # Optional int8-cache scale refs sit right after vc_ref; g32 mode
+        # appends its scale buffers + semaphores, then chunked mode's
+        # (kbuf, vbuf, sem_kv) scratch at the very end.
         if cache_chunk:
             kbuf, vbuf, sem_kv = refs[-3:]
             refs = refs[:-3]
+        if wg:
+            sbuf_qkv, sbuf_wo, sem_s_qkv, sem_s_wo = refs[-4:]
+            refs = refs[:-4]
         (layer_ref, offs_ref,
          x_ref, attn_norm_ref, sqkv_ref, so_ref, cos_ref, sin_ref,
          kc_ref, vc_ref) = refs[:10]
@@ -296,14 +343,18 @@ def _make_attn_half(B, D, S, n_heads_l, n_kv_l, head_dim, plan, eps, window,
          yo_ref, kn_ref, vn_ref,
          buf_qkv, buf_wo, sem_qkv, sem_wo) = refs[idx:idx + 9]
         layer = layer_ref[0]
-        stream = _stream_factory(layer, plan,
-                                 {"qkv": buf_qkv, "wo": buf_wo},
-                                 {"qkv": sem_qkv, "wo": sem_wo})
+        stream = _stream_factory(
+            layer, plan,
+            {"qkv": buf_qkv, "wo": buf_wo},
+            {"qkv": sem_qkv, "wo": sem_wo},
+            wg=wg,
+            sbufs={"qkv": sbuf_qkv, "wo": sbuf_wo} if wg else None,
+            sems_s={"qkv": sem_s_qkv, "wo": sem_s_wo} if wg else None)
 
         x = x_ref[:].astype(jnp.float32)
         var = jnp.mean(x * x, axis=-1, keepdims=True)
         h = x * jax.lax.rsqrt(var + eps) * attn_norm_ref[0][None, :]
-        xq, sx = _quant(h)
+        xq, sx = prep(h)
         qkv = stream("qkv", xq, sx, wqkv_hbm, sqkv_ref, nqkv)
         q = qkv[:, :nq].reshape(B, n_heads_l, head_dim)
         k = qkv[:, nq:nq + nkv].reshape(B, n_kv_l, head_dim)
@@ -323,7 +374,7 @@ def _make_attn_half(B, D, S, n_heads_l, n_kv_l, head_dim, plan, eps, window,
                 vs_ref if cache_q else None,
                 offs_ref, B, spec, n_heads_l, n_kv_l, head_dim,
                 window, ring, cache_q)
-            xq, sx = _quant(attn)
+            xq, sx = prep(attn)
             yo_ref[:] = stream("wo", xq, sx, wo_hbm, so_ref, D)
             return
 
@@ -501,34 +552,44 @@ def _make_attn_half(B, D, S, n_heads_l, n_kv_l, head_dim, plan, eps, window,
                                                       head_dim)
         attn = (ctx / denom[..., None]).reshape(B, nq)
 
-        xq, sx = _quant(attn)
+        xq, sx = prep(attn)
         yo_ref[:] = stream("wo", xq, sx, wo_hbm, so_ref, D)
 
     return kernel
 
 
-def _make_ffn_half(B, D, hidden_l, plan, eps):
-    """FFN half on an F shard; emits the W2 PARTIAL."""
+def _make_ffn_half(B, D, hidden_l, plan, eps, wg=False):
+    """FFN half on an F shard; emits the W2 PARTIAL.  ``wg``: g32
+    weight mode (same contract as :func:`_make_attn_half`)."""
+    prep = _quant_f if wg else _quant
 
-    def kernel(layer_ref,
-               x_ref, ffn_norm_ref, ada_ref, s13_ref, s2_ref,
-               w13_hbm, w2_hbm,
-               zo_ref,
-               buf_13, buf_2, sem_13, sem_2):
+    def kernel(*refs):
+        if wg:
+            sbuf_13, sbuf_2, sem_s_13, sem_s_2 = refs[-4:]
+            refs = refs[:-4]
+        (layer_ref,
+         x_ref, ffn_norm_ref, ada_ref, s13_ref, s2_ref,
+         w13_hbm, w2_hbm,
+         zo_ref,
+         buf_13, buf_2, sem_13, sem_2) = refs
         layer = layer_ref[0]
-        stream = _stream_factory(layer, plan,
-                                 {"w13": buf_13, "w2": buf_2},
-                                 {"w13": sem_13, "w2": sem_2})
+        stream = _stream_factory(
+            layer, plan,
+            {"w13": buf_13, "w2": buf_2},
+            {"w13": sem_13, "w2": sem_2},
+            wg=wg,
+            sbufs={"w13": sbuf_13, "w2": sbuf_2} if wg else None,
+            sems_s={"w13": sem_s_13, "w2": sem_s_2} if wg else None)
 
         x = x_ref[:].astype(jnp.float32)
         var = jnp.mean(x * x, axis=-1, keepdims=True)
         h = x * jax.lax.rsqrt(var + eps) * ffn_norm_ref[0][None, :]
         h = h * ada_ref[0][None, :]
-        xq, sx = _quant(h)
+        xq, sx = prep(h)
         up = stream("w13", xq, sx, w13_hbm, s13_ref, 2 * hidden_l)
         gate, upv = up[:, :hidden_l], up[:, hidden_l:]
         hmid = gate * jax.nn.sigmoid(gate) * upv
-        xq, sx = _quant(hmid)
+        xq, sx = prep(hmid)
         zo_ref[:] = stream("w2", xq, sx, w2_hbm, s2_ref, D)
 
     return kernel
@@ -564,12 +625,21 @@ def attn_half_step(
     B = streams*K rows while caches/scales/offsets carry one row per
     STREAM (B/spec); incompatible with ``cache_chunk`` (per-chunk
     requant groups cannot be joined exactly).
+
+    g32 (exact-Q4_0) weight mode is selected by shape: ``wqkv``
+    [L, SB_D, nqkv_l, 128] int8 / ``wo`` [L, SB_nq, D, 128] int8 with
+    ``sqkv``/``so`` the matching HBM group-scale stacks [L, 4*SB, 1, N]
+    (tp_shard_fused_weights_q4g); needs D % 128 and nq_l % 128.
     """
     B, D = x.shape
     S = k_cache_l.shape[-2]
     nq = n_heads_l * head_dim
     nqkv = nq + 2 * n_kv_l * head_dim
-    plan = _half_plan({"qkv": (nqkv, D), "wo": (D, nq)})
+    wg = wqkv.ndim == 4
+    if wg and (D % 128 or nq % 128):
+        raise ValueError(
+            f"g32 attn half needs D ({D}) and local nq ({nq}) % 128")
+    plan = _half_plan({"qkv": (nqkv, D), "wo": (D, nq)}, wg=wg)
     if plan is None:
         raise ValueError("attn_half_step: dims not tileable")
     cache_q = k_cache_l.dtype == jnp.int8
@@ -593,7 +663,7 @@ def attn_half_step(
                 "chunked mode takes the full [L, B, Hkv_l, S, hd] stacks")
     kernel = _make_attn_half(B, D, S, n_heads_l, n_kv_l, head_dim, plan,
                              eps, window, ring, cache_q=cache_q,
-                             cache_chunk=cache_chunk, spec=spec)
+                             cache_chunk=cache_chunk, spec=spec, wg=wg)
 
     offs = jnp.broadcast_to(jnp.asarray(offsets, jnp.int32).reshape(-1),
                             (Bc,))
@@ -605,18 +675,36 @@ def attn_half_step(
         (B, n_heads_l, head_dim))
 
     cache_space = pl.ANY if cache_chunk else pltpu.VMEM
+    scale_space = pl.ANY if wg else pltpu.VMEM  # g32: HBM scale stacks
     in_specs = (
-        [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6
+        [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+        + [pl.BlockSpec(memory_space=scale_space)] * 2
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
         + [pl.BlockSpec(memory_space=cache_space)] * 2
         + ([pl.BlockSpec(memory_space=pltpu.VMEM)] * 2 if cache_q else [])
         + [pl.BlockSpec(memory_space=pl.ANY)] * 2
     )
-    scratch = [
-        pltpu.VMEM((2, plan["qkv"][0], D), jnp.int8),
-        pltpu.VMEM((2, plan["wo"][0], nq), jnp.int8),
-        pltpu.SemaphoreType.DMA((2,)),
-        pltpu.SemaphoreType.DMA((2,)),
-    ]
+    if wg:
+        scratch = [
+            pltpu.VMEM((2, D // 128, plan["qkv"][0], 128), jnp.int8),
+            pltpu.VMEM((2, nq // 128, plan["wo"][0], 128), jnp.int8),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    else:
+        scratch = [
+            pltpu.VMEM((2, plan["qkv"][0], D), jnp.int8),
+            pltpu.VMEM((2, plan["wo"][0], nq), jnp.int8),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    if wg:
+        scratch += [
+            pltpu.VMEM((2, 4 * (D // 128), 1, plan["qkv"][0]), jnp.float32),
+            pltpu.VMEM((2, 4 * (nq // 128), 1, plan["wo"][0]), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
     if cache_chunk:
         scratch += [
             pltpu.VMEM((2, B, n_kv_l, cache_chunk, head_dim),
@@ -636,8 +724,8 @@ def attn_half_step(
     operands = [
         x.astype(jnp.float32),
         attn_norm.astype(jnp.float32).reshape(1, D),
-        sqkv.astype(jnp.float32).reshape(1, nqkv),
-        so.astype(jnp.float32).reshape(1, D),
+        (sqkv if wg else sqkv.astype(jnp.float32).reshape(1, nqkv)),
+        (so if wg else so.astype(jnp.float32).reshape(1, D)),
         cos3, sin3,
         k_cache_l, v_cache_l,
     ]
@@ -681,26 +769,51 @@ def ffn_half_step(
     x [B, D] (post-psum attention residual); per-layer vectors
     ffn_norm/ada_vec [D], s13 [2F_l], s2 [D]; stacked local weights
     w13 [L, 2F_l, D] int8, w2 [L, D, F_l].  Returns w2_partial [B, D].
+
+    g32 (exact-Q4_0) mode is selected by shape: w13 [L, SB_D, 2F_l, 128]
+    / w2 [L, SB_F, D, 128] int8 codes with s13/s2 the HBM group-scale
+    stacks [L, 4*SB, 1, N]; needs D % 128 and F_l % 128.
     """
     B, D = x.shape
-    hidden_l = w2.shape[2]
-    plan = _half_plan({"w13": (2 * hidden_l, D), "w2": (D, hidden_l)})
+    wg = w13.ndim == 4
+    hidden_l = (w13.shape[2] // 2) if wg else w2.shape[2]
+    if wg and (D % 128 or hidden_l % 128):
+        raise ValueError(
+            f"g32 ffn half needs D ({D}) and local F ({hidden_l}) % 128")
+    plan = _half_plan({"w13": (2 * hidden_l, D), "w2": (D, hidden_l)},
+                      wg=wg)
     if plan is None:
         raise ValueError("ffn_half_step: dims not tileable")
-    kernel = _make_ffn_half(B, D, hidden_l, plan, eps)
+    kernel = _make_ffn_half(B, D, hidden_l, plan, eps, wg=wg)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5
-        + [pl.BlockSpec(memory_space=pl.ANY)] * 2,
-        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),),
-        scratch_shapes=[
+    scale_space = pl.ANY if wg else pltpu.VMEM
+    if wg:
+        scratch = [
+            pltpu.VMEM((2, D // 128, plan["w13"][0], 128), jnp.int8),
+            pltpu.VMEM((2, hidden_l // 128, plan["w2"][0], 128), jnp.int8),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, 4 * (D // 128), 1, plan["w13"][0]), jnp.float32),
+            pltpu.VMEM((2, 4 * (hidden_l // 128), 1, plan["w2"][0]),
+                       jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    else:
+        scratch = [
             pltpu.VMEM((2, plan["w13"][0], D), jnp.int8),
             pltpu.VMEM((2, plan["w2"][0], hidden_l), jnp.int8),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
-        ],
+        ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
+        + [pl.BlockSpec(memory_space=scale_space)] * 2
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),),
+        scratch_shapes=scratch,
     )
     (out,) = pl.pallas_call(
         kernel,
@@ -714,8 +827,8 @@ def ffn_half_step(
         x.astype(jnp.float32),
         ffn_norm.astype(jnp.float32).reshape(1, D),
         ada_vec.astype(jnp.float32).reshape(1, D),
-        s13.astype(jnp.float32).reshape(1, 2 * hidden_l),
-        s2.astype(jnp.float32).reshape(1, D),
+        (s13 if wg else s13.astype(jnp.float32).reshape(1, 2 * hidden_l)),
+        (s2 if wg else s2.astype(jnp.float32).reshape(1, D)),
         w13, w2,
     )
     return out
@@ -772,6 +885,74 @@ def tp_shard_fused_weights(fused: Params, n_heads: int, n_kv: int,
         "s2": jnp.stack([fused["s2"]] * tp),
     }
     return out
+
+
+def tp_shard_fused_weights_q4g(fused: Params, n_heads: int, n_kv: int,
+                               head_dim: int, hidden: int, tp: int) -> Params:
+    """Reshard g32 (exact-Q4_0) fused stacks for ``tp`` shards.
+
+    ``fused`` from ``decode_step_pallas.fuse_decode_weights_q4g``: codes
+    [L, SB, N, 128] int8 + group scales [L, 4*SB, 1, N] f32 per phase.
+    Megatron layout like :func:`tp_shard_fused_weights` — qkv/w13
+    column-parallel (the N axis, in q/k/v and w1/w3 segments), wo/w2
+    row-parallel (the contraction axis = whole superblocks, with the
+    r-major scale rows re-gathered per shard).  Returns arrays with a
+    LEADING shard axis: codes [tp, L, SB_l, N_l, 128], scales
+    [tp, L, 4*SB_l, 1, N_l].  Requires the LOCAL contraction dims % 128
+    (nq/tp and hidden/tp) — the group-32 dots contract whole 128-lane
+    superblocks.
+    """
+    if n_kv % tp or hidden % tp:
+        raise ValueError(f"tp={tp} must divide n_kv={n_kv} and "
+                         f"hidden={hidden}")
+    nq, nkv = n_heads * head_dim, n_kv * head_dim
+    nq_l, nkv_l = nq // tp, nkv // tp
+    f = hidden
+    fl = f // tp
+    if nq_l % 128 or fl % 128:
+        raise ValueError(
+            f"q4g TP needs local contraction dims % 128 "
+            f"(nq/tp={nq_l}, hidden/tp={fl})")
+
+    def segN(a, starts_sizes, axis):
+        return jnp.concatenate(
+            [jax.lax.slice_in_dim(a, s, s + n, axis=axis)
+             for s, n in starts_sizes], axis=axis)
+
+    def shard_qkv(a, i, axis):
+        return segN(a, [(i * nq_l, nq_l),
+                        (nq + i * nkv_l, nkv_l),
+                        (nq + nkv + i * nkv_l, nkv_l)], axis)
+
+    def shard_13(a, i, axis):
+        return segN(a, [(i * fl, fl), (f + i * fl, fl)], axis)
+
+    def shard_k(codes, scales, i, k_l):
+        # Row-parallel: shard whole superblocks of the contraction axis.
+        # The r-major scale layout interleaves the 4 in-superblock groups
+        # ([L, 4, SB, 1, N] flattened), so re-gather the shard's rows.
+        sbl = k_l // 128
+        c = jax.lax.slice_in_dim(codes, i * sbl, (i + 1) * sbl, axis=1)
+        ll, sb4, one, n = scales.shape
+        s = scales.reshape(ll, 4, sb4 // 4, 1, n)[:, :, i * sbl:(i + 1) * sbl]
+        return c, s.reshape(ll, 4 * sbl, 1, n)
+
+    wo_sh = [shard_k(fused["wo"], fused["so"], i, nq_l) for i in range(tp)]
+    w2_sh = [shard_k(fused["w2"], fused["s2"], i, fl) for i in range(tp)]
+    return {
+        "wqkv": jnp.stack([shard_qkv(fused["wqkv"], i, 2)
+                           for i in range(tp)]),
+        "sqkv": jnp.stack([shard_qkv(fused["sqkv"], i, 3)
+                           for i in range(tp)]),
+        "wo": jnp.stack([c for c, _ in wo_sh]),
+        "so": jnp.stack([s for _, s in wo_sh]),
+        "w13": jnp.stack([shard_13(fused["w13"], i, 2)
+                          for i in range(tp)]),
+        "s13": jnp.stack([shard_13(fused["s13"], i, 3)
+                          for i in range(tp)]),
+        "w2": jnp.stack([c for c, _ in w2_sh]),
+        "s2": jnp.stack([s for _, s in w2_sh]),
+    }
 
 
 def tp_decode_step(
@@ -851,6 +1032,12 @@ def tp_decode_step(
     cache_spec = P(None, da, model_axis, None, None)
     scale_spec = P(None, da, model_axis, None)
 
+    # g32 (exact-Q4_0) TP stacks: codes [tp, L, SB, N_l, 128] (5D) with
+    # matching group-scale stacks — the scale stacks stay whole (the
+    # half-kernels DMA their tiles from HBM per layer) instead of being
+    # scanned as per-layer VMEM vectors.
+    wg = tp_w["wqkv"].ndim == 5
+
     def shard_fn(x, offs, cos2, sin2, an, fn, ad,
                  wqkv, sqkv, wo, so, w13, s13, w2, s2, kc, vc, ks, vs):
         wqkv, sqkv, wo, so = wqkv[0], sqkv[0], wo[0], so[0]
@@ -862,12 +1049,17 @@ def tp_decode_step(
                 # out of the FULL HBM-resident local stacks itself —
                 # scanning the caches would materialize an HBM->VMEM
                 # copy of a whole layer's cache per step.
-                (l, an_l, fn_l, ad_l, sq_l, so_l, s13_l, s2_l,
-                 *per_l) = inp
+                (l, an_l, fn_l, ad_l, *per_l) = inp
                 k_l, v_l = kc, vc
             else:
-                (l, an_l, fn_l, ad_l, sq_l, so_l, s13_l, s2_l,
-                 k_l, v_l, *per_l) = inp
+                (l, an_l, fn_l, ad_l, *per_l) = inp
+                k_l, v_l = per_l[0], per_l[1]
+                per_l = per_l[2:]
+            if wg:
+                sq_l, so_l, s13_l, s2_l = sqkv, so, s13, s2
+            else:
+                sq_l, so_l, s13_l, s2_l = per_l[:4]
+                per_l = per_l[4:]
             scale_kw = (dict(k_scales_l=per_l[-2], v_scales_l=per_l[-1])
                         if cache_q else {})
             y, k_new, v_new = attn_half_step(
@@ -883,10 +1075,11 @@ def tp_decode_step(
             xc = xc + jax.lax.psum(z, model_axis)
             return xc, (k_new, v_new)
 
-        xs = (jnp.arange(L, dtype=jnp.int32), an, fn, ad,
-              sqkv, so, s13, s2)
+        xs = (jnp.arange(L, dtype=jnp.int32), an, fn, ad)
         if not cache_chunk:
             xs += (kc, vc)
+        if not wg:
+            xs += (sqkv, so, s13, s2)
         if cache_q:
             xs += (ks, vs)
         x_out, (kn, vn) = jax.lax.scan(layer_body, x, xs)
@@ -944,7 +1137,7 @@ def tp_attn_half_vmem(B, S, D, n_heads_l, n_kv_l, head_dim,
 
 def tp_vmem_need(B, S, D, n_heads, n_kv, head_dim, hidden, tp,
                  cache_itemsize=2, cache_chunk=None,
-                 spec=1) -> Optional[int]:
+                 spec=1, wg=False) -> Optional[int]:
     """Estimated per-layer VMEM bytes for the TP half-kernels at this
     geometry (the binding term is the attention half's local K+V cache
     blocks [B, Hkv/tp, S, hd], VMEM-resident per call — unless
@@ -963,9 +1156,11 @@ def tp_vmem_need(B, S, D, n_heads, n_kv, head_dim, hidden, tp,
     Bc = B // spec
     nq_l = (n_heads // tp) * head_dim
     nqkv_l = nq_l + 2 * (n_kv // tp) * head_dim
+    if wg and (D % 128 or nq_l % 128 or (hidden // tp) % 128):
+        return None
     if _half_plan({"qkv": (nqkv_l, D), "wo": (D, nq_l),
                    "w13": (2 * hidden // tp, D),
-                   "w2": (D, hidden // tp)}) is None:
+                   "w2": (D, hidden // tp)}, wg=wg) is None:
         return None
     if cache_chunk and S % cache_chunk:
         return None
@@ -1007,7 +1202,30 @@ def tp_shard_lm_head(w8: Params, tp: int) -> Params:
     }
 
 
-def _make_lm_half(n_tiles, t):
+def tp_shard_lm_head_q4g(lm_codes, lm_scale, tp: int) -> Params:
+    """Vocab-shard a g32 tied embedding table (exact-Q4_0 lm fold).
+
+    ``lm_codes`` [SB, V, 128] int8 / ``lm_scale`` [4*SB, 1, V] f32 from
+    ``fuse_decode_weights_q4g``.  Returns codes [tp, SB, V/tp, 128] and
+    scales [tp, 4*SB, 1, V/tp] — contiguous ascending vocab shards, so
+    :func:`tp_lm_head_token`'s tie resolution keeps ``jnp.argmax``
+    semantics.
+    """
+    sb, V, _ = lm_codes.shape
+    if V % tp:
+        raise ValueError(f"tp={tp} must divide vocab={V}")
+    vl = V // tp
+    return {
+        "codes": jnp.stack(
+            [jax.lax.slice_in_dim(lm_codes, i * vl, (i + 1) * vl, axis=1)
+             for i in range(tp)]),
+        "scale": jnp.stack(
+            [jax.lax.slice_in_dim(lm_scale, i * vl, (i + 1) * vl, axis=2)
+             for i in range(tp)]),
+    }
+
+
+def _make_lm_half(n_tiles, t, wg=False):
     """Per-shard lm_head matvec over the LOCAL vocab shard, folding the
     greedy (max, first-argmax) across vocab tiles so the [B, V_l] logits
     never materialize (the whole-stack kernel's ``lm_argmax`` fold,
@@ -1016,10 +1234,18 @@ def _make_lm_half(n_tiles, t):
     ops/w8_pallas.py, which streams at ~760 GB/s; a manual
     fori_loop+DMA variant of this kernel measured only ~33 GB/s on v5e)
     — with the running fold carried in VMEM scratch across grid steps.
+    ``wg``: g32 (exact-Q4_0) table — the activation arrives as the 4
+    pre-masked code stacks (built in XLA by ``_g32_mask_codes``) and the
+    tile contraction is the group-32 dot with f16-exact group scales.
     """
 
-    def kernel(xq_ref, sx_ref, scale_ref, w_ref,
-               vmax_ref, vidx_ref, acc_v, acc_i):
+    def kernel(*refs):
+        if wg:
+            (xm0, xm1, xm2, xm3, sx_ref, scale_ref, w_ref,
+             vmax_ref, vidx_ref, acc_v, acc_i) = refs
+        else:
+            (xq_ref, sx_ref, scale_ref, w_ref,
+             vmax_ref, vidx_ref, acc_v, acc_i) = refs
         j = pl.program_id(0)
 
         @pl.when(j == 0)
@@ -1027,11 +1253,16 @@ def _make_lm_half(n_tiles, t):
             acc_v[:] = jnp.full(acc_v.shape, -jnp.inf, jnp.float32)
             acc_i[:] = jnp.zeros(acc_i.shape, jnp.int32)
 
-        z = jax.lax.dot_general(
-            xq_ref[:], w_ref[:],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32)
-        vals = z.astype(jnp.float32) * sx_ref[:] * scale_ref[:]  # [B, t]
+        if wg:
+            vals = _g32_matmul_tile(
+                [xm0[:], xm1[:], xm2[:], xm3[:]], sx_ref[:],
+                w_ref[:], scale_ref[:])  # [B, t]
+        else:
+            z = jax.lax.dot_general(
+                xq_ref[:], w_ref[:],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            vals = z.astype(jnp.float32) * sx_ref[:] * scale_ref[:]
         idx = j * t + jax.lax.broadcasted_iota(jnp.int32, vals.shape, 1)
         tb = jnp.max(vals, axis=1, keepdims=True)
         ti = jnp.min(jnp.where(vals >= tb, idx, jnp.int32(2**30)),
@@ -1061,13 +1292,19 @@ def lm_half_argmax(x, final_norm, lm_scale_l, lm_codes_l,
     in XLA (identical math to the w8_matmul reference path); the kernel
     does the int8 MXU contraction + f32 epilogue + greedy fold.
     Returns (max_logit [B, 1] f32, local_argmax [B, 1] i32).
+
+    g32 (exact-Q4_0) table, selected by shape: lm_codes_l [SB, V_l, 128]
+    int8 + lm_scale_l [4*SB, 1, V_l] f32 (tp_shard_lm_head_q4g) — the
+    activation masks into the 4 lane-masked stacks in XLA and the kernel
+    runs the group-32 dots with the f16-exact scales.
     """
     from voxtral_tpu.ops.decode_step_pallas import _lm_tile
     from voxtral_tpu.ops.w8 import _quantize_activations
 
     B, D = x.shape
-    V_l = lm_codes_l.shape[0]
-    t = _lm_tile(V_l, D)
+    wg = lm_codes_l.ndim == 3
+    V_l = lm_codes_l.shape[1] if wg else lm_codes_l.shape[0]
+    t = _lm_tile(V_l, D, 1.125 if wg else 1)
     if t is None:
         raise ValueError(f"lm_half_argmax: vocab shard {V_l} not tileable")
     n_tiles = V_l // t
@@ -1075,24 +1312,46 @@ def lm_half_argmax(x, final_norm, lm_scale_l, lm_codes_l,
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
     h = xf * jax.lax.rsqrt(var + eps) * final_norm.astype(jnp.float32)
-    xq, sx = _quantize_activations(h)
+    if wg:
+        xqf, sx = _quant_f(h)
+        xms = _g32_mask_codes(xqf, D, B)  # 4 x [SB, B, 128] int8
+        sb = D // 128
+        act_operands = list(xms) + [sx.astype(jnp.float32)]
+        act_specs = (
+            [pl.BlockSpec((sb, B, 128), lambda j: (0, 0, 0),
+                          memory_space=pltpu.VMEM)] * 4
+            + [pl.BlockSpec((B, 1), lambda j: (0, 0),
+                            memory_space=pltpu.VMEM)]
+        )
+        scale_spec = pl.BlockSpec((4 * sb, 1, t), lambda j: (0, 0, j),
+                                  memory_space=pltpu.VMEM)
+        w_spec = pl.BlockSpec((sb, t, 128), lambda j: (0, j, 0),
+                              memory_space=pltpu.VMEM)
+        scale_operand = lm_scale_l.astype(jnp.float32)
+        bytes_w = V_l * D + (V_l * D) // 8
+    else:
+        xq, sx = _quantize_activations(h)
+        act_operands = [xq, sx.astype(jnp.float32)]
+        act_specs = [
+            pl.BlockSpec((B, D), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        scale_spec = pl.BlockSpec((1, t), lambda j: (0, j),
+                                  memory_space=pltpu.VMEM)
+        w_spec = pl.BlockSpec((t, D), lambda j: (j, 0),
+                              memory_space=pltpu.VMEM)
+        scale_operand = lm_scale_l.astype(jnp.float32).reshape(1, V_l)
+        bytes_w = V_l * D + 4 * V_l
 
-    kernel = _make_lm_half(n_tiles, t)
+    kernel = _make_lm_half(n_tiles, t, wg=wg)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=(n_tiles,),
-            in_specs=[
-                pl.BlockSpec((B, D), lambda j: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((B, 1), lambda j: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, t), lambda j: (0, j),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((t, D), lambda j: (j, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=act_specs + [scale_spec, w_spec],
             out_specs=(
                 pl.BlockSpec((B, 1), lambda j: (0, 0),
                              memory_space=pltpu.VMEM),
@@ -1110,15 +1369,15 @@ def lm_half_argmax(x, final_norm, lm_scale_l, lm_codes_l,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * V_l * D,
-            bytes_accessed=V_l * D + 4 * V_l + B * D,
+            bytes_accessed=bytes_w + B * D,
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(
-        xq, sx.astype(jnp.float32),
-        lm_scale_l.astype(jnp.float32).reshape(1, V_l),
+        *act_operands,
+        scale_operand,
         lm_codes_l,
     )
 
@@ -1137,10 +1396,14 @@ def tp_lm_head_token(
     first-match semantics (vocab shards are contiguous ascending).
     ``data_axis``: optionally shard the batch rows over a second mesh
     axis (the DP x TP composition of :func:`tp_decode_step`).
+
+    g32 tables (exact-Q4_0, ``tp_shard_lm_head_q4g``) are selected by
+    shape: codes [tp, SB, V_l, 128] / scales [tp, 4*SB, 1, V_l].
     """
     from jax.sharding import PartitionSpec as P
 
-    V_l = lm_codes_sh.shape[1]
+    V_l = (lm_codes_sh.shape[2] if lm_codes_sh.ndim == 4
+           else lm_codes_sh.shape[1])
     da = data_axis
     x_spec = P(da, None) if da is not None else P()
 

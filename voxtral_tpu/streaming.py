@@ -573,7 +573,8 @@ def _fused_plan(model, batch: int, cache_s: int, itemsize: int = None,
         need = tp_vmem_need(
             rows, cache_s, lm.dim,
             lm.n_heads, lm.n_kv_heads, lm.head_dim, lm.hidden_dim,
-            par.tp, itemsize, cache_chunk=chunk, spec=spec)
+            par.tp, itemsize, cache_chunk=chunk, spec=spec,
+            wg=getattr(model, "megakernel_weights", None) == "q4g")
         if need is None or need > TP_VMEM_CAP:
             return None
         return {"w": model.fused_tp, "tp": par.tp,
