@@ -429,3 +429,140 @@ def test_transcribe_coalesces_concurrent_posts(server):
     else:
         raise AssertionError(
             f"coalesced counter missing from /metrics:\n{body}")
+
+
+# -- OpenAI-compatible surface (/v1) ----------------------------------------
+
+
+def _wav_bytes(seconds=2.0, freq=300.0, rate=16000):
+    from scipy.io import wavfile
+
+    t = np.arange(int(seconds * rate)) / rate
+    sig = (0.4 * np.sin(2 * np.pi * freq * t) * 32767).astype(np.int16)
+    buf = io.BytesIO()
+    wavfile.write(buf, rate, sig)
+    return buf.getvalue()
+
+
+def _multipart(fields):
+    """Encode {name: bytes | (filename, bytes)} as multipart/form-data."""
+    boundary = "voxtraltestboundary42"
+    out = io.BytesIO()
+    for name, value in fields.items():
+        out.write(f"--{boundary}\r\n".encode())
+        if isinstance(value, tuple):
+            filename, data = value
+            out.write(
+                f'Content-Disposition: form-data; name="{name}"; '
+                f'filename="{filename}"\r\n'
+                "Content-Type: application/octet-stream\r\n\r\n".encode())
+            out.write(data)
+        else:
+            out.write(
+                f'Content-Disposition: form-data; name="{name}"\r\n'
+                "\r\n".encode())
+            out.write(value)
+        out.write(b"\r\n")
+    out.write(f"--{boundary}--\r\n".encode())
+    return (out.getvalue(),
+            f"multipart/form-data; boundary={boundary}")
+
+
+def _post_multipart(addr, path, fields):
+    import http.client
+
+    body, ctype = _multipart(fields)
+    conn = http.client.HTTPConnection(*addr, timeout=300)
+    conn.request("POST", path, body=body,
+                 headers={"Content-Type": ctype})
+    resp = conn.getresponse()
+    data = resp.read()
+    headers = dict(resp.getheaders())
+    conn.close()
+    return resp.status, data, headers
+
+
+def test_openai_models_listing(server):
+    status, data = request(server, "GET", "/v1/models")
+    assert status == 200
+    payload = json.loads(data)
+    assert payload["object"] == "list"
+    assert payload["data"][0]["object"] == "model"
+    assert payload["data"][0]["id"]
+
+
+def test_openai_transcription_json(server):
+    status, data, headers = _post_multipart(
+        server, "/v1/audio/transcriptions",
+        {"file": ("tone.wav", _wav_bytes()),
+         "model": b"voxtral-mini-realtime",
+         "temperature": b"0"})
+    assert status == 200
+    payload = json.loads(data)
+    assert set(payload) == {"text"}  # OpenAI json shape: text only
+    assert isinstance(payload["text"], str)
+
+
+def test_openai_transcription_text(server):
+    status, data, headers = _post_multipart(
+        server, "/v1/audio/transcriptions",
+        {"file": ("tone.wav", _wav_bytes()),
+         "response_format": b"text"})
+    assert status == 200
+    assert headers["Content-Type"].startswith("text/plain")
+    assert data.endswith(b"\n")
+
+
+def test_openai_transcription_verbose_json(server):
+    status, data, _ = _post_multipart(
+        server, "/v1/audio/transcriptions",
+        {"file": ("tone.wav", _wav_bytes()),
+         "response_format": b"verbose_json",
+         "language": b"en"})
+    assert status == 200
+    payload = json.loads(data)
+    assert payload["task"] == "transcribe"
+    assert payload["language"] == "english"
+    assert payload["duration"] == 2.0
+    assert isinstance(payload["words"], list)
+    assert isinstance(payload["segments"], list)
+    for w in payload["words"]:
+        assert set(w) == {"word", "start", "end"}
+        assert 0 <= w["start"] <= w["end"] <= payload["duration"] + 1e-6
+
+
+def test_openai_transcription_errors(server):
+    # Missing file part.
+    status, data, _ = _post_multipart(
+        server, "/v1/audio/transcriptions", {"model": b"x"})
+    assert status == 400
+    err = json.loads(data)["error"]
+    assert err["type"] == "invalid_request_error"
+    assert err["param"] == "file"
+
+    # Unsupported response_format.
+    status, data, _ = _post_multipart(
+        server, "/v1/audio/transcriptions",
+        {"file": ("t.wav", _wav_bytes()), "response_format": b"srt"})
+    assert status == 400
+    assert json.loads(data)["error"]["param"] == "response_format"
+
+    # Unsupported language.
+    status, data, _ = _post_multipart(
+        server, "/v1/audio/transcriptions",
+        {"file": ("t.wav", _wav_bytes()), "language": b"fr"})
+    assert status == 400
+    assert json.loads(data)["error"]["param"] == "language"
+
+    # Not a WAV payload.
+    status, data, _ = _post_multipart(
+        server, "/v1/audio/transcriptions",
+        {"file": ("t.mp3", b"\xff\xfb" + b"0" * 100)})
+    assert status == 400
+    assert "WAV" in json.loads(data)["error"]["message"]
+
+    # Non-multipart body.
+    status, data = request(
+        server, "POST", "/v1/audio/transcriptions", b"{}")
+    assert status == 400
+    assert json.loads(data)["error"]["type"] == "invalid_request_error"

@@ -11,10 +11,20 @@ Endpoints (worker-protocol shape mirroring ``web/worker.js:15-38``):
     POST /stream/start               -> {"session": id}
     POST /stream/<id>/feed           -> raw f32 PCM; resp {"delta": new text}
     POST /stream/<id>/finish         -> {"delta", "text", "tokens"}
+    POST /v1/audio/transcriptions    -> OpenAI-compatible (multipart WAV
+                                        upload; response_format json |
+                                        text | verbose_json with word
+                                        timings; OpenAI-shaped errors)
+    GET  /v1/models                  -> OpenAI-compatible model listing
 
 Model access is serialized with a lock (one TPU compute stream).  The
 reference's chunk-size panic hint (transcribe.rs:327-349) maps to clean
-HTTP 4xx/5xx JSON errors.
+HTTP 4xx/5xx JSON errors.  The ``/v1`` surface is beyond reference
+parity (the reference's dev server, ``serve.mjs:41-104``, speaks only
+its own worker protocol): it lets stock OpenAI-speech clients point at
+a voxtral_tpu server unchanged.  Audio decoding is WAV-only (this image
+ships no mp3/ogg codecs); greedy decode means ``temperature`` is
+accepted for wire compatibility but ignored.
 """
 
 from __future__ import annotations
@@ -37,6 +47,37 @@ from voxtral_tpu.serving.metrics import Metrics, Timer
 log = logging.getLogger("voxtral_tpu.serving")
 
 _STATIC_DIR = Path(__file__).parent / "static"
+
+# Advertised under GET /v1/models and echoed by /v1/audio/transcriptions.
+OPENAI_MODEL_ID = "voxtral-mini-realtime"
+
+
+def parse_multipart(content_type: str, body: bytes) -> dict:
+    """Parse a multipart/form-data body into {field: (filename, bytes)}.
+
+    Stdlib-only (``email.parser`` — the supported replacement for the
+    removed ``cgi`` module): the request body is re-framed as a MIME
+    document by prepending the Content-Type header, then walked part by
+    part.  Raises ``ValueError`` on anything that isn't well-formed
+    multipart (callers map that to HTTP 400)."""
+    if "multipart/form-data" not in content_type:
+        raise ValueError("Content-Type must be multipart/form-data")
+    from email.parser import BytesParser
+    from email.policy import HTTP
+
+    head = (f"Content-Type: {content_type}\r\n"
+            "MIME-Version: 1.0\r\n\r\n").encode()
+    msg = BytesParser(policy=HTTP).parsebytes(head + body)
+    if not msg.is_multipart():
+        raise ValueError("body is not multipart (missing/odd boundary?)")
+    parts: dict = {}
+    for part in msg.iter_parts():
+        name = part.get_param("name", header="content-disposition")
+        if name is None:
+            continue
+        payload = part.get_payload(decode=True)
+        parts[name] = (part.get_filename(), payload or b"")
+    return parts
 
 
 class _State:
@@ -384,6 +425,15 @@ class _Handler(BaseHTTPRequestHandler):
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
+        elif self.path == "/v1/models":
+            self._json(200, {
+                "object": "list",
+                "data": [{
+                    "id": OPENAI_MODEL_ID,
+                    "object": "model",
+                    "owned_by": "voxtral_tpu",
+                }],
+            })
         elif self.path in ("/", "/index.html"):
             page = (_STATIC_DIR / "index.html").read_bytes()
             self.send_response(200)
@@ -402,7 +452,8 @@ class _Handler(BaseHTTPRequestHandler):
             endpoint = "/stream/<id>/" + endpoint.rsplit("/", 1)[1]
         if endpoint not in ("/transcribe", "/transcribe_pcm",
                            "/stream/start", "/stream/<id>/feed",
-                           "/stream/<id>/finish"):
+                           "/stream/<id>/finish",
+                           "/v1/audio/transcriptions"):
             # Coalesce unknown client-supplied paths into one label —
             # per-path labels would let untrusted input grow the metric
             # series (and server memory) without bound.
@@ -436,6 +487,8 @@ class _Handler(BaseHTTPRequestHandler):
             self._transcribe_wav()
         elif path == "/transcribe_pcm":
             self._transcribe_pcm()
+        elif path == "/v1/audio/transcriptions":
+            self._openai_transcriptions()
         elif path == "/stream/start":
             from voxtral_tpu.utils.hbm import HBMBudgetError
 
@@ -606,6 +659,111 @@ class _Handler(BaseHTTPRequestHandler):
             "audio_seconds": round(len(samples) / rate, 2),
             "wall_seconds": round(time.time() - t0, 2),
         })
+
+    # -- OpenAI-compatible surface -------------------------------------------
+
+    def _openai_error(self, status: int, message: str,
+                      param: Optional[str] = None):
+        """OpenAI error envelope so stock clients raise their native
+        typed exceptions instead of choking on an unfamiliar shape."""
+        self._json(status, {"error": {
+            "message": message,
+            "type": ("invalid_request_error" if status < 500
+                     else "server_error"),
+            "param": param,
+            "code": None,
+        }})
+
+    def _openai_transcriptions(self):
+        """``POST /v1/audio/transcriptions`` — the OpenAI speech-to-text
+        wire contract on top of the same coalesced/word-timing machinery
+        as ``/transcribe``.  Beyond reference parity: the reference's
+        dev server (``serve.mjs:41-104``) speaks only its own worker
+        protocol.  WAV input only; ``temperature`` accepted but ignored
+        (decode is greedy); ``language`` accepted ("en" or empty only —
+        the model is English)."""
+        ctype = self.headers.get("Content-Type", "")
+        body = self._read_body()
+        try:
+            parts = parse_multipart(ctype, body)
+        except ValueError as e:
+            self._openai_error(400, str(e))
+            return
+        if "file" not in parts:
+            self._openai_error(400, "missing required field: file", "file")
+            return
+        fmt_raw = parts.get("response_format", (None, b"json"))[1]
+        fmt = fmt_raw.decode("utf-8", "replace").strip() or "json"
+        if fmt not in ("json", "text", "verbose_json"):
+            self._openai_error(
+                400, f"response_format {fmt!r} not supported "
+                "(json | text | verbose_json)", "response_format")
+            return
+        lang = parts.get("language", (None, b""))[1].decode(
+            "utf-8", "replace").strip().lower()
+        if lang not in ("", "en", "english"):
+            self._openai_error(
+                400, f"language {lang!r} not supported (English model)",
+                "language")
+            return
+        filename, wav = parts["file"]
+        if len(wav) < 44:
+            self._openai_error(
+                400, f"file {filename!r} is not a WAV file (only WAV is "
+                "supported — no mp3/ogg codecs in this runtime)", "file")
+            return
+        import tempfile
+
+        from voxtral_tpu.audio.io import load_wav
+
+        with tempfile.NamedTemporaryFile(suffix=".wav") as f:
+            f.write(wav)
+            f.flush()
+            try:
+                audio = load_wav(f.name)
+            except Exception as e:
+                self._openai_error(
+                    400, f"failed to parse {filename!r} as WAV: {e} "
+                    "(only WAV is supported)", "file")
+                return
+        samples, rate = audio.samples, audio.sample_rate
+        duration = len(samples) / rate
+        if fmt == "verbose_json":
+            with self.state.lock, Timer(self.state.metrics,
+                                        "voxtral_transcribe_seconds"):
+                result = self.state.pipeline.transcribe_samples_words(
+                    samples, rate)
+            payload = {
+                "task": "transcribe",
+                "language": "english",
+                "duration": round(duration, 3),
+                "text": result["text"],
+                "words": [{"word": w["word"],
+                           "start": round(w["start"], 3),
+                           "end": round(w["end"], 3)}
+                          for w in result["words"]],
+                # One whole-utterance segment: clients that only read
+                # segments still get the full text + bounds.
+                "segments": [{
+                    "id": 0, "start": 0.0, "end": round(duration, 3),
+                    "text": result["text"],
+                }] if result["text"] else [],
+            }
+        else:
+            text = self.state.transcribe_coalesced(samples, rate)
+            payload = {"text": text}
+        self.state.metrics.inc("voxtral_audio_seconds_total",
+                               duration, path="batch")
+        if fmt == "text":
+            data = (payload["text"] + "\n").encode()
+            self.send_response(200)
+            self._last_status = 200
+            self.send_header("Content-Type", "text/plain; charset=utf-8")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+        else:
+            self._json(200, payload)
 
 
 def make_server(
