@@ -566,3 +566,56 @@ def test_openai_transcription_errors(server):
         server, "POST", "/v1/audio/transcriptions", b"{}")
     assert status == 400
     assert json.loads(data)["error"]["type"] == "invalid_request_error"
+
+
+def _sse_events(data: bytes):
+    events = []
+    for block in data.decode().split("\n\n"):
+        block = block.strip()
+        if block.startswith("data: "):
+            events.append(json.loads(block[len("data: "):]))
+    return events
+
+
+def _sse_transcribe(addr):
+    status, data, headers = _post_multipart(
+        addr, "/v1/audio/transcriptions",
+        {"file": ("tone.wav", _wav_bytes(seconds=3.0)),
+         "stream": b"true"})
+    assert status == 200
+    assert headers["Content-Type"].startswith("text/event-stream")
+    events = _sse_events(data)
+    assert events, "no SSE events"
+    assert events[-1]["type"] == "transcript.text.done"
+    assert isinstance(events[-1]["text"], str)
+    deltas = [e for e in events[:-1]]
+    for e in deltas:
+        assert e["type"] == "transcript.text.delta"
+        assert e["delta"]  # only non-empty deltas are emitted
+    assert "".join(e["delta"] for e in deltas) == events[-1]["text"]
+
+
+def test_openai_transcription_sse(server):
+    _sse_transcribe(server)
+
+
+def test_openai_transcription_sse_pooled(pooled_server):
+    # Rides the pool's coalesced decode; slot must be released after.
+    _sse_transcribe(pooled_server)
+    status, data = request(pooled_server, "GET", "/metrics")
+    assert status == 200
+    for line in data.decode().splitlines():
+        if line.startswith("voxtral_pool_free_slots"):
+            assert float(line.split()[-1]) == 2.0
+            break
+    else:
+        raise AssertionError("pool gauge missing")
+
+
+def test_openai_sse_rejects_non_json_format(server):
+    status, data, _ = _post_multipart(
+        server, "/v1/audio/transcriptions",
+        {"file": ("t.wav", _wav_bytes()), "stream": b"true",
+         "response_format": b"verbose_json"})
+    assert status == 400
+    assert json.loads(data)["error"]["param"] == "stream"

@@ -14,7 +14,9 @@ Endpoints (worker-protocol shape mirroring ``web/worker.js:15-38``):
     POST /v1/audio/transcriptions    -> OpenAI-compatible (multipart WAV
                                         upload; response_format json |
                                         text | verbose_json with word
-                                        timings; OpenAI-shaped errors)
+                                        timings; stream=true -> SSE
+                                        transcript.text.delta/.done
+                                        events; OpenAI-shaped errors)
     GET  /v1/models                  -> OpenAI-compatible model listing
 
 Model access is serialized with a lock (one TPU compute stream).  The
@@ -706,6 +708,13 @@ class _Handler(BaseHTTPRequestHandler):
                 400, f"language {lang!r} not supported (English model)",
                 "language")
             return
+        stream = parts.get("stream", (None, b""))[1].decode(
+            "utf-8", "replace").strip().lower() in ("true", "1")
+        if stream and fmt != "json":
+            self._openai_error(
+                400, "stream=true supports only response_format=json",
+                "stream")
+            return
         filename, wav = parts["file"]
         if len(wav) < 44:
             self._openai_error(
@@ -728,6 +737,9 @@ class _Handler(BaseHTTPRequestHandler):
                 return
         samples, rate = audio.samples, audio.sample_rate
         duration = len(samples) / rate
+        if stream:
+            self._openai_stream_sse(samples, rate)
+            return
         if fmt == "verbose_json":
             with self.state.lock, Timer(self.state.metrics,
                                         "voxtral_transcribe_seconds"):
@@ -764,6 +776,96 @@ class _Handler(BaseHTTPRequestHandler):
             self.wfile.write(data)
         else:
             self._json(200, payload)
+
+    def _openai_stream_sse(self, samples, rate):
+        """``stream=true``: incremental transcription of the upload as
+        Server-Sent Events (``transcript.text.delta`` per new text,
+        ``transcript.text.done`` at the end — the OpenAI streaming
+        transcription event shapes).  Rides the same StreamingSession /
+        StreamPool machinery as ``/stream``, feeding the file in 1 s
+        slices, so pooled serving coalesces SSE uploads with live mic
+        sessions into one batched decode."""
+        from voxtral_tpu.audio import AudioBuffer, resample_to_16k
+        from voxtral_tpu.utils.hbm import HBMBudgetError
+
+        if rate != 16000:
+            samples = resample_to_16k(
+                AudioBuffer(np.asarray(samples, np.float32), rate)).samples
+        state = self.state
+        with state.lock:
+            state.evict_idle()
+            if len(state.sessions) >= state.MAX_SESSIONS:
+                self._openai_error(
+                    429, f"too many active sessions "
+                    f"(max {state.MAX_SESSIONS})")
+                return
+            try:
+                session = _new_session(state)
+            except HBMBudgetError as e:
+                self._json(503, {"error": {
+                    "message": str(e), "type": "server_error",
+                    "param": None, "code": None}})
+                return
+        state.metrics.inc("voxtral_sessions_started_total")
+        self.send_response(200)
+        self._last_status = 200
+        self.send_header("Content-Type", "text/event-stream")
+        self.send_header("Cache-Control", "no-cache")
+        self.send_header("Connection", "close")
+        self.end_headers()
+        self.close_connection = True
+
+        def emit(obj):
+            self.wfile.write(f"data: {json.dumps(obj)}\n\n".encode())
+            self.wfile.flush()
+
+        pooled = getattr(session, "_pool", None) is not None
+        finished = False
+        try:
+            for i in range(0, len(samples), 16000):
+                chunk = np.ascontiguousarray(samples[i:i + 16000],
+                                             dtype=np.float32)
+                state.metrics.inc("voxtral_audio_seconds_total",
+                                  chunk.size / 16000.0, path="stream")
+                if pooled:
+                    with state.lock:
+                        session.feed(chunk, pump=False)
+                    state.pump_and_wait()
+                    with state.lock:
+                        if session.overrun:
+                            state.metrics.inc(
+                                "voxtral_stream_overruns_total")
+                            emit({"type": "error", "error": {
+                                "message": "stream exceeded max duration",
+                                "type": "invalid_request_error",
+                                "param": "file", "code": None}})
+                            return
+                        delta = session._emit()
+                else:
+                    with state.lock:
+                        delta = session.feed(chunk)
+                if delta:
+                    emit({"type": "transcript.text.delta", "delta": delta})
+            with state.lock:
+                delta = session.finish()
+            finished = True
+            if delta:
+                emit({"type": "transcript.text.delta", "delta": delta})
+            emit({"type": "transcript.text.done", "text": session.text})
+            state.metrics.inc("voxtral_tokens_total", len(session.tokens))
+            state.metrics.inc("voxtral_sessions_closed_total",
+                              reason="finished")
+        finally:
+            if not finished:
+                # Client went away (or emit failed) mid-stream: finish()
+                # under the lock so a pooled slot is always detached.
+                with state.lock:
+                    try:
+                        session.finish()
+                    except Exception:  # slot release is best-effort here
+                        log.exception("SSE cleanup finish failed")
+                state.metrics.inc("voxtral_sessions_closed_total",
+                                  reason="disconnected")
 
 
 def make_server(
