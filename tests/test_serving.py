@@ -619,3 +619,78 @@ def test_openai_sse_rejects_non_json_format(server):
          "response_format": b"verbose_json"})
     assert status == 400
     assert json.loads(data)["error"]["param"] == "stream"
+
+
+# -- Python client (voxtral_tpu.client) --------------------------------------
+
+
+def test_client_whole_file(server):
+    from voxtral_tpu.client import ServerError, VoxtralClient
+
+    c = VoxtralClient(f"http://{server[0]}:{server[1]}")
+    assert c.healthz()["status"] == "ok"
+    assert c.models()[0]["id"]
+
+    out = c.transcribe(_wav_bytes())
+    assert set(out) >= {"text", "audio_seconds"}
+    out = c.transcribe(_wav_bytes(), timestamps=True)
+    assert "words" in out
+
+    samples = (np.random.default_rng(7).normal(size=16000) * 0.2
+               ).astype(np.float32)
+    assert "text" in c.transcribe_pcm(samples)
+
+    # /v1 formats through the client.
+    assert set(c.transcriptions(_wav_bytes())) == {"text"}
+    assert isinstance(c.transcriptions(_wav_bytes(),
+                                       response_format="text"), str)
+    verbose = c.transcriptions(_wav_bytes(),
+                               response_format="verbose_json")
+    assert verbose["task"] == "transcribe"
+
+    # Typed errors with the server's message.
+    with pytest.raises(ServerError) as e:
+        c.transcribe(b"not a wav")
+    assert e.value.status == 400
+    with pytest.raises(ValueError):
+        VoxtralClient("https://example.com")  # TLS refused up front
+
+
+def test_client_streaming(server):
+    from voxtral_tpu.client import VoxtralClient
+
+    c = VoxtralClient(f"http://{server[0]}:{server[1]}")
+
+    # SSE file streaming: deltas join to the non-streamed /v1 text.
+    wav = _wav_bytes(seconds=3.0)
+    streamed = "".join(c.stream_file(wav))
+    assert streamed == c.transcriptions(wav)["text"]
+
+    # Live session: feed chunks, context manager finishes.
+    rng = np.random.default_rng(11)
+    with c.open_stream() as s:
+        for _ in range(3):
+            chunk = (rng.normal(size=16000) * 0.2).astype(np.float32)
+            s.feed(chunk)
+        final_delta = s.finish()
+        assert isinstance(final_delta, str)
+        assert s.finished
+    # finish() is idempotent through __exit__; session is gone server-side.
+    status, _ = request(server, "POST", f"/stream/{s.session_id}/feed", b"")
+    assert status == 404
+
+
+def test_client_stream_handle_releases_on_exit(pooled_server):
+    from voxtral_tpu.client import VoxtralClient
+
+    c = VoxtralClient(f"http://{pooled_server[0]}:{pooled_server[1]}")
+    with c.open_stream() as s:
+        s.feed(np.zeros(16000, np.float32))
+    status, data = request(pooled_server, "GET", "/metrics")
+    assert status == 200
+    for line in data.decode().splitlines():
+        if line.startswith("voxtral_pool_free_slots"):
+            assert float(line.split()[-1]) == 2.0
+            break
+    else:
+        raise AssertionError("pool gauge missing")
