@@ -16,6 +16,10 @@ Chains every accuracy-axis check into one run with one JSON verdict:
                  (scripts/eval_wer.py; 8.49 % Q4 / 4.90 % f32 —
                  /root/reference/README.md:22).  Skips cleanly when the
                  dataset is unreachable (zero-egress environments).
+  5. serving   — boots the HTTP server on the loaded weights and drives
+                 every endpoint family through voxtral_tpu.client
+                 (whole-file, /v1 json + SSE, a live /stream session);
+                 the served transcript must match the library path.
 
 Dry run (no weights needed; exercises all plumbing end-to-end):
 
@@ -254,6 +258,66 @@ def stage_wer(st, model_dir: Path, gguf, num_samples: int, platform: str,
                   "q4": WER_BAR_Q4})
 
 
+def stage_serving(st, model_dir: Path, clip: Path, platform: str,
+                  synthetic: bool):
+    """Day-one check that the SERVING surface works on these weights —
+    not just the library: every endpoint family once, via the stdlib
+    client, against an in-process server on an ephemeral port."""
+    import threading
+
+    import numpy as np
+
+    if platform != "default":
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+    from voxtral_tpu.audio.io import load_wav
+    from voxtral_tpu.client import VoxtralClient
+    from voxtral_tpu.pipeline import TranscribePipeline
+    from voxtral_tpu.serving import make_server
+
+    pipeline = TranscribePipeline.from_model_dir(str(model_dir))
+    srv = make_server(pipeline, "127.0.0.1", 0, pool_streams=2)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        c = VoxtralClient(f"http://127.0.0.1:{srv.server_address[1]}",
+                          timeout=7200)
+        library_text = pipeline.transcribe_file(str(clip)).strip()
+        results = {}
+        whole = c.transcribe(clip)
+        results["transcribe"] = whole["text"].strip()
+        results["v1_json"] = c.transcriptions(clip)["text"].strip()
+        results["v1_sse"] = "".join(c.stream_file(clip)).strip()
+        audio = load_wav(str(clip))
+        with c.open_stream() as s:
+            samples = audio.samples
+            for i in range(0, len(samples), 16000):
+                s.feed(np.ascontiguousarray(samples[i:i + 16000],
+                                            np.float32))
+        results["stream_session"] = s.text.strip()
+        # Whole-file endpoints must reproduce the library transcript
+        # exactly; the incremental paths decode on a different step
+        # grid, so require word-level agreement instead of identity.
+        from voxtral_tpu.utils.wer import wer
+
+        ok = (results["transcribe"] == library_text
+              and results["v1_json"] == library_text)
+        agree = {}
+        for k in ("v1_sse", "stream_session"):
+            agree[k] = round(wer(library_text, results[k]), 3) \
+                if library_text else 0.0
+            # Synthetic weights babble unstably across step grids;
+            # real weights must agree to 30% WER like stage_clip.
+            if not synthetic and agree[k] > 0.3:
+                ok = False
+        _finish(st, ok=ok, library=library_text[:200],
+                texts={k: v[:200] for k, v in results.items()},
+                wer_vs_library=agree)
+    finally:
+        srv.shutdown()
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("model_dir", nargs="?",
@@ -266,6 +330,7 @@ def main() -> int:
     ap.add_argument("--num-samples", type=int, default=647)
     ap.add_argument("--platform", default="default")
     ap.add_argument("--skip-wer", action="store_true")
+    ap.add_argument("--skip-serving", action="store_true")
     ap.add_argument("--skip-fixtures", action="store_true")
     ap.add_argument("--keep-fixtures", action="store_true",
                     help="leave generated test_data/ in place")
@@ -301,6 +366,12 @@ def main() -> int:
             stage_wer(_stage(verdict, "wer"), model_dir, args.gguf,
                       args.num_samples, platform, tmp / "wer",
                       args.synthetic)
+        if args.skip_serving:
+            _finish(_stage(verdict, "serving"), ok=True,
+                    skipped="--skip-serving")
+        else:
+            stage_serving(_stage(verdict, "serving"), model_dir, clip,
+                          platform, args.synthetic)
     except Exception as e:  # a stage crash is a failure, not a stack dump
         import traceback
 

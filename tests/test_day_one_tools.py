@@ -102,3 +102,8 @@ def test_validate_real_synthetic_dry_run(tmp_path):
     assert verdict["stages"]["weights"]["status"] == "pass"
     assert verdict["stages"]["clip"]["status"] == "pass"
     assert verdict["stages"]["wer"]["status"] == "skipped"
+    # The serving stage boots a real server on the synthetic weights
+    # and drives every endpoint family through the client.
+    assert verdict["stages"]["serving"]["status"] == "pass"
+    assert verdict["stages"]["serving"]["texts"].keys() == {
+        "transcribe", "v1_json", "v1_sse", "stream_session"}
