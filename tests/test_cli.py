@@ -191,3 +191,71 @@ def test_cli_timestamps_conflicts_with_batch_files(wav):
     )
     assert code == 2
     assert "timestamps" in err
+
+
+# -- --server remote mode (thin client, no local weights) ---------------------
+
+
+@pytest.fixture(scope="module")
+def cli_server():
+    import threading
+
+    import jax
+    import jax.numpy as jnp
+
+    from tests.test_model import tiny_config
+    from voxtral_tpu.models.voxtral import VoxtralModel
+    from voxtral_tpu.pipeline import PipelineConfig, TranscribePipeline
+    from voxtral_tpu.serving import make_server
+    from voxtral_tpu.tokenizer import VoxtralTokenizer
+
+    model = VoxtralModel.init_random(
+        jax.random.PRNGKey(0), tiny_config(), dtype=jnp.float32
+    )
+    tokenizer = VoxtralTokenizer([None] * 500, {}, 500)
+    pipeline = TranscribePipeline(model, tokenizer, PipelineConfig())
+    srv = make_server(pipeline, "127.0.0.1", 0)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://{srv.server_address[0]}:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_cli_server_mode(wav, cli_server):
+    code, out, err = run_cli("-a", wav, "--server", cli_server)
+    assert code == 0, err
+    assert out.endswith("\n")  # one text line per file
+
+
+def test_cli_server_timestamps(wav, cli_server):
+    import json
+
+    code, out, err = run_cli("-a", wav, "--server", cli_server,
+                             "--timestamps")
+    assert code == 0, err
+    payload = json.loads(out.strip())
+    assert payload["file"] == wav
+    assert set(payload) == {"file", "text", "words"}
+
+
+def test_cli_server_missing_file_and_errors(cli_server, wav):
+    code, out, err = run_cli("-a", "/nope.wav", "-a", wav,
+                             "--server", cli_server)
+    assert code == 1
+    assert "not found" in err
+    assert len(out.splitlines()) == 2  # blank line then the real file
+
+    # Conflicting flags fail before any network traffic.
+    code, _, err = run_cli("-a", wav, "--server", cli_server, "--tp", "2")
+    assert code == 2 and "--tp" in err
+    code, _, err = run_cli("-a", wav, "--server", cli_server,
+                           "--random-weights")
+    assert code == 2 and "--random-weights" in err
+
+    # https is refused up front (stdlib server is plain http).
+    code, _, err = run_cli("-a", wav, "--server", "https://x")
+    assert code == 2 and "scheme" in err
+
+    # Unreachable server -> per-file error, exit 1.
+    code, out, err = run_cli("-a", wav, "--server", "http://127.0.0.1:9")
+    assert code == 1 and "failed" in err

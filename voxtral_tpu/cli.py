@@ -110,8 +110,52 @@ def build_parser() -> argparse.ArgumentParser:
         "device-format tree; later runs memmap-restore it (the reference's "
         "staged-load role, gguf/loader.rs:130-188)",
     )
+    p.add_argument(
+        "--server", metavar="URL",
+        help="Transcribe via a running voxtral-serve host "
+        "(http://host:port) instead of loading weights locally — no JAX "
+        "or model download needed on this machine; supports --audio/"
+        "--audio-list and --timestamps.  Beyond reference parity",
+    )
     p.add_argument("-v", "--verbose", action="store_true")
     return p
+
+
+def _run_remote(args, audio_paths: list[str]) -> int:
+    """--server mode: thin client over voxtral_tpu.client (stdlib-only;
+    no JAX import) with the same per-file output/exit-code contract as
+    local decoding."""
+    import json
+
+    from voxtral_tpu.client import ServerError, VoxtralClient
+
+    try:
+        client = VoxtralClient(args.server)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    status = 0
+    for path in audio_paths:
+        if not Path(path).exists():
+            print(f"error: audio file not found: {path}", file=sys.stderr)
+            status = 1
+            print("")
+            continue
+        try:
+            result = client.transcribe(path, timestamps=args.timestamps)
+        except (ServerError, OSError) as e:
+            print(f"error: transcription failed for {path}: {e}",
+                  file=sys.stderr)
+            status = 1
+            print("")
+            continue
+        if args.timestamps:
+            print(json.dumps({"file": str(path), "text": result["text"],
+                              "words": result.get("words", [])}),
+                  flush=True)
+        else:
+            print(result["text"], flush=True)
+    return status
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -154,6 +198,17 @@ def main(argv: list[str] | None = None) -> int:
         print("error: --timestamps is per-file (drop --batch-files)",
               file=sys.stderr)
         return 2
+    if args.server:
+        for flag, given in (("--gguf", args.gguf),
+                            ("--random-weights", args.random_weights),
+                            ("--batch-files", args.batch_files > 0),
+                            ("--tp", args.tp > 1), ("--dp", args.dp > 1)):
+            if given:
+                print(f"error: {flag} conflicts with --server (decode "
+                      "configuration lives on the serving host)",
+                      file=sys.stderr)
+                return 2
+        return _run_remote(args, audio_paths)
 
     if args.platform != "default":
         import jax
