@@ -694,3 +694,38 @@ def test_client_stream_handle_releases_on_exit(pooled_server):
             break
     else:
         raise AssertionError("pool gauge missing")
+
+
+def test_prewarm_server():
+    """make_server(prewarm=True) compiles the serving programs before
+    returning: /healthz carries the report and first requests work."""
+    import threading
+
+    from tests.test_model import tiny_config
+    from voxtral_tpu.models.voxtral import VoxtralModel
+    from voxtral_tpu.pipeline import PipelineConfig, TranscribePipeline
+    from voxtral_tpu.serving import make_server
+    from voxtral_tpu.tokenizer import VoxtralTokenizer
+
+    model = VoxtralModel.init_random(
+        jax.random.PRNGKey(0), tiny_config(), dtype=jnp.float32
+    )
+    tokenizer = VoxtralTokenizer([None] * 500, {}, 500)
+    pipeline = TranscribePipeline(model, tokenizer, PipelineConfig())
+    srv = make_server(pipeline, "127.0.0.1", 0, pool_streams=2,
+                      prewarm=True)
+    assert set(srv.state.prewarm_report) == {
+        "full_chunk_s", "short_bucket_s", "session_s"}
+    # The prewarm session must not leak a pool slot.
+    assert srv.state.pool.free_slots == 2
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        status, data = request(srv.server_address, "GET", "/healthz")
+        assert status == 200
+        assert json.loads(data)["prewarm"] == srv.state.prewarm_report
+        status, data = request(srv.server_address, "POST",
+                               "/transcribe", _wav_bytes())
+        assert status == 200
+    finally:
+        srv.shutdown()

@@ -138,6 +138,7 @@ class _State:
         m.describe("voxtral_spec_tokens_per_pass", "gauge",
                    "accepted rows / passes (K = upper bound per slot)")
 
+        self.prewarm_report: Optional[dict] = None
         # Optional StreamPool: concurrent sessions share one BATCHED decode
         # step (HBM-bound weights are streamed once for all of them).  A
         # dedicated pump thread coalesces feeds arriving within COALESCE_S.
@@ -166,6 +167,55 @@ class _State:
             )
             threading.Thread(target=self._pump_loop, daemon=True).start()
         self._restore_drained()
+
+    def prewarm(self) -> dict:
+        """Compile the serving programs BEFORE taking traffic.
+
+        The first request otherwise pays the full XLA compile (minutes
+        at production scale over the tunnel), and — worse — a program
+        whose workspace doesn't fit next to everything already resident
+        fails MID-REQUEST with a device OOM
+        (``wer_eval_work/r05/serving_tpu.json`` hit exactly that).
+        Warming at boot turns both into a startup-time, operator-visible
+        event.  Covers: the full-chunk whole-file program (what every
+        non-final chunk of a long upload uses), one short final-chunk
+        bucket, and a streaming session step + finish-flush.  Short
+        uploads in OTHER length buckets still compile on first sight
+        (persistent-cache-warm across restarts).
+        """
+        report = {}
+        frames = self.pipeline.pcfg.max_mel_frames
+        t0 = time.time()
+        # 1 mel frame = 10 ms hop; +1600 samples so padding can't round
+        # the chunk count down below a full chunk.
+        full = np.zeros(frames * 160 + 1600, np.float32)
+        with self.lock:
+            self.pipeline.transcribe_samples(full, 16000)
+        report["full_chunk_s"] = round(time.time() - t0, 1)
+        t0 = time.time()
+        with self.lock:
+            self.pipeline.transcribe_samples_batched(
+                [(np.zeros(32000, np.float32), 16000)])
+        report["short_bucket_s"] = round(time.time() - t0, 1)
+        t0 = time.time()
+        session = _new_session(self)
+        step_samples = np.zeros(
+            int(self.step_positions * 0.16 * 16000) + 2560, np.float32)
+        if getattr(session, "_pool", None) is not None:
+            with self.lock:
+                session.feed(step_samples, pump=False)
+            self.pump_and_wait()
+            with self.lock:
+                session._emit()
+                session.finish()
+        else:
+            with self.lock:
+                session.feed(step_samples)
+                session.finish()
+        report["session_s"] = round(time.time() - t0, 1)
+        self.prewarm_report = report
+        log.info("prewarm done: %s", report)
+        return report
 
     def transcribe_coalesced(self, samples, rate) -> str:
         """Leader-elected request coalescing for concurrent whole-file
@@ -399,11 +449,14 @@ class _Handler(BaseHTTPRequestHandler):
         if self.path == "/healthz":
             import jax
 
-            self._json(200, {
+            payload = {
                 "status": "ok",
                 "backend": jax.default_backend(),
                 "sessions": len(self.state.sessions),
-            })
+            }
+            if self.state.prewarm_report is not None:
+                payload["prewarm"] = self.state.prewarm_report
+            self._json(200, payload)
         elif self.path == "/metrics":
             state = self.state
             m = state.metrics
@@ -879,16 +932,23 @@ def make_server(
     state_dir: Optional[str] = None,
     speculative: int = 0,
     draft: str = "pad",
+    prewarm: bool = False,
 ) -> VoxtralHTTPServer:
     """``state_dir`` enables drain/restore: :meth:`VoxtralHTTPServer.
     drain` snapshots live streaming sessions there on shutdown, and the
     next ``make_server`` with the same dir resumes them under their
-    original session ids (mid-stream, token-identical)."""
-    return VoxtralHTTPServer(
+    original session ids (mid-stream, token-identical).  ``prewarm``
+    compiles the serving programs before the server is returned (boot
+    blocks; first requests are warm; a workspace OOM surfaces at
+    startup instead of mid-request)."""
+    srv = VoxtralHTTPServer(
         (host, port),
         _State(pipeline, step_positions, pool_streams, pool_unbounded,
                pool_kv, state_dir, speculative, draft),
     )
+    if prewarm:
+        srv.state.prewarm()
+    return srv
 
 
 def main(argv: Optional[list[str]] = None) -> int:
@@ -944,6 +1004,11 @@ def main(argv: Optional[list[str]] = None) -> int:
     ap.add_argument("--params-cache", metavar="DIR",
                     help="cache converted/quantized weight pytrees so "
                     "serving restarts skip GGUF repack / w8 requant")
+    ap.add_argument("--prewarm", action="store_true",
+                    help="compile the serving programs before accepting "
+                    "traffic: first requests are warm, and a program "
+                    "whose workspace doesn't fit HBM fails at startup "
+                    "instead of mid-request (timings in /healthz)")
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO, stream=sys.stderr)
@@ -1000,7 +1065,8 @@ def main(argv: Optional[list[str]] = None) -> int:
                          pool_kv=args.pool_kv,
                          state_dir=args.state_dir,
                          speculative=args.speculative,
-                         draft=args.draft_policy)
+                         draft=args.draft_policy,
+                         prewarm=args.prewarm)
     log.info("serving on http://%s:%d", args.host, args.port)
     if args.state_dir:
         import signal
