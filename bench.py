@@ -130,6 +130,43 @@ def main() -> None:
     rtf = total / AUDIO_SECS
     tok_s = n_tokens / total
 
+    # Speculative greedy decode (K drafted tokens verified per weight
+    # pass; EXACT same tokens — identity is asserted in-run below, and
+    # the sequential number is the fallback if it ever diverges or is
+    # slower).  The draft is the device-resident bigram table; the
+    # pipeline surface is `--speculative K` on the CLI / PipelineConfig.
+    rtf_seq, rtf_spec, spec_identical = rtf, None, None
+    try:
+        spec_pipeline = TranscribePipeline(
+            model, tokenizer,
+            PipelineConfig(delay_tokens=6.0, max_mel_frames=3000,
+                           bucket_positions=1, speculative=8),
+        )
+        text_seq = pipeline.transcribe_samples(audio.samples, sr)
+        t0 = time.time()
+        text_spec = spec_pipeline.transcribe_samples(audio.samples, sr)
+        print(f"# spec warmup (incl. compile): {time.time()-t0:.1f}s",
+              file=sys.stderr)
+        spec_identical = text_spec == text_seq
+        if spec_identical:
+            spec_times = []
+            for i in range(ITERATIONS):
+                t0 = time.time()
+                spec_pipeline.transcribe_samples(audio.samples, sr)
+                spec_times.append(time.time() - t0)
+                print(f"# spec iter {i}: {spec_times[-1]*1000:.0f} ms",
+                      file=sys.stderr)
+            rtf_spec = float(np.mean(spec_times)) / AUDIO_SECS
+            if rtf_spec < rtf:
+                rtf = rtf_spec
+                tok_s = n_tokens / (rtf_spec * AUDIO_SECS)
+        else:
+            print("# spec tokens DIVERGED from sequential — reporting "
+                  "the sequential number", file=sys.stderr)
+    except Exception as e:  # pragma: no cover - bench resilience
+        print(f"# spec path unavailable ({e!r}); sequential headline",
+              file=sys.stderr)
+
     # Decode-stage tok/s — the reference's tok/s definition
     # (e2e_bench.rs:236: tokens / decode-stage time).  Stage split via
     # forced value fetches, same methodology as benches/e2e_bench.py.
@@ -139,7 +176,7 @@ def main() -> None:
     chunks = chunk_audio(audio.samples, pipeline.chunk_config)
     decode_s, stage_tokens = 0.0, 0
 
-    def stage_pass():
+    def stage_pass(spec=0):
         dec, toks = 0.0, 0
         for ch in chunks:
             padded = pad_audio(AudioBuffer(ch.samples, sr),
@@ -150,7 +187,8 @@ def main() -> None:
             np.asarray(embeds[0, 0, :1])  # true sync (tunnel-safe)
             enc = time.perf_counter() - t0
             t0 = time.perf_counter()
-            tokens = model.transcribe_streaming(logmel, delay_tokens=6.0)
+            tokens = model.transcribe_streaming(logmel, delay_tokens=6.0,
+                                                speculative=spec)
             full = time.perf_counter() - t0
             dec += max(0.0, full - enc)
             toks += len(tokens)
@@ -164,6 +202,17 @@ def main() -> None:
     print(f"# decode stage: {decode_s*1000:.0f} ms, {stage_tokens} tokens "
           f"-> {tok_s_decode:.1f} tok/s (reference definition)",
           file=sys.stderr)
+
+    tok_s_decode_spec = None
+    if spec_identical:
+        stage_pass(spec=8)  # warmup/compile
+        spec_stage = [stage_pass(spec=8) for _ in range(ITERATIONS)]
+        dec_spec = float(np.median([d for d, _ in spec_stage]))
+        tok_s_decode_spec = stage_tokens / max(dec_spec, 1e-9)
+        print(f"# decode stage (spec K=8): {dec_spec*1000:.0f} ms -> "
+              f"{tok_s_decode_spec:.1f} tok/s", file=sys.stderr)
+        if tok_s_decode_spec > tok_s_decode:
+            tok_s_decode = tok_s_decode_spec
 
     # Batch-8 aggregate throughput (one on-device scan decodes 8 files;
     # decode weights stream once per step for the whole batch).
@@ -210,6 +259,12 @@ def main() -> None:
                 "batch8_tok_s_aggregate": (
                     round(batch8_tok_s, 1) if batch8_tok_s else None
                 ),
+                "rtf_16s_sequential": round(rtf_seq, 5),
+                "rtf_16s_speculative": (
+                    round(rtf_spec, 5) if rtf_spec else None
+                ),
+                "speculative": {"k": 8, "draft": "ngram",
+                                "tokens_identical": spec_identical},
                 "definition": "RTF = wall/audio on the full pipeline "
                 "(mel+encode+decode+fetch, 16 s audio); tok_s_decode_stage "
                 "= tokens/decode-stage time (the reference's tok/s, "

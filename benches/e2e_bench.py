@@ -68,6 +68,11 @@ def main() -> int:
     ap.add_argument("--max-mel-frames", type=int, default=3000,
                     help="chunk cap (TPU product default; the reference's "
                     "1500 is a WebGPU shared-memory artifact)")
+    ap.add_argument("--speculative", type=int, default=0, metavar="K",
+                    help="verify K drafted tokens per decode weight pass "
+                    "(EXACT greedy tokens; bigram drafts trained "
+                    "in-run).  Token identity vs the sequential scan is "
+                    "asserted on the first iteration")
     ap.add_argument("--json")
     ap.add_argument("--platform", choices=["default", "cpu", "tpu"],
                     default="default")
@@ -172,7 +177,9 @@ def main() -> int:
             # Decode = full transcribe minus THIS CHUNK's encode; the
             # jitted program fuses both, so time the whole and subtract.
             t0 = time.perf_counter()
-            tokens = model.transcribe_streaming(logmel, delay_tokens=args.delay)
+            tokens = model.transcribe_streaming(
+                logmel, delay_tokens=args.delay,
+                speculative=args.speculative)
             full = time.perf_counter() - t0
             stages["decode"] += max(0.0, full - chunk_encode)
             n_tokens += len(tokens)
@@ -182,6 +189,19 @@ def main() -> int:
     t0 = time.time()
     iteration()
     print(f"# warmup {time.time()-t0:.1f}s", file=sys.stderr)
+
+    if args.speculative >= 2:
+        # Speculative decode must be invisible in the tokens.
+        for ch in chunks[:1]:
+            padded = pad_audio(AudioBuffer(ch.samples, sr), pad_cfg)
+            logmel = mel_x.compute_log_batch(padded.samples)
+            seq = model.transcribe_streaming(logmel, delay_tokens=args.delay)
+            spc = model.transcribe_streaming(
+                logmel, delay_tokens=args.delay,
+                speculative=args.speculative)
+            assert (seq == spc).all(), "speculative tokens diverged"
+        print("# speculative tokens identical to sequential",
+              file=sys.stderr)
 
     agg = {"preprocess": [], "encode": [], "decode": [], "total": []}
     n_tokens = 0
@@ -211,6 +231,7 @@ def main() -> int:
         "peak_rss_mb": round(peak_rss_mb(), 1),
         "backend": jax.default_backend(),
         "model_load_s": round(load_s, 1),
+        "speculative": args.speculative,
     }
 
     print(f"\n{'stage':<12}{'ms':>10}")

@@ -111,6 +111,19 @@ def build_parser() -> argparse.ArgumentParser:
         "staged-load role, gguf/loader.rs:130-188)",
     )
     p.add_argument(
+        "--speculative", type=int, default=0, metavar="K",
+        help="Verify K drafted tokens per decode weight pass (greedy "
+        "only; EXACT same tokens, fewer passes when drafts hit — up to "
+        "Kx decode throughput on repetitive output).  Needs the fused "
+        "stack-kernel path; ignored elsewhere.  Beyond reference parity",
+    )
+    p.add_argument(
+        "--draft-policy", choices=["ngram", "pad"], default="ngram",
+        help="Speculative draft source: ngram = device-resident bigram "
+        "table trained in place per verification pass; pad = constant "
+        "[STREAMING_PAD] drafts (silence regime only)",
+    )
+    p.add_argument(
         "--server", metavar="URL",
         help="Transcribe via a running voxtral-serve host "
         "(http://host:port) instead of loading weights locally — no JAX "
@@ -222,7 +235,8 @@ def main(argv: list[str] | None = None) -> int:
     from voxtral_tpu.pipeline import PipelineConfig, TranscribePipeline
 
     pcfg = PipelineConfig(
-        delay_tokens=args.delay, max_mel_frames=args.max_mel_frames
+        delay_tokens=args.delay, max_mel_frames=args.max_mel_frames,
+        speculative=args.speculative, draft=args.draft_policy,
     )
 
     mesh = None

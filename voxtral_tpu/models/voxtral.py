@@ -60,6 +60,44 @@ def make_prefix_ids() -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Speculative-decode helpers (shared with voxtral_tpu.streaming)
+# ---------------------------------------------------------------------------
+
+
+def ngram_table_init(vocab: int, draft_token: int = STREAMING_PAD):
+    """Device-resident bigram draft table for speculative decode: entry t
+    = the most recently VERIFIED continuation of token t, initialized to
+    the [STREAMING_PAD] fallback (so an untrained table degenerates to
+    the pad policy).  512 KB at the production vocab — lives in HBM and
+    updates inside the jitted step (a host-side n-gram table would force
+    a sync per verification pass; the table makes drafting a chain of
+    K-1 device gathers instead).  Beyond reference parity (the
+    reference has no speculative decode)."""
+    return jnp.full((vocab,), draft_token, jnp.int32)
+
+
+def ngram_drafts(table, prev, K: int):
+    """Chained bigram drafts: d0 = prev, d_{j+1} = table[d_j].
+    ``prev`` [] or [B] -> drafts [K] or [B, K] (leading axis preserved)."""
+    d = [prev]
+    for _ in range(K - 1):
+        d.append(table[d[-1]])
+    return jnp.stack(d, axis=-1)
+
+
+def append_rows(cache, new, offs):
+    """Per-row cache append: write ``new`` [L, B, H, hd] at position
+    ``offs[b]`` along the S axis of ``cache`` [L, B, H, S, hd]."""
+
+    def one(c, n, o):  # c [L, H, S, hd], n [L, H, hd]
+        z = jnp.zeros((), jnp.int32)
+        return jax.lax.dynamic_update_slice(
+            c, n[:, :, None].astype(c.dtype), (z, z, o, z))
+
+    return jax.vmap(one, in_axes=(1, 1, 0), out_axes=1)(cache, new, offs)
+
+
+# ---------------------------------------------------------------------------
 # Pure functions (jitted by VoxtralModel with params donated/closed over)
 # ---------------------------------------------------------------------------
 
@@ -126,8 +164,21 @@ def transcribe_streaming_fn(
     top_k: int = 0,
     seed: int = 0,
     parallel=None,
+    speculative: int = 0,
+    draft: str = "ngram",
 ) -> jax.Array:
     """Greedy streaming transcription, fully on device, batched.
+
+    ``speculative=K >= 2`` (greedy only): the decode scan becomes a
+    while-loop of ``decode_stack_step(spec=K)`` passes — each pass
+    verifies K drafted tokens per batch row in ONE weight pass and each
+    row advances by its own accepted count (EXACT greedy tokens for any
+    draft; the draft only moves throughput — same machinery as
+    ``StreamingSession(speculative=K)``).  ``draft``: "ngram" (a
+    per-call device-resident bigram table, trained in place by every
+    verification pass) or "pad" (all-[STREAMING_PAD] drafts).  Requires
+    the single-chip or DP-meshed stack-kernel path; TP / XLA / sampling
+    configurations fall back to the sequential scan.
 
     mel: [B, n_mels, T].  Returns int32 tokens [B, S - PREFIX_LEN] where
     S = T//16 is the decoder sequence length (requires S >= PREFIX_LEN + 1;
@@ -151,6 +202,8 @@ def transcribe_streaming_fn(
     the parameter shardings (reference has no distributed runtime at all,
     SURVEY.md §2.6).
     """
+    if draft not in ("pad", "ngram"):
+        raise ValueError(f"draft policy must be pad|ngram, got {draft!r}")
     lm_cfg = cfg.language_model
     # Mesh-sharded params must never reach the Pallas lm_head dispatch
     # (pallas_call is opaque to GSPMD); the XLA dot partitions from the
@@ -178,6 +231,7 @@ def transcribe_streaming_fn(
     key, k0 = jax.random.split(key)
     first_token = select_token(first_logits, k0, temperature, top_k)  # [B]
 
+    use_spec = False
     if fused is not None:
         from voxtral_tpu.models.layers import rms_norm
         from voxtral_tpu.ops.decode_step_pallas import (
@@ -264,6 +318,31 @@ def transcribe_streaming_fn(
                 need = _need(None)
                 if need is None or need > STACK_VMEM_CAP:
                     use_stack = False
+        # Speculative K-token transcribe: greedy-only, stack-kernel-only
+        # (single-chip or DP — the kernel verifies batch*K rows with
+        # per-row offsets; TP transcribe stays sequential).  Re-gate
+        # VMEM at batch*K query rows and a K-1-slot cache tail (the
+        # last pass's K appends land at positions up to seq_len+K-2).
+        if (use_stack and speculative >= 2 and temperature <= 0.0
+                and seq_len - PREFIX_LEN - 1 >= 1):
+            if fold_lm:
+                if lm_dense is not None:
+                    sv = lm_dense.shape[0]
+                elif lm_g32 is not None:
+                    sv = lm_g32.shape[1]
+                else:
+                    sv = lm_w8["codes"].shape[0]
+            else:
+                sv = None
+            itemsize = jnp.dtype(cache_dtype).itemsize
+            gate_batch = batch // parallel.dp if use_dp else batch
+            need = stack_vmem_need(
+                gate_batch * speculative, seq_len + speculative - 1,
+                lm_cfg.dim, lm_cfg.n_heads, lm_cfg.n_kv_heads,
+                lm_cfg.head_dim, lm_cfg.hidden_dim, sv, itemsize,
+                weight_itemsize=witem, spec=speculative,
+            )
+            use_spec = need is not None and need <= STACK_VMEM_CAP
         if (bf16_w or wg) and not use_stack:
             # The per-layer fallback kernel is w8-only; dense/q4g models
             # without a stack plan ride the XLA step.
@@ -275,6 +354,28 @@ def transcribe_streaming_fn(
             # (pallas_call cannot be auto-partitioned); the XLA step path
             # below partitions automatically from the parameter shardings.
             fused = None
+        # Stack-kernel folded lm_head kwargs (trace-time statics), shared
+        # by the sequential step and the speculative while-loop body.
+        stack_lm_kw = {}
+        if fused is not None and use_stack and fold_lm:
+            if lm_dense is not None:
+                stack_lm_kw = dict(
+                    final_norm=params["decoder"]["norm"],
+                    lm_codes=lm_dense.astype(jnp.bfloat16),
+                    lm_scale=None,
+                )
+            elif lm_g32 is not None:
+                stack_lm_kw = dict(
+                    final_norm=params["decoder"]["norm"],
+                    lm_codes=lm_g32,
+                    lm_scale=fused["lm_scale"],
+                )
+            else:
+                stack_lm_kw = dict(
+                    final_norm=params["decoder"]["norm"],
+                    lm_codes=lm_w8["codes"],
+                    lm_scale=lm_w8["scale"],
+                )
 
     if fused is not None:
         def step(carry, i):
@@ -347,25 +448,7 @@ def transcribe_streaming_fn(
                 # across phase or layer boundaries.  The fused path
                 # carries the cache head-major ([L, B, Hkv, S, hd]) so
                 # the kernel's attention dots need no transpose.
-                lm_kw = {}
-                if fold_lm and lm_dense is not None:
-                    lm_kw = dict(
-                        final_norm=params["decoder"]["norm"],
-                        lm_codes=lm_dense.astype(jnp.bfloat16),
-                        lm_scale=None,
-                    )
-                elif fold_lm and lm_g32 is not None:
-                    lm_kw = dict(
-                        final_norm=params["decoder"]["norm"],
-                        lm_codes=lm_g32,
-                        lm_scale=fused["lm_scale"],
-                    )
-                elif fold_lm:
-                    lm_kw = dict(
-                        final_norm=params["decoder"]["norm"],
-                        lm_codes=lm_w8["codes"],
-                        lm_scale=lm_w8["scale"],
-                    )
+                lm_kw = stack_lm_kw
                 kernel_kw = dict(
                     n_heads=lm_cfg.n_heads, n_kv=lm_cfg.n_kv_heads,
                     head_dim=lm_cfg.head_dim, eps=lm_cfg.norm_eps,
@@ -465,6 +548,130 @@ def transcribe_streaming_fn(
         )
 
     n_steps = seq_len - PREFIX_LEN - 1
+
+    if fused is not None and use_spec:
+        # Speculative decode: a while-loop of spec-K stack-kernel passes;
+        # each pass verifies K drafted tokens per row in ONE weight pass
+        # and each row advances by its own exact-greedy accepted count.
+        # Same machinery as streaming._pool_step_spec, minus the ready
+        # mask / ring / int8 rungs (the one-shot cache is bf16 bounded).
+        K = speculative
+        ngram = draft == "ngram"
+        # The last pass at pos = n_steps-1 appends K rows at positions
+        # up to seq_len-2+K: give the cache a K-1-slot tail (rows past
+        # each query's offset are masked by the kernel's validity mask).
+        pad_s = [(0, 0)] * 5
+        pad_s[3] = (0, K - 1)
+        dk = jnp.pad(cache.k, pad_s)
+        dv = jnp.pad(cache.v, pad_s)
+        # Input row for generated index i = audio_embeds[PREFIX_LEN+i]
+        # + embed(token_i); pad the audio rows so the K-row slice at
+        # pos = n_steps-1 stays in bounds (padded rows never accepted).
+        inputs = audio_embeds[:, PREFIX_LEN:PREFIX_LEN + n_steps, :]
+        inputs = jnp.concatenate(
+            [inputs, jnp.tile(inputs[:, -1:, :], (1, K - 1, 1))], axis=1)
+        spec_kernel_kw = dict(
+            n_heads=lm_cfg.n_heads, n_kv=lm_cfg.n_kv_heads,
+            head_dim=lm_cfg.head_dim, eps=lm_cfg.norm_eps,
+            interpret=mk_interpret, window=lm_cfg.sliding_window,
+            spec=K, **stack_lm_kw,
+        )
+
+        def spec_body(st):
+            pos, prev, dk, dv, toks, table = st
+            offs = PREFIX_LEN + pos  # [B] per-row absolute positions
+            a = jax.vmap(
+                lambda inp, q: jax.lax.dynamic_slice_in_dim(
+                    inp, q, K, axis=0)
+            )(inputs, pos)  # [B, K, D]
+            if ngram:
+                drafts = ngram_drafts(table, prev, K)  # [B, K]
+            else:
+                drafts = jnp.concatenate(
+                    [prev[:, None],
+                     jnp.full((batch, K - 1), STREAMING_PAD, jnp.int32)],
+                    axis=1)
+            text = embed_tokens(params["decoder"], drafts)
+            x = (a + text).reshape(batch * K, lm_cfg.dim).astype(
+                jnp.float32)
+            pos_rows = (offs[:, None]
+                        + jnp.arange(K, dtype=jnp.int32)[None, :]
+                        ).reshape(-1)
+            cos, sin = jax.vmap(
+                lambda q: rope_pair_vectors(
+                    q, lm_cfg.head_dim, lm_cfg.rope_theta)
+            )(pos_rows)
+            spec_args = (
+                x, offs,
+                fused["attn_norm"], fused["ffn_norm"], ada_vecs,
+                fused["sqkv"], fused["so"], fused["s13"], fused["s2"],
+                cos, sin, dk, dv,
+                fused["wqkv"], fused["wo"], fused["w13"], fused["w2"],
+            )
+            if use_dp:
+                from voxtral_tpu.parallel.dp_decode import (
+                    dp_decode_stack_step,
+                )
+
+                out = dp_decode_stack_step(
+                    parallel.mesh, *spec_args, **spec_kernel_kw)
+            else:
+                out = decode_stack_step(*spec_args, **spec_kernel_kw)
+            if fold_lm:
+                _, k_new, v_new, logits = out
+            else:
+                xo, k_new, v_new = out
+                hidden = rms_norm(
+                    xo, params["decoder"]["norm"], lm_cfg.norm_eps)
+                logits = lm_head(params["decoder"], hidden,
+                                 xla_only=lm_xla)
+            y = jnp.argmax(logits, axis=-1).reshape(batch, K).astype(
+                jnp.int32)
+            # Exact-greedy acceptance: y[:, j] is valid iff every earlier
+            # draft matched its verified token; y[:, 0] always is.
+            match = (y[:, : K - 1] == drafts[:, 1:]).astype(jnp.int32)
+            n_acc = 1 + jnp.sum(jnp.cumprod(match, axis=1), axis=1)
+            adv = jnp.where(pos < n_steps,
+                            jnp.minimum(n_acc, n_steps - pos), 0)
+            # Append ALL K fresh rows per row at offs+j: rows past the
+            # accepted count are invisible (validity masks slots >= off)
+            # and are overwritten by later appends at the same positions.
+            nL = k_new.shape[0]
+            kS = k_new.reshape(nL, batch, K, lm_cfg.n_kv_heads,
+                               lm_cfg.head_dim)
+            vS = v_new.reshape(nL, batch, K, lm_cfg.n_kv_heads,
+                               lm_cfg.head_dim)
+            for j in range(K):
+                dk = append_rows(dk, kS[:, :, j], offs + j)
+                dv = append_rows(dv, vS[:, :, j], offs + j)
+            # Finished rows keep riding with pos frozen at n_steps: their
+            # writes land in the buffer's K-1 padding tail.
+            toks = jax.vmap(
+                lambda t, yk, q: jax.lax.dynamic_update_slice(
+                    t, yk, (q,))
+            )(toks, y, pos)
+            idx = jnp.clip(adv - 1, 0, K - 1)
+            picked = jnp.take_along_axis(y, idx[:, None], axis=1)[:, 0]
+            prev = jnp.where(adv > 0, picked, prev)
+            if ngram:
+                # Train on live rows' verified continuations only; dead
+                # rows' writes route to entry 0 with its current value
+                # (a no-op scatter).
+                live = pos < n_steps
+                tgt = jnp.where(live[:, None], drafts, 0)
+                val = jnp.where(live[:, None], y, table[0])
+                table = table.at[tgt.reshape(-1)].set(val.reshape(-1))
+            return pos + adv, prev, dk, dv, toks, table
+
+        table0 = (ngram_table_init(lm_cfg.vocab_size) if ngram
+                  else jnp.zeros((1,), jnp.int32))
+        st = (jnp.zeros((batch,), jnp.int32), first_token, dk, dv,
+              jnp.zeros((batch, n_steps + K - 1), jnp.int32), table0)
+        st = jax.lax.while_loop(
+            lambda s: jnp.any(s[0] < n_steps), spec_body, st)
+        return jnp.concatenate(
+            [first_token[:, None], st[4][:, :n_steps]], axis=1)
+
     (_, _, _), rest = jax.lax.scan(
         step, (first_token, cache, key), jnp.arange(n_steps, dtype=jnp.int32)
     )  # rest: [n_steps, B]
@@ -700,16 +907,19 @@ class VoxtralModel:
         self._transcribe_jits: dict = {}
         self._transcribe = self._get_transcribe()  # greedy default
 
-    def _get_transcribe(self, temperature: float = 0.0, top_k: int = 0):
-        """Jitted transcribe for a (temperature, top_k) setting (cached)."""
-        key = (float(temperature), int(top_k))
+    def _get_transcribe(self, temperature: float = 0.0, top_k: int = 0,
+                        speculative: int = 0, draft: str = "ngram"):
+        """Jitted transcribe for a (temperature, top_k, speculative,
+        draft) setting (cached)."""
+        key = (float(temperature), int(top_k), int(speculative), draft)
         if key not in self._transcribe_jits:
             self._transcribe_jits[key] = jax.jit(
                 partial(transcribe_streaming_fn, cfg=self.config,
                         cache_dtype=self.cache_dtype,
                         mk_interpret=self._mk_interpret,
                         temperature=float(temperature), top_k=int(top_k),
-                        parallel=self.parallel)
+                        parallel=self.parallel,
+                        speculative=int(speculative), draft=draft)
             )
         return self._transcribe_jits[key]
 
@@ -861,12 +1071,16 @@ class VoxtralModel:
     def transcribe_streaming(
         self, mel: jax.Array, delay_tokens: float = 6.0,
         temperature: float = 0.0, top_k: int = 0, seed: int = 0,
+        speculative: int = 0, draft: str = "ngram",
     ) -> np.ndarray:
         """Transcription of one mel chunk -> int32 token IDs.
 
         Greedy by default (reference semantics); ``temperature`` > 0
         switches the on-device scan to temperature/top-k sampling
         (beyond parity — the argmax site is the only difference).
+        ``speculative=K >= 2`` (greedy only) verifies K drafted tokens
+        per weight pass — EXACT greedy tokens, fewer decode passes when
+        the draft hits (see :func:`transcribe_streaming_fn`).
         Returns the generated tokens after the 38-token prefix (control
         tokens included, exactly like the reference's Vec<i32>).
         """
@@ -875,7 +1089,7 @@ class VoxtralModel:
         if seq < PREFIX_LEN + 1:
             return np.zeros((0,), dtype=np.int32)
         t_embed = self.t_embed(delay_tokens)
-        fn = self._get_transcribe(temperature, top_k)
+        fn = self._get_transcribe(temperature, top_k, speculative, draft)
         mel, real_b = self._pad_dp_rows(mel)
         with span("transcribe_streaming", mel_frames=int(mel.shape[-1]),
                   tokens=seq - PREFIX_LEN):
@@ -886,7 +1100,8 @@ class VoxtralModel:
             return np.asarray(jax.device_get(tokens))[0]
 
     def transcribe_streaming_batch_async(
-        self, mel_batch: jax.Array, delay_tokens: float = 6.0
+        self, mel_batch: jax.Array, delay_tokens: float = 6.0,
+        speculative: int = 0, draft: str = "ngram",
     ):
         """Dispatch a batched transcription WITHOUT fetching the result.
 
@@ -899,16 +1114,20 @@ class VoxtralModel:
             return np.zeros((mel_batch.shape[0], 0), dtype=np.int32)
         t_embed = self.t_embed(delay_tokens)
         mel_batch, real_b = self._pad_dp_rows(mel_batch)
-        tokens = self._transcribe(
+        fn = (self._get_transcribe(0.0, 0, speculative, draft)
+              if speculative >= 2 else self._transcribe)
+        tokens = fn(
             self.params, mel_batch, t_embed, fused=self._transcribe_fused
         )
         return tokens[:real_b] if real_b != tokens.shape[0] else tokens
 
     def _get_transcribe_samples(self, mel_cfg, temperature: float = 0.0,
-                                top_k: int = 0):
+                                top_k: int = 0, speculative: int = 0,
+                                draft: str = "ngram"):
         """Jitted fused-frontend transcribe (samples -> tokens), cached."""
         key = ("samples", mel_cfg.n_fft, mel_cfg.hop_length,
-               mel_cfg.log_mel_max, float(temperature), int(top_k))
+               mel_cfg.log_mel_max, float(temperature), int(top_k),
+               int(speculative), draft)
         if key not in self._transcribe_jits:
             self._transcribe_jits[key] = jax.jit(
                 partial(transcribe_from_samples_fn, cfg=self.config,
@@ -918,12 +1137,14 @@ class VoxtralModel:
                         cache_dtype=self.cache_dtype,
                         mk_interpret=self._mk_interpret,
                         temperature=float(temperature), top_k=int(top_k),
-                        parallel=self.parallel)
+                        parallel=self.parallel,
+                        speculative=int(speculative), draft=draft)
             )
         return self._transcribe_jits[key]
 
     def transcribe_streaming_batch_samples_async(
-        self, samples: jax.Array, mel_spec, delay_tokens: float = 6.0
+        self, samples: jax.Array, mel_spec, delay_tokens: float = 6.0,
+        speculative: int = 0, draft: str = "ngram",
     ):
         """Fused-frontend batched transcription dispatch (no fetch).
 
@@ -940,7 +1161,9 @@ class VoxtralModel:
         t_embed = self.t_embed(delay_tokens)
         window, basis = mel_spec.device_arrays()
         samples, real_b = self._pad_dp_rows(samples)
-        fn = self._get_transcribe_samples(mel_spec.config)
+        fn = self._get_transcribe_samples(mel_spec.config,
+                                          speculative=speculative,
+                                          draft=draft)
         tokens = fn(
             self.params, samples, window, basis, t_embed,
             fused=self._transcribe_fused,
@@ -948,7 +1171,8 @@ class VoxtralModel:
         return tokens[:real_b] if real_b != tokens.shape[0] else tokens
 
     def transcribe_streaming_batch(
-        self, mel_batch: jax.Array, delay_tokens: float = 6.0
+        self, mel_batch: jax.Array, delay_tokens: float = 6.0,
+        speculative: int = 0, draft: str = "ngram",
     ) -> np.ndarray:
         """Batched greedy transcription of B equal-length mel chunks.
 
@@ -958,6 +1182,8 @@ class VoxtralModel:
         """
         return np.asarray(
             jax.device_get(
-                self.transcribe_streaming_batch_async(mel_batch, delay_tokens)
+                self.transcribe_streaming_batch_async(
+                    mel_batch, delay_tokens, speculative=speculative,
+                    draft=draft)
             )
         )

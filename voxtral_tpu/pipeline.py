@@ -78,6 +78,12 @@ class PipelineConfig:
     # beats XLA CPU).  Tokens are identical up to f32 FFT rounding;
     # parity is pinned in tests/test_pipeline_device_mel.py.
     mel_device: Optional[bool] = None
+    # Speculative K-token decode (greedy only, K >= 2): each decode pass
+    # verifies K drafted tokens per chunk row in one weight pass — EXACT
+    # greedy tokens for any draft (models/voxtral.py spec while-loop);
+    # ignored where the stack kernel can't run (TP meshes, sampling).
+    speculative: int = 0
+    draft: str = "ngram"
 
 
 class TranscribePipeline:
@@ -358,7 +364,8 @@ class TranscribePipeline:
             with span("transcribe_dispatch", batch=n,
                       samples=batch.shape[-1], device_mel=True):
                 return self.model.transcribe_streaming_batch_samples_async(
-                    batch, self.mel, delay_tokens=self.pcfg.delay_tokens
+                    batch, self.mel, delay_tokens=self.pcfg.delay_tokens,
+                    speculative=self.pcfg.speculative, draft=self.pcfg.draft,
                 )
         with span("mel", chunks=n, samples=len(sample_rows[0])):
             mels = np.concatenate(
@@ -367,7 +374,8 @@ class TranscribePipeline:
         with span("transcribe_dispatch", batch=n,
                   mel_frames=mels.shape[-1]):
             return self.model.transcribe_streaming_batch_async(
-                mels, delay_tokens=self.pcfg.delay_tokens
+                mels, delay_tokens=self.pcfg.delay_tokens,
+                speculative=self.pcfg.speculative, draft=self.pcfg.draft,
             )
 
     def transcribe_file(self, path: str | Path) -> str:

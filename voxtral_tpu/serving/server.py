@@ -981,10 +981,11 @@ def main(argv: Optional[list[str]] = None) -> int:
     ap.add_argument("--dp", type=int, default=1,
                     help="data-parallel ways (mesh data axis)")
     ap.add_argument("--speculative", type=int, default=0,
-                    help="K>=2: solo sessions verify K [STREAMING_PAD]-"
-                    "drafted tokens per weight pass (exact greedy; up "
-                    "to K-x decode throughput in silence; needs fused "
-                    "megakernel weights)")
+                    help="K>=2: streaming sessions/pools AND whole-file "
+                    "/transcribe verify K drafted tokens per decode "
+                    "weight pass (exact greedy tokens; up to K-x decode "
+                    "throughput when drafts hit — see --draft-policy; "
+                    "needs fused megakernel weights)")
     ap.add_argument("--state-dir",
                     help="drain live streaming sessions here on "
                     "SIGTERM/SIGINT and resume any found at startup "
@@ -1058,6 +1059,14 @@ def main(argv: Optional[list[str]] = None) -> int:
     else:
         print("error: need --model, --gguf or --random-weights", file=sys.stderr)
         return 2
+
+    if args.speculative >= 2:
+        # Whole-file /transcribe (+ the OpenAI endpoint) rides the same
+        # speculative verify machinery as the stream pool: K drafted
+        # tokens per decode weight pass, EXACT greedy tokens (the
+        # one-shot spec while-loop in models/voxtral.py).
+        pipeline.pcfg.speculative = args.speculative
+        pipeline.pcfg.draft = args.draft_policy
 
     server = make_server(pipeline, args.host, args.port,
                          pool_streams=args.pool_streams,

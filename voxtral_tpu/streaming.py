@@ -48,7 +48,14 @@ from voxtral_tpu.models.decoder import (
 )
 from voxtral_tpu.models.encoder import create_encoder_cache, encoder_layers_with_cache
 from voxtral_tpu.models.layers import KVCache, conv_downsample, rope_tables
-from voxtral_tpu.models.voxtral import PREFIX_LEN, VoxtralModel, make_prefix_ids
+from voxtral_tpu.models.voxtral import (
+    PREFIX_LEN,
+    VoxtralModel,
+    append_rows,
+    make_prefix_ids,
+    ngram_drafts,
+    ngram_table_init,
+)
 from voxtral_tpu.tokenizer import STREAMING_PAD, VoxtralTokenizer
 from voxtral_tpu.utils.profiling import span
 
@@ -67,25 +74,10 @@ def _mel_frames_needed(last_frame: int) -> int:
     return MEL_HOP * (last_frame - 1) + 200 + MEL_HOP
 
 
-def _ngram_table_init(vocab: int, draft_token: int = STREAMING_PAD):
-    """Device-resident bigram draft table for speculative decode: entry t
-    = the most recently VERIFIED continuation of token t, initialized to
-    the [STREAMING_PAD] fallback (so an untrained table degenerates to
-    the pad policy).  512 KB at the production vocab — lives in HBM and
-    updates inside the jitted step (a host-side n-gram table would force
-    a sync per verification pass; the table makes drafting a chain of
-    K-1 device gathers instead).  Beyond reference parity (the
-    reference has no speculative decode)."""
-    return jnp.full((vocab,), draft_token, jnp.int32)
-
-
-def _ngram_drafts(table, prev, K: int):
-    """Chained bigram drafts: d0 = prev, d_{j+1} = table[d_j].
-    ``prev`` [] or [B] -> drafts [K] or [B, K] (leading axis preserved)."""
-    d = [prev]
-    for _ in range(K - 1):
-        d.append(table[d[-1]])
-    return jnp.stack(d, axis=-1)
+# Speculative-decode helpers shared with the one-shot transcribe path
+# (models/voxtral.py owns them; streaming keeps the historical names).
+_ngram_table_init = ngram_table_init
+_ngram_drafts = ngram_drafts
 
 
 def _decode_scan(params, audio_inputs, prev_token, dec_cache, t_embed, cfg,
@@ -674,16 +666,7 @@ def _append_scales(arr, new, offs):
     return jax.vmap(one, in_axes=(1, 1, 0), out_axes=1)(arr, new, offs)
 
 
-def _append_rows(cache, new, offs):
-    """Per-row cache append: write ``new`` [L, B, H, hd] at position
-    ``offs[b]`` along the S axis of ``cache`` [L, B, H, S, hd]."""
-
-    def one(c, n, o):  # c [L, H, S, hd], n [L, H, hd]
-        z = jnp.zeros((), jnp.int32)
-        return jax.lax.dynamic_update_slice(
-            c, n[:, :, None].astype(c.dtype), (z, z, o, z))
-
-    return jax.vmap(one, in_axes=(1, 1, 0), out_axes=1)(cache, new, offs)
+_append_rows = append_rows  # shared with models/voxtral.py's spec path
 
 
 def _ring_remap(src: np.ndarray, head: int, src_size: int, dst_size: int,
