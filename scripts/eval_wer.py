@@ -101,6 +101,12 @@ def main() -> int:
                     choices=["q4", "q4g", "w8"],
                     help="GGUF weight handling (in-process mode; q4g = "
                     "exact Q4_0 on the fused stack kernel)")
+    ap.add_argument("--speculative", type=int, default=0,
+                    help="verify K drafted tokens per decode weight pass "
+                    "(EXACT greedy tokens — WER is unchanged by "
+                    "construction; only eval throughput moves)")
+    ap.add_argument("--draft-policy", choices=["ngram", "pad"],
+                    default="ngram")
     ap.add_argument("--dp", type=int, default=1,
                     help="data-parallel ways: shard eval batch rows over "
                     "the mesh's data axis (in-process mode)")
@@ -204,7 +210,9 @@ def run_batched(args, pairs):
         mesh = make_mesh(n_data=args.dp, n_model=args.tp)
 
     pcfg = PipelineConfig(delay_tokens=args.delay,
-                          max_mel_frames=args.max_mel_frames)
+                          max_mel_frames=args.max_mel_frames,
+                          speculative=args.speculative,
+                          draft=args.draft_policy)
     if args.gguf:
         if not args.tokenizer:
             print("error: --gguf requires --tokenizer", file=sys.stderr)

@@ -181,8 +181,24 @@ def stage_clip(st, model_dir: Path, gguf, clip: Path, platform: str,
         lines = r.stdout.strip().splitlines()
         texts[fmt] = lines[-1] if lines else ""
         print(f"  [{fmt}] ({time.time()-t0:.0f}s) {texts[fmt][:100]}")
+    # Speculative decode must be textually invisible (exact greedy by
+    # construction; this pins it on REAL weights, where draft acceptance
+    # patterns differ from the synthetic checkpoints).
+    spec_cmd = [sys.executable, "-m", "voxtral_tpu.cli",
+                "--audio", str(clip), "--platform", platform,
+                "--model", str(model_dir), "--dtype", "w8",
+                "--speculative", "8"]
+    r = subprocess.run(spec_cmd, cwd=REPO, capture_output=True, text=True,
+                       timeout=7200)
+    if r.returncode != 0:
+        _finish(st, ok=False, fmt="w8-spec8", error=r.stderr[-2000:])
+        return
+    lines = r.stdout.strip().splitlines()
+    spec_text = lines[-1] if lines else ""
+    spec_identical = spec_text == texts.get("w8", "")
+    print(f"  [w8-spec8] identical={spec_identical}")
     agree = {}
-    ok = True
+    ok = spec_identical
     base = texts.get("bfloat16", "")
     for fmt, text in texts.items():
         if fmt == "bfloat16":
@@ -194,7 +210,7 @@ def stage_clip(st, model_dir: Path, gguf, clip: Path, platform: str,
     if not synthetic and not base.strip():
         ok = False
     _finish(st, ok=ok, texts={k: v[:200] for k, v in texts.items()},
-            wer_vs_bf16=agree)
+            wer_vs_bf16=agree, speculative_identical=spec_identical)
 
 
 def stage_wer(st, model_dir: Path, gguf, num_samples: int, platform: str,
