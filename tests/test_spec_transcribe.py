@@ -112,6 +112,20 @@ def test_spec_transcribe_batched(w8_model):
     assert got.shape[0] == 3
 
 
+def test_spec_transcribe_short_windows(w8_model):
+    """K > n_steps (adv clamps to the remaining positions) and
+    n_steps == 0 (spec gate refuses; sequential scan handles the single
+    prefill token) must both match the sequential path."""
+    mel41 = _mel(w8_model.config, frames=41 * 16)  # n_steps = 2 < K = 8
+    np.testing.assert_array_equal(
+        w8_model.transcribe_streaming(mel41, speculative=8),
+        w8_model.transcribe_streaming(mel41))
+    mel39 = _mel(w8_model.config, frames=39 * 16)  # n_steps = 0
+    np.testing.assert_array_equal(
+        w8_model.transcribe_streaming(mel39, speculative=8),
+        w8_model.transcribe_streaming(mel39))
+
+
 def test_spec_transcribe_sampling_falls_back(w8_model):
     """temperature > 0 must ride the sequential scan (spec is greedy-only)
     and still produce valid tokens."""
