@@ -176,9 +176,11 @@ def transcribe_streaming_fn(
     draft; the draft only moves throughput — same machinery as
     ``StreamingSession(speculative=K)``).  ``draft``: "ngram" (a
     per-call device-resident bigram table, trained in place by every
-    verification pass) or "pad" (all-[STREAMING_PAD] drafts).  Requires
-    the single-chip or DP-meshed stack-kernel path; TP / XLA / sampling
-    configurations fall back to the sequential scan.
+    verification pass) or "pad" (all-[STREAMING_PAD] drafts).  Rides the
+    single-chip / DP-meshed stack kernel, or the TP half-kernels +
+    vocab-sharded greedy lm fold (``tp_decode_step(spec=K)`` — per-shard
+    spec attention over the local heads, psums carry batch*K rows); XLA
+    / sampling configurations fall back to the sequential scan.
 
     mel: [B, n_mels, T].  Returns int32 tokens [B, S - PREFIX_LEN] where
     S = T//16 is the decoder sequence length (requires S >= PREFIX_LEN + 1;
