@@ -196,6 +196,49 @@ def test_spec_transcribe_dp_mesh(monkeypatch):
     np.testing.assert_array_equal(got, ref)
 
 
+@pytest.mark.parametrize("draft", ["pad", "ngram"])
+def test_spec_transcribe_tp_mesh(monkeypatch, draft):
+    """Spec passes ride the TP half-kernels + the vocab-sharded greedy
+    lm fold (tp_decode_step(spec=K) — psums carry batch*K rows); tokens
+    identical to the sequential TP scan (whose identity vs the solo
+    single-device path is pinned in tests/test_parallel.py)."""
+    from voxtral_tpu.parallel import make_mesh
+    from voxtral_tpu.utils.quantize import quantize_params_w8
+
+    monkeypatch.setenv("VOXTRAL_MEGAKERNEL", "force")
+    cfg = _tiny_cfg()
+    dense = VoxtralModel.init_random(
+        jax.random.PRNGKey(0), cfg, dtype=jnp.float32).params
+    mesh = make_mesh(n_data=1, n_model=2)
+    tp = VoxtralModel(quantize_params_w8(dense), cfg, mesh=mesh)
+    assert tp.fused_tp is not None
+    mel = _mel(cfg)
+    ref = tp.transcribe_streaming(mel)
+    got = tp.transcribe_streaming(mel, speculative=4, draft=draft)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_spec_transcribe_dp_tp_mesh(monkeypatch):
+    """dp x tp composition: whole rows shard over the data axis
+    (data_axis= on the spec half-kernels and the lm fold), heads/F rows
+    over the model axis."""
+    from voxtral_tpu.parallel import make_mesh
+    from voxtral_tpu.utils.quantize import quantize_params_w8
+
+    monkeypatch.setenv("VOXTRAL_MEGAKERNEL", "force")
+    cfg = _tiny_cfg()
+    dense = VoxtralModel.init_random(
+        jax.random.PRNGKey(0), cfg, dtype=jnp.float32).params
+    mesh = make_mesh(n_data=2, n_model=2)
+    m = VoxtralModel(quantize_params_w8(dense), cfg, mesh=mesh)
+    assert m.fused_tp is not None
+    mel = _mel(cfg)
+    mel2 = jnp.concatenate([mel, mel * 0.9], axis=0)
+    ref = m.transcribe_streaming_batch(mel2)
+    got = m.transcribe_streaming_batch(mel2, speculative=4)
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_spec_pipeline_end_to_end(w8_model):
     """PipelineConfig(speculative=K) rides the chunked pipeline and
     produces the same text as the sequential pipeline."""

@@ -320,13 +320,35 @@ def transcribe_streaming_fn(
                 need = _need(None)
                 if need is None or need > STACK_VMEM_CAP:
                     use_stack = False
-        # Speculative K-token transcribe: greedy-only, stack-kernel-only
-        # (single-chip or DP — the kernel verifies batch*K rows with
-        # per-row offsets; TP transcribe stays sequential).  Re-gate
-        # VMEM at batch*K query rows and a K-1-slot cache tail (the
-        # last pass's K appends land at positions up to seq_len+K-2).
-        if (use_stack and speculative >= 2 and temperature <= 0.0
-                and seq_len - PREFIX_LEN - 1 >= 1):
+        # Speculative K-token transcribe: greedy-only, fused-path-only.
+        # The stack kernel (single-chip or DP) verifies batch*K rows
+        # with per-row offsets; on a TP mesh the spec-capable
+        # half-kernels + vocab-sharded lm fold do (tp_decode_step
+        # (spec=K) — per-shard spec attention over the local heads).
+        # Re-gate VMEM at batch*K query rows and a K-1-slot cache tail
+        # (the last pass's K appends land at positions up to
+        # seq_len+K-2).
+        spec_ok = (speculative >= 2 and temperature <= 0.0
+                   and seq_len - PREFIX_LEN - 1 >= 1)
+        if use_tp and spec_ok:
+            from voxtral_tpu.ops.decode_tp_pallas import (
+                TP_VMEM_CAP,
+                tp_vmem_need,
+            )
+
+            itemsize = jnp.dtype(cache_dtype).itemsize
+            rows = (batch // parallel.dp
+                    if parallel.dp > 1 and batch % parallel.dp == 0
+                    else batch)
+            need = tp_vmem_need(
+                rows * speculative, seq_len + speculative - 1,
+                lm_cfg.dim, lm_cfg.n_heads, lm_cfg.n_kv_heads,
+                lm_cfg.head_dim, lm_cfg.hidden_dim, parallel.tp,
+                itemsize, spec=speculative,
+                wg=fused["wqkv"].ndim == 5,
+            )
+            use_spec = need is not None and need <= TP_VMEM_CAP
+        if (use_stack and spec_ok):
             if fold_lm:
                 if lm_dense is not None:
                     sv = lm_dense.shape[0]
@@ -557,8 +579,14 @@ def transcribe_streaming_fn(
         # and each row advances by its own exact-greedy accepted count.
         # Same machinery as streaming._pool_step_spec, minus the ready
         # mask / ring / int8 rungs (the one-shot cache is bf16 bounded).
+        # On a TP mesh the pass is tp_decode_step(spec=K): the psums
+        # carry batch*K rows (same 2/layer) and greedy tokens come from
+        # the vocab-sharded lm fold; a data axis shards whole rows.
         K = speculative
         ngram = draft == "ngram"
+        spec_da = ("data" if use_tp and parallel.dp > 1
+                   and batch % parallel.dp == 0 else None)
+        tp_fold = use_tp and "lm_codes" in fused
         # The last pass at pos = n_steps-1 appends K rows at positions
         # up to seq_len-2+K: give the cache a K-1-slot tail (rows past
         # each query's offset are masked by the kernel's validity mask).
@@ -603,32 +631,64 @@ def transcribe_streaming_fn(
                 lambda q: rope_pair_vectors(
                     q, lm_cfg.head_dim, lm_cfg.rope_theta)
             )(pos_rows)
-            spec_args = (
-                x, offs,
-                fused["attn_norm"], fused["ffn_norm"], ada_vecs,
-                fused["sqkv"], fused["so"], fused["s13"], fused["s2"],
-                cos, sin, dk, dv,
-                fused["wqkv"], fused["wo"], fused["w13"], fused["w2"],
-            )
-            if use_dp:
-                from voxtral_tpu.parallel.dp_decode import (
-                    dp_decode_stack_step,
+            if use_tp:
+                from voxtral_tpu.ops.decode_tp_pallas import (
+                    tp_decode_step,
+                    tp_lm_head_token,
                 )
 
-                out = dp_decode_stack_step(
-                    parallel.mesh, *spec_args, **spec_kernel_kw)
+                xo, k_new, v_new = tp_decode_step(
+                    parallel.mesh, x, offs,
+                    fused["attn_norm"], fused["ffn_norm"], ada_vecs,
+                    fused, cos, sin, dk, dv,
+                    n_heads=lm_cfg.n_heads, n_kv=lm_cfg.n_kv_heads,
+                    head_dim=lm_cfg.head_dim, eps=lm_cfg.norm_eps,
+                    interpret=mk_interpret,
+                    window=lm_cfg.sliding_window,
+                    spec=K, data_axis=spec_da,
+                )
+                if tp_fold:
+                    y = tp_lm_head_token(
+                        parallel.mesh, xo, params["decoder"]["norm"],
+                        fused["lm_codes"], fused["lm_scale"],
+                        eps=lm_cfg.norm_eps, interpret=mk_interpret,
+                        data_axis=spec_da,
+                    ).reshape(batch, K).astype(jnp.int32)
+                else:
+                    hidden = rms_norm(
+                        xo, params["decoder"]["norm"], lm_cfg.norm_eps)
+                    logits = lm_head(params["decoder"], hidden,
+                                     xla_only=True)
+                    y = jnp.argmax(logits, axis=-1).reshape(
+                        batch, K).astype(jnp.int32)
             else:
-                out = decode_stack_step(*spec_args, **spec_kernel_kw)
-            if fold_lm:
-                _, k_new, v_new, logits = out
-            else:
-                xo, k_new, v_new = out
-                hidden = rms_norm(
-                    xo, params["decoder"]["norm"], lm_cfg.norm_eps)
-                logits = lm_head(params["decoder"], hidden,
-                                 xla_only=lm_xla)
-            y = jnp.argmax(logits, axis=-1).reshape(batch, K).astype(
-                jnp.int32)
+                spec_args = (
+                    x, offs,
+                    fused["attn_norm"], fused["ffn_norm"], ada_vecs,
+                    fused["sqkv"], fused["so"], fused["s13"],
+                    fused["s2"], cos, sin, dk, dv,
+                    fused["wqkv"], fused["wo"], fused["w13"],
+                    fused["w2"],
+                )
+                if use_dp:
+                    from voxtral_tpu.parallel.dp_decode import (
+                        dp_decode_stack_step,
+                    )
+
+                    out = dp_decode_stack_step(
+                        parallel.mesh, *spec_args, **spec_kernel_kw)
+                else:
+                    out = decode_stack_step(*spec_args, **spec_kernel_kw)
+                if fold_lm:
+                    _, k_new, v_new, logits = out
+                else:
+                    xo, k_new, v_new = out
+                    hidden = rms_norm(
+                        xo, params["decoder"]["norm"], lm_cfg.norm_eps)
+                    logits = lm_head(params["decoder"], hidden,
+                                     xla_only=lm_xla)
+                y = jnp.argmax(logits, axis=-1).reshape(batch, K).astype(
+                    jnp.int32)
             # Exact-greedy acceptance: y[:, j] is valid iff every earlier
             # draft matched its verified token; y[:, 0] always is.
             match = (y[:, : K - 1] == drafts[:, 1:]).astype(jnp.int32)
